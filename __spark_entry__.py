@@ -1,38 +1,62 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query; ``queries()`` exposes every
+implemented operator (SURVEY.md §2 + training-data ops); ``oracle_sql()``
+provides DuckDB-equivalent SQL for the driver's side-by-side check.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from csv_to_jsonld_processor_spark.plans.relational import RELATIONAL_QUERIES
+
+
+def _registry() -> dict[str, tuple]:
+    reg: dict[str, tuple] = {}
+    reg.update(RELATIONAL_QUERIES)
+    try:
+        from csv_to_jsonld_processor_spark.operators.textops import TEXT_QUERIES
+
+        reg.update(TEXT_QUERIES)
+    except ImportError:
+        pass
+    try:
+        from csv_to_jsonld_processor_spark.operators.dedup import DEDUP_QUERIES
+
+        reg.update(DEDUP_QUERIES)
+    except ImportError:
+        pass
+    try:
+        from csv_to_jsonld_processor_spark.operators.similarity import SIMILARITY_QUERIES
+
+        reg.update(SIMILARITY_QUERIES)
+    except ImportError:
+        pass
+    try:
+        from csv_to_jsonld_processor_spark.kg.queries import KG_QUERIES
+
+        reg.update(KG_QUERIES)
+    except ImportError:
+        pass
+    return reg
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    fn, _ = RELATIONAL_QUERIES["q1_pricing_summary"]
+    return fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in _registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_fn, sql) in _registry().items() if sql is not None}
