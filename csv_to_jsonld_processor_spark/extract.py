@@ -1,0 +1,87 @@
+"""Deterministic HTML → text extraction (the byte-identical-per-url stage).
+
+``extract_text`` is a pinned pure function — a small state machine with
+no library dependencies, so its output can never drift with package
+versions. The pytest golden-hash suite (tests/test_extract_golden.py)
+asserts sha256(text) per url against checked-in goldens; any change to
+this function that alters output breaks the suite by design
+(BASELINE.json input_hint: "byte-identical extracted text per url").
+
+Rules (fixed contract):
+- <script>/<style>/<!-- --> content dropped entirely
+- every other tag boundary becomes a single space
+- HTML entities unescaped (stdlib html.unescape, pinned behavior)
+- whitespace collapsed to single spaces, result stripped
+
+The Spark stage is ``mapInPandas`` over whole partitions (Arrow batches,
+no per-row Python round trips).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+
+_SKIP_TAGS = ("script", "style")
+
+
+def extract_text(html_bytes: bytes) -> str:
+    """Pinned pure extractor; byte-identical per input forever."""
+    from html import unescape
+
+    s = html_bytes.decode("utf-8", errors="replace")
+    out: list[str] = []
+    i, n = 0, len(s)
+    skip_until: str | None = None
+    while i < n:
+        c = s[i]
+        if c == "<":
+            if s.startswith("<!--", i):
+                end = s.find("-->", i + 4)
+                i = n if end == -1 else end + 3
+                out.append(" ")
+                continue
+            end = s.find(">", i + 1)
+            if end == -1:
+                break
+            tag_body = s[i + 1 : end].strip().lower()
+            tag_name = tag_body.split(None, 1)[0].lstrip("/") if tag_body else ""
+            if skip_until is not None:
+                if tag_body.startswith("/") and tag_name == skip_until:
+                    skip_until = None
+            elif tag_name in _SKIP_TAGS and not tag_body.startswith("/"):
+                skip_until = tag_name
+            out.append(" ")
+            i = end + 1
+            continue
+        if skip_until is None:
+            out.append(c)
+        i += 1
+    text = unescape("".join(out))
+    return " ".join(text.split())
+
+
+def text_sha256(html_bytes: bytes) -> str:
+    return hashlib.sha256(extract_text(html_bytes).encode("utf-8")).hexdigest()
+
+
+def extract_pages(pages: DataFrame, html_col: str = "html", out_col: str = "extracted_text") -> DataFrame:
+    """Arrow-batched extraction over whole partitions (no shuffle)."""
+    import pandas as pd
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    # build a fresh StructType — StructType.add mutates the DataFrame's
+    # cached schema object in place
+    schema = StructType(list(pages.schema.fields) + [StructField(out_col, StringType())])
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [
+                extract_text(bytes(b)) if b is not None else None for b in pdf[html_col]
+            ]
+            yield pdf
+
+    return pages.mapInPandas(run, schema=schema)

@@ -1,0 +1,142 @@
+"""End-to-end web-text KG pipeline: extraction+linking P/R vs the
+generator's ground truth, skew strategy equivalence, resume ledger."""
+
+import os
+import shutil
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from csv_to_jsonld_processor_spark.session import get_spark
+from csv_to_jsonld_processor_spark.sources.pages import generate_pages, ground_truth_triples
+
+N_PAGES = 400
+
+
+@pytest.fixture(scope="module")
+def spark():
+    return get_spark("kg-pipeline", cpus=8)
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return generate_pages(spark, N_PAGES, seed=42, partitions=8).cache()
+
+
+def _kg_names(edges_df):
+    from pyspark.sql import functions as F
+
+    base = "http://example.org/kg/terms/"
+    return {
+        (r.url, r.subj_name, r.pred.replace(base, ""), r.obj_name)
+        for r in edges_df.select("url", "subj_name", "pred", "obj_name").collect()
+    }
+
+
+def _truth(spark):
+    return {
+        (r.url, r.subj, r.pred, r.obj)
+        for r in ground_truth_triples(spark, N_PAGES, seed=42).collect()
+    }
+
+
+def test_kg_pr_broadcast(spark, pages):
+    from csv_to_jsonld_processor_spark.kg.pipeline import build_kg
+
+    got = _kg_names(build_kg(spark, pages)["edges"])
+    want = _truth(spark)
+    inter = got & want
+    p = len(inter) / len(got)
+    r = len(inter) / len(want)
+    print(f"P={p:.4f} R={r:.4f} got={len(got)} want={len(want)}")
+    assert p >= 0.95 and r >= 0.95, (
+        f"P={p:.3f} R={r:.3f}; got-only={sorted(got - want)[:5]} want-only={sorted(want - got)[:5]}"
+    )
+
+
+def test_kg_salted_shuffle_equals_broadcast(spark, pages):
+    from csv_to_jsonld_processor_spark.kg.pipeline import build_kg
+
+    a = _kg_names(build_kg(spark, pages, link_strategy="broadcast")["edges"])
+    b = _kg_names(build_kg(spark, pages, link_strategy="salted_shuffle")["edges"])
+    assert a == b
+
+
+def test_materialize_and_violations(spark, pages, tmp_path):
+    from csv_to_jsonld_processor_spark.kg.pipeline import build_kg
+
+    out = str(tmp_path / "kg")
+    res = build_kg(spark, pages, out_dir=out)
+    counts = res["counts"]
+    assert counts["edges"] > 0
+    assert counts["entities"] > 0
+    assert counts["predicates"] > 0
+    # bucketed layout on disk
+    assert any(d.startswith("bucket=") for d in os.listdir(f"{out}/edges"))
+    # entity IRIs are namespaced class/kebab-name
+    e = spark.read.parquet(f"{out}/entities").collect()
+    assert all(r.iri.startswith("http://example.org/kg/ids/") for r in e)
+
+
+def test_resume_ledger_identical_output(spark, pages, tmp_path):
+    from pyspark.sql import functions as F
+
+    from csv_to_jsonld_processor_spark.kg.lineage import completed_parts, run_stage
+    from csv_to_jsonld_processor_spark.kg.mentions import extract_mentions
+    from csv_to_jsonld_processor_spark.extract import extract_pages
+    from csv_to_jsonld_processor_spark.sources.pages import ENTITIES, PREDICATES
+
+    surfaces = [p[0] for p in PREDICATES]
+    gazetteer = [a for _c, aliases, _cls in ENTITIES for a in aliases]
+
+    def stage(df):
+        return extract_mentions(extract_pages(df), surfaces, gazetteer)
+
+    # full run
+    full_out = str(tmp_path / "full_out")
+    full_ledger = str(tmp_path / "full_ledger")
+    full = run_stage(spark, "mentions", pages, stage, full_out, full_ledger, n_parts=8)
+    full_set = {tuple(r) for r in full.drop("part_id").collect()}
+
+    # killed run: crashes after 3 partitions
+    part_out = str(tmp_path / "part_out")
+    part_ledger = str(tmp_path / "part_ledger")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_stage(
+            spark, "mentions", pages, stage, part_out, part_ledger, n_parts=8, fail_after_parts=3
+        )
+    assert len(completed_parts(spark, part_ledger, "mentions")) == 3
+
+    # resume: processes exactly the remaining 5 partitions
+    resumed = run_stage(spark, "mentions", pages, stage, part_out, part_ledger, n_parts=8)
+    assert len(completed_parts(spark, part_ledger, "mentions")) == 8
+    resumed_set = {tuple(r) for r in resumed.drop("part_id").collect()}
+    assert resumed_set == full_set
+
+    # ledger carries per-partition counters
+    ledger = spark.read.parquet(part_ledger)
+    assert ledger.where(F.col("rows_out") > 0).count() > 0
+
+
+def test_violations_routes(spark, pages):
+    """A7 analog: link failures and unknown predicates become data, not
+    exceptions — KB gap → unlinked_subject; context gap → unknown_predicate."""
+    from csv_to_jsonld_processor_spark.extract import extract_pages
+    from csv_to_jsonld_processor_spark.kg.graph import canonicalize_edges, predicate_context
+    from csv_to_jsonld_processor_spark.kg.link import kb_alias_table, link_mentions
+    from csv_to_jsonld_processor_spark.kg.mentions import extract_mentions
+    from csv_to_jsonld_processor_spark.sources.pages import ENTITIES, PREDICATES
+
+    surfaces = [p[0] for p in PREDICATES]
+    gaz = [a for _c, als, _k in ENTITIES for a in als]
+    kb = kb_alias_table(spark, [e for e in ENTITIES if e[0] != "Alan Turing"])
+    m = extract_mentions(extract_pages(pages), surfaces, gaz)
+    linked = link_mentions(link_mentions(m, kb, "subj_mention"), kb, "obj_mention")
+    ctx = {k: v for k, v in predicate_context(PREDICATES).items() if k != "acquired"}
+    edges, viol = canonicalize_edges(linked, ctx)
+    rules = {r.rule for r in viol.select("rule").distinct().collect()}
+    assert "unlinked_subject" in rules
+    assert "unknown_predicate" in rules
+    assert edges.count() > 0
