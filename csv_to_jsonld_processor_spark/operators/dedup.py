@@ -1,0 +1,279 @@
+"""Deduplication operators over ``documents`` — the core of any
+large-scale training-data pipeline.
+
+Four families, all shuffle-architected for 100 TB:
+
+- exact: hash-groupBy on a normalized fingerprint. One shuffle carrying
+  16-byte keys; map-side combine collapses per-partition duplicates.
+- n-gram Jaccard: word-shingle explode → equi-join on shingle → pair
+  aggregation. The shingle join IS the blocking step — no O(n²) cross
+  product ever materializes; hot shingles are the skew risk (AQE skew
+  join + the shingle-frequency cap below).
+- MinHash + LSH: k md5-derived min-hashes per doc → band keys →
+  bucket-join on band → Jaccard verify on candidates only. md5 (not
+  xxhash64) so the DuckDB oracle computes the identical signature.
+- SimHash: 64-bit signature from per-token hashes; hamming-close pairs
+  via band rotation. Deterministic but not SQL-expressible → pytest
+  invariant check instead of a DuckDB oracle (rows-only for the driver).
+
+Embedding near-dup (cosine) lives in similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_tables
+
+SHINGLE_K = 5
+MINHASH_K = 12
+LSH_BANDS = 4  # 4 bands x 3 rows
+LSH_ROWS = 3
+JACCARD_TAU = 0.8
+MAX_SHINGLE_FREQ = 1000  # drop super-hot shingles from candidate gen (stopword shields)
+
+
+def _norm_text() -> F.Column:
+    return F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+
+
+def _shingles(tokens: F.Column, k: int = SHINGLE_K) -> F.Column:
+    """Distinct word k-shingles via a higher-order transform (JVM-side)."""
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(size(_tokens) - {k - 1}, 0)),"
+            f" i -> array_join(slice(_tokens, i, {k}), ' '))"
+        )
+    )
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups, two keys: full normalized text, and the
+    first-20-token prefix (the URL/prefix-normalized exact-dedup variant
+    common in web-corpus pipelines — catches boilerplate-prefix dupes
+    that byte-exact hashing misses)."""
+    t = load_tables(spark, sf_dir)
+    norm = _norm_text()
+    prefix = F.array_join(F.slice(F.split(norm, " "), 1, 20), " ")
+    keyed = t["documents"].select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit("full").alias("key_kind"), F.md5(norm).alias("fingerprint")),
+                F.struct(F.lit("prefix20").alias("key_kind"), F.md5(prefix).alias("fingerprint")),
+            )
+        ).alias("k"),
+    ).select("doc_id", "k.key_kind", "k.fingerprint")
+    return (
+        keyed.groupBy("key_kind", "fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .where(F.col("n_docs") > 1)
+        .orderBy("key_kind", "fingerprint")
+    )
+
+
+DEDUP_EXACT_SQL = """
+WITH norm AS (
+  SELECT doc_id, lower(trim(regexp_replace(text,'\\s+',' ','g'))) AS n FROM documents
+), keyed AS (
+  SELECT doc_id, 'full' AS key_kind, md5(n) AS fingerprint FROM norm
+  UNION ALL
+  SELECT doc_id, 'prefix20' AS key_kind,
+         md5(array_to_string((string_split(n,' '))[1:20], ' ')) AS fingerprint
+  FROM norm
+)
+SELECT key_kind, fingerprint, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
+FROM keyed GROUP BY 1, 2 HAVING COUNT(*) > 1 ORDER BY key_kind, fingerprint
+"""
+
+
+def _doc_shingles(docs: DataFrame) -> DataFrame:
+    return (
+        docs.withColumn("_tokens", F.split(_norm_text(), " "))
+        .select("doc_id", F.explode(_shingles(F.col("_tokens"))).alias("shingle"))
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by word-5-gram Jaccard >= 0.8.
+
+    Plan: shingle explode → self-equi-join on shingle (the blocking key)
+    → per-pair intersection counts → Jaccard from |A|+|B|-∩. Hot-shingle
+    cap bounds the join fan-out at scale."""
+    t = load_tables(spark, sf_dir)
+    sh = _doc_shingles(t["documents"])
+
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
+    sh_cold = sh.join(
+        F.broadcast(hot.where(F.col("freq") > MAX_SHINGLE_FREQ).select("shingle")),
+        "shingle",
+        "left_anti",
+    )
+
+    a = sh_cold.alias("a")
+    b = sh_cold.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    jac = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")).cast("double"),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= JACCARD_TAU)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+    return jac
+
+
+DEDUP_NGRAM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(trim(regexp_replace(text,'\\s+',' ','g'))), ' ') AS tokens
+  FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(tokens) - {SHINGLE_K - 1}, 0)),
+           i -> array_to_string(tokens[i:i+{SHINGLE_K - 1}], ' ')))) AS shingle
+  FROM toks
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common,
+       ROUND(CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common) >= {JACCARD_TAU}
+ORDER BY doc_a, doc_b
+"""
+
+
+def _minhash_signature(docs: DataFrame) -> DataFrame:
+    """k md5-derived min-hashes per doc. md5 is available and identical
+    in both engines, so the signature is oracle-checkable; at pure-Spark
+    scale you'd swap in xxhash64 seeds for speed (same plan shape)."""
+    sh = _doc_shingles(docs)
+    minhashes = [
+        F.min(F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))), 1, 16)).alias(
+            f"mh{i}"
+        )
+        for i in range(MINHASH_K)
+    ]
+    return sh.groupBy("doc_id").agg(*minhashes)
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash/LSH candidate pairs: docs sharing any LSH band.
+
+    Bands of {LSH_ROWS} min-hashes hash to a band key; an equi-join on
+    (band_idx, band_key) yields candidates — the 100 TB-safe plan since
+    only same-bucket docs ever meet."""
+    t = load_tables(spark, sf_dir)
+    sig = _minhash_signature(t["documents"])
+
+    bands = []
+    for b in range(LSH_BANDS):
+        cols = [F.col(f"mh{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+        bands.append(
+            F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat_ws("|", *cols)).alias("band_key"))
+        )
+    banded = sig.select("doc_id", F.explode(F.array(*bands)).alias("band")).select(
+        "doc_id", "band.band_idx", "band.band_key"
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+DEDUP_MINHASH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(trim(regexp_replace(text,'\\s+',' ','g'))), ' ') AS tokens
+  FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(tokens) - {SHINGLE_K - 1}, 0)),
+           i -> array_to_string(tokens[i:i+{SHINGLE_K - 1}], ' ')))) AS shingle
+  FROM toks
+), sig AS (
+  SELECT doc_id,
+         {", ".join(f"MIN(substr(md5('{i}:' || shingle), 1, 16)) AS mh{i}" for i in range(MINHASH_K))}
+  FROM sh GROUP BY doc_id
+), banded AS (
+  {" UNION ALL ".join(
+      "SELECT doc_id, " + str(b) + " AS band_idx, md5("
+      + " || '|' || ".join(f"mh{b * LSH_ROWS + r}" for r in range(LSH_ROWS))
+      + ") AS band_key FROM sig"
+      for b in range(LSH_BANDS)
+  )}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b
+  ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per doc from token xxhash64 bits, plus 4 16-bit
+    band keys for hamming-neighbor candidate generation. Deterministic
+    but not ANSI-SQL-expressible (bitwise popcount folds) → rows-only
+    driver check; invariants are pytest-verified."""
+    t = load_tables(spark, sf_dir)
+    toks = t["documents"].select(
+        "doc_id", F.explode(F.array_distinct(F.split(_norm_text(), " "))).alias("token")
+    )
+    h = F.xxhash64(F.col("token"))
+    bit_votes = [
+        F.sum(
+            F.when(((F.shiftright(h, i)).bitwiseAND(F.lit(1))) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    votes = toks.groupBy("doc_id").agg(*bit_votes)
+    sim = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        term = F.shiftleft(bit, i)
+        sim = term if sim is None else sim.bitwiseXOR(term) if False else sim + term
+    out = votes.select("doc_id", sim.alias("simhash"))
+    for band in range(4):
+        out = out.withColumn(
+            f"band{band}",
+            F.shiftright(F.col("simhash"), band * 16).bitwiseAND(F.lit(0xFFFF)).cast("int"),
+        )
+    return out.orderBy("doc_id")
+
+
+DEDUP_QUERIES: dict[str, tuple] = {
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
+    "dedup_simhash": (dedup_simhash, None),  # rows-only: bitwise folds aren't ANSI SQL
+}
