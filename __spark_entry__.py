@@ -45,6 +45,12 @@ def _registry() -> dict[str, tuple]:
         reg.update(KG_QUERIES)
     except ImportError:
         pass
+    try:
+        from csv_to_jsonld_processor_spark.streaming.events import STREAMING_QUERIES
+
+        reg.update(STREAMING_QUERIES)
+    except ImportError:
+        pass
     return reg
 
 

@@ -1,0 +1,152 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line
+{"metric", "value", "unit", "queries", "sf", ...}.
+
+The KG pipeline benchmark reads pre-materialized parquet pages (written
+once outside the timed region) so the measured span is the engine, not
+the synthetic generator. ``--kg-only`` runs just that span — used by
+tools/scaling.py for the N-vs-4N-cores scaling measurement.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "events_hourly_rollup",
+    "doc_quality_scores",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "ann_topk_bruteforce",
+    "kg_cooccurrence_edges",
+]
+
+
+def _consume(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return -1
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        if name not in qs:
+            continue
+        df = qs[name](spark, sf_dir)
+        df.count()  # warm: plan + scan caches
+        t0 = time.perf_counter()
+        _consume(qs[name](spark, sf_dir))
+        times[name] = round(time.perf_counter() - t0, 3)
+    return times
+
+
+def bench_kg(spark, n_pages: int, work_dir: str) -> dict:
+    from csv_to_jsonld_processor_spark.kg.pipeline import build_kg
+    from csv_to_jsonld_processor_spark.sources.pages import generate_pages
+
+    pages_path = os.path.join(work_dir, f"pages_{n_pages}")
+    if not os.path.exists(pages_path):
+        generate_pages(spark, n_pages, seed=42).write.mode("overwrite").parquet(pages_path)
+    pages = spark.read.parquet(pages_path)
+
+    # warm outside the timed span: full input scan (OS page cache — the
+    # previous subprocess may have left it warm for one config and cold for
+    # the other), Python worker pool, and JVM JIT. A real cluster's workers
+    # are long-lived and its inputs are not one cold local disk.
+    pages.write.format("noop").mode("overwrite").save()
+    build_kg(spark, pages.limit(2000), link_strategy="broadcast")["edges"].count()
+
+    # steady-state: best of 2 in-JVM iterations (iteration 1 still pays
+    # whole-stage-codegen JIT for the big-batch paths)
+    dt = float("inf")
+    n_edges = 0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        res = build_kg(spark, pages, link_strategy="broadcast")
+        n_edges = res["edges"].count()
+        dt = min(dt, time.perf_counter() - t0)
+    return {
+        "kg_pages": n_pages,
+        "kg_edges": n_edges,
+        "kg_seconds": round(dt, 3),
+        "kg_triples_per_sec": round(n_edges / dt, 1),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--kg-only", action="store_true")
+    ap.add_argument("--pages", type=int, default=int(os.environ.get("SPARK_GRAFT_KG_PAGES", "20000")))
+    ap.add_argument("--pages-dir", default=os.environ.get("SPARK_GRAFT_PAGES_DIR", ""))
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from csv_to_jsonld_processor_spark.session import get_spark
+
+    # scan granularity: this local corpus is a few hundred MB, so the default
+    # 128 MB split serializes it into a couple of tasks; 4 MB splits give both
+    # scaling configs the same ~dozens of input partitions with NO repartition
+    # shuffle (a real 100 TB input has thousands of natural splits)
+    spark = get_spark(
+        "bench",
+        cpus=cpus,
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": "4194304",
+            "spark.sql.files.openCostInBytes": "1048576",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    work_dir = args.pages_dir or tempfile.mkdtemp(prefix="kg_bench_")
+    own_tmp = not args.pages_dir
+
+    try:
+        sf = sf_dir.rstrip("/").split("sf")[-1]
+        kg = bench_kg(spark, args.pages, work_dir)
+        if args.kg_only:
+            out = {
+                "metric": "kg_pipeline_seconds",
+                "value": kg["kg_seconds"],
+                "unit": "sec",
+                "queries": {"kg_pipeline": kg["kg_seconds"]},
+                "sf": sf,
+                "cpus": cpus,
+                **kg,
+            }
+        else:
+            times = bench_queries(spark, sf_dir)
+            times["kg_pipeline"] = kg["kg_seconds"]
+            out = {
+                "metric": "headline_suite_seconds",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                "cpus": cpus,
+                **kg,
+            }
+        print(json.dumps(out))
+    finally:
+        if own_tmp:
+            shutil.rmtree(work_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

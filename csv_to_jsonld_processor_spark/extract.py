@@ -28,7 +28,12 @@ _SKIP_TAGS = ("script", "style")
 
 
 def extract_text(html_bytes: bytes) -> str:
-    """Pinned pure extractor; byte-identical per input forever."""
+    """Pinned pure extractor; byte-identical per input forever.
+
+    Scans with str.find chunk copies (C-speed) rather than per-char
+    Python — the semantics are the fixed contract above; this loop shape
+    is just the fast implementation of it (it is the hot path of the
+    whole KG pipeline)."""
     from html import unescape
 
     s = html_bytes.decode("utf-8", errors="replace")
@@ -36,29 +41,30 @@ def extract_text(html_bytes: bytes) -> str:
     i, n = 0, len(s)
     skip_until: str | None = None
     while i < n:
-        c = s[i]
-        if c == "<":
-            if s.startswith("<!--", i):
-                end = s.find("-->", i + 4)
-                i = n if end == -1 else end + 3
-                out.append(" ")
-                continue
-            end = s.find(">", i + 1)
-            if end == -1:
-                break
-            tag_body = s[i + 1 : end].strip().lower()
-            tag_name = tag_body.split(None, 1)[0].lstrip("/") if tag_body else ""
-            if skip_until is not None:
-                if tag_body.startswith("/") and tag_name == skip_until:
-                    skip_until = None
-            elif tag_name in _SKIP_TAGS and not tag_body.startswith("/"):
-                skip_until = tag_name
+        lt = s.find("<", i)
+        if lt == -1:
+            if skip_until is None:
+                out.append(s[i:])
+            break
+        if lt > i and skip_until is None:
+            out.append(s[i:lt])
+        if s.startswith("<!--", lt):
+            end = s.find("-->", lt + 4)
+            i = n if end == -1 else end + 3
             out.append(" ")
-            i = end + 1
             continue
-        if skip_until is None:
-            out.append(c)
-        i += 1
+        end = s.find(">", lt + 1)
+        if end == -1:
+            break
+        tag_body = s[lt + 1 : end].strip().lower()
+        tag_name = tag_body.split(None, 1)[0].lstrip("/") if tag_body else ""
+        if skip_until is not None:
+            if tag_body.startswith("/") and tag_name == skip_until:
+                skip_until = None
+        elif tag_name in _SKIP_TAGS and not tag_body.startswith("/"):
+            skip_until = tag_name
+        out.append(" ")
+        i = end + 1
     text = unescape("".join(out))
     return " ".join(text.split())
 

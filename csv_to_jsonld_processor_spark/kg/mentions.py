@@ -97,3 +97,109 @@ def extract_mentions(
             )
 
     return src.mapInPandas(run, schema=MENTIONS_SCHEMA)
+
+
+LINKED_SCHEMA = MENTIONS_SCHEMA + (
+    ", subj_mention_entity string, subj_mention_class string, subj_mention_score double"
+    ", obj_mention_entity string, obj_mention_class string, obj_mention_score double"
+)
+
+
+def extract_link_from_html(
+    pages: DataFrame,
+    surfaces: list[str],
+    gazetteer: list[str],
+    idx: dict,
+    lang_filter: str | None = "en",
+) -> DataFrame:
+    """Fully fused HTML→text→mentions→LINK in one mapInPandas stage.
+
+    When the KB is dimension-sized it rides into the UDF as a broadcast
+    dict and linking needs no join at all — the whole pipeline becomes a
+    single shuffle-free scan (the 100 TB fast path; hub-entity skew is
+    moot because every partition resolves its own mentions locally).
+    The output matches link_mentions(broadcast|salted_shuffle) exactly.
+    """
+    import pandas as pd
+
+    from ..extract import extract_text
+    from .link import resolve_mention
+
+    ordered = sorted(surfaces, key=len, reverse=True)
+    gaz = _compile_gazetteer(gazetteer)
+    src = pages
+    if lang_filter is not None and "lang" in pages.columns:
+        src = src.where(F.col("lang") == lang_filter)
+    src = src.select("url", "html")
+    bidx = src.sparkSession.sparkContext.broadcast(idx)
+
+    cols = [
+        "url", "sent_idx", "subj_mention", "pred_surface", "obj_mention",
+        "subj_mention_entity", "subj_mention_class", "subj_mention_score",
+        "obj_mention_entity", "obj_mention_class", "obj_mention_score",
+    ]
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        local_idx = bidx.value
+        cache: dict[str, tuple] = {}
+
+        def link(m: str):
+            r = cache.get(m)
+            if r is None:
+                r = resolve_mention(m, local_idx) or (None, None, None)
+                cache[m] = r
+            return r
+
+        for pdf in batches:
+            rows: list[tuple] = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                if html is None:
+                    continue
+                text = extract_text(bytes(html))
+                for u, si, subj, surf, obj in _extract_from_text(url, text, ordered, gaz):
+                    se, sc, ss = link(subj)
+                    oe, oc, os_ = link(obj)
+                    rows.append((u, si, subj, surf, obj, se, sc, ss, oe, oc, os_))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return src.mapInPandas(run, schema=LINKED_SCHEMA)
+
+
+def extract_mentions_from_html(
+    pages: DataFrame,
+    surfaces: list[str],
+    gazetteer: list[str],
+    lang_filter: str | None = "en",
+) -> DataFrame:
+    """Fused HTML→text→mentions in ONE mapInPandas stage.
+
+    Two separate pandas stages would round-trip the binary ``html``
+    column (the widest column in the table) through Arrow twice —
+    Catalyst cannot column-prune through a mapInPandas barrier. Fusing
+    halves Arrow traffic and drops a full Python-worker stage; this is
+    the production path, while extract_pages stays the golden-hash
+    surface (both call the same pinned ``extract_text``).
+    """
+    import pandas as pd
+
+    from ..extract import extract_text
+
+    ordered = sorted(surfaces, key=len, reverse=True)
+    gaz = _compile_gazetteer(gazetteer)
+    src = pages
+    if lang_filter is not None and "lang" in pages.columns:
+        src = src.where(F.col("lang") == lang_filter)
+    src = src.select("url", "html")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                if html is not None:
+                    text = extract_text(bytes(html))
+                    rows.extend(_extract_from_text(url, text, ordered, gaz))
+            yield pd.DataFrame(
+                rows, columns=["url", "sent_idx", "subj_mention", "pred_surface", "obj_mention"]
+            )
+
+    return src.mapInPandas(run, schema=MENTIONS_SCHEMA)

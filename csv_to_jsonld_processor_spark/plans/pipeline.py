@@ -1,0 +1,184 @@
+"""Manifest-driven pipeline — the engine's equivalent of
+``csv-to-jld process`` (reference lifecycle §3.1):
+
+manifest validate → PHASE A vocabulary compile (driver, broadcastable)
+→ PHASE B instance steps (Spark plans → triple table, picklists first)
+→ PHASE C sinks: instances JSON-LD + vocabulary JSON-LD (+ vocab meta).
+
+Two instance sink shapes:
+- ``instances.jsonld`` single document (fixture-parity mode, driver
+  assembly — the reference's K1 at instance/serializer.rs:93-151); only
+  allowed under a row-count guard.
+- NDJSON-framed JSON-LD nodes, written distributed and partitioned by a
+  subject hash bucket — the 100 TB shape.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..manifest import Manifest
+from ..operators.instance_steps import build_instance_triples
+from ..vocabulary import (
+    VocabularyMap,
+    build_jsonld_context,
+    compile_vocabulary,
+    vocab_to_broadcast,
+)
+
+SINGLE_DOC_MAX_ENTITIES = 500_000
+
+
+def _typed(obj: str, kind: str):
+    if kind == "number":
+        f = float(obj)
+        return int(f) if f.is_integer() and "." not in obj and "e" not in obj.lower() else f
+    if kind == "boolean":
+        return obj == "true"
+    return obj
+
+
+def assemble_entities_json(triples: DataFrame) -> DataFrame:
+    """(subj, pred, obj, obj_kind) → one JSON-LD node string per entity.
+
+    Grouped Arrow batches (applyInPandas): value types are restored from
+    obj_kind so numbers/booleans serialize as JSON scalars, multi-values
+    as arrays (sorted — the reference's HashSet order is unspecified,
+    SURVEY §2.8, so we pick the deterministic order)."""
+    import pandas as pd
+
+    def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        out = []
+        for subj, g in pdf.groupby("subj"):
+            node: dict = {"@id": subj}
+            types = sorted(g.loc[g["pred"] == "@type", "obj"].unique())
+            if types:
+                node["@type"] = types
+            rest = g[g["pred"] != "@type"]
+            for pred, pg in rest.groupby("pred"):
+                vals = sorted(
+                    {( str(o), str(k)) for o, k in zip(pg["obj"], pg["obj_kind"])}
+                )
+                typed = [_typed(o, k) for o, k in vals]
+                node[pred] = typed if len(typed) > 1 else typed[0]
+            out.append({"subj": subj, "node": json.dumps(node, sort_keys=True)})
+        return pd.DataFrame(out, columns=["subj", "node"])
+
+    return triples.groupBy("subj").applyInPandas(build, schema="subj string, node string")
+
+
+class PipelineOutcome:
+    def __init__(self, errors: list[str], warnings: list[str], counts: dict):
+        self.errors = errors
+        self.warnings = warnings
+        self.counts = counts
+
+    @property
+    def ok(self) -> bool:
+        return not self.errors
+
+
+class Pipeline:
+    """Library entry point mirroring ProcessorBuilder (processor/mod.rs:24-124):
+    ``Pipeline.from_manifest(path, base_path).run(spark, out_dir)``."""
+
+    def __init__(self, manifest: Manifest, base_path: str | Path, strict: bool = False):
+        self.manifest = manifest
+        self.base_path = Path(base_path)
+        self.strict = strict
+
+    @classmethod
+    def from_manifest(cls, manifest_path: str | Path, base_path: str | Path | None = None,
+                      strict: bool = False) -> "Pipeline":
+        m = Manifest.from_file(manifest_path)
+        return cls(m, base_path or Path(manifest_path).parent, strict)
+
+    def run(self, spark: SparkSession, out_dir: str | Path,
+            single_document: bool = True) -> PipelineOutcome:
+        out_dir = Path(out_dir)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        errors = self.manifest.validate()
+        if errors:
+            return PipelineOutcome(errors, [], {})
+
+        vocab = compile_vocabulary(self.manifest, self.base_path, self.strict)
+        triples = build_instance_triples(spark, self.manifest, vocab, self.base_path)
+        nodes = assemble_entities_json(triples)
+
+        context = build_jsonld_context(
+            vocab, self.manifest.model.base_iri, self.manifest.instances.base_iri
+        )
+
+        n_entities = nodes.count()
+        if single_document and n_entities <= SINGLE_DOC_MAX_ENTITIES:
+            insert = [json.loads(r.node) for r in nodes.orderBy("subj").collect()]
+            doc = {"ledger": self.manifest.ledger, "@context": context, "insert": insert}
+            (out_dir / "instances.jsonld").write_text(json.dumps(doc, indent=2, sort_keys=True))
+        else:
+            # the 100 TB shape: NDJSON nodes, hash-bucketed by subject
+            (
+                nodes.withColumn("bucket", F.pmod(F.xxhash64("subj"), F.lit(64)).cast("int"))
+                .select("bucket", "node")
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .text(str(out_dir / "instances_ndjson"))
+            )
+            (out_dir / "context.jsonld").write_text(
+                json.dumps({"@context": context}, indent=2, sort_keys=True)
+            )
+
+        self._write_vocabulary(vocab, out_dir)
+        # K3 vocab-meta export (vocabulary/mod.rs:86-99): the compiled
+        # broadcast artifact, reloadable to skip the model phase
+        (out_dir / "vocab_meta.json").write_text(
+            json.dumps(vocab_to_broadcast(vocab, self.manifest.model.base_iri), indent=1, sort_keys=True)
+        )
+        return PipelineOutcome([], [], {"entities": n_entities, "triples": triples.count()})
+
+    def _write_vocabulary(self, vocab: VocabularyMap, out_dir: Path) -> None:
+        """K2 (vocabulary/serializer.rs:19-66): classes + properties under
+        the fixed import context."""
+
+        def term_json(t) -> dict:
+            m: dict = {"@id": t.id.final(), "@type": t.type_}
+            if t.sub_class_of:
+                m["rdfs:subClassOf"] = t.sub_class_of
+            if t.label is not None:
+                m["rdfs:label"] = t.label
+            if t.comment is not None:
+                m["rdfs:comment"] = t.comment
+            if t.domain:
+                m["rdfs:domain"] = t.domain
+            if t.range is not None:
+                m["rdfs:range"] = [r.xsd() for r in t.range]
+            for k, v in t.extra_items.items():
+                if v != "":
+                    m[k] = v
+            if t.one_of:
+                m["f:oneOf"] = list(t.one_of)
+            return m
+
+        doc = {
+            "@context": {
+                "xsd": "http://www.w3.org/2001/XMLSchema#",
+                "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+                "f": "https://ns.flur.ee/ledger#",
+            },
+            "ledger": self.manifest.ledger,
+            "insert": {
+                "@id": self.manifest.id,
+                "@type": ["f:DataModel"],
+                "f:classes": sorted(
+                    (term_json(t) for t in vocab.classes.values()), key=lambda x: x["@id"]
+                ),
+                "f:properties": sorted(
+                    (term_json(t) for t in vocab.properties.values()), key=lambda x: x["@id"]
+                ),
+            },
+        }
+        (out_dir / "vocabulary.jsonld").write_text(json.dumps(doc, indent=2, sort_keys=True))

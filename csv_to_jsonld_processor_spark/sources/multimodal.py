@@ -1,0 +1,130 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing is real and tested — schemas, Arrow batch shape,
+partition-parallel decode via ``mapInPandas``, metadata projection that
+never touches the bytes (column pruning keeps the binary out of stages
+that don't need it). The codec step itself is STUBBED: real decoders
+(PIL/librosa/av) are not in this container, so ``decode_image`` raises
+``NotImplementedError`` unless the deterministic fake codec is selected.
+
+Synthetic blob format (fake codec), deterministic per (media_id, seed):
+  magic 4B "SYNM" | kind 1B (0=image 1=audio 2=video) |
+  width u16 | height u16 | channels u8 | payload (w*h*c bytes, hash-derived)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, url string, blob binary, "
+    "meta_width int, meta_height int, meta_channels int"
+)
+
+_KINDS = ["image", "audio", "video"]
+_MAGIC = b"SYNM"
+
+
+def synth_blob(media_id: int, seed: int = 42) -> tuple[bytes, str, int, int, int]:
+    h = hashlib.sha256(f"media:{seed}:{media_id}".encode()).digest()
+    kind_i = h[0] % 3
+    w = 8 + h[1] % 24
+    ht = 8 + h[2] % 24
+    c = 1 + h[3] % 3
+    n = w * ht * c
+    payload = (hashlib.sha256(h).digest() * (n // 32 + 1))[:n]
+    blob = _MAGIC + struct.pack("<BHHB", kind_i, w, ht, c) + payload
+    return blob, _KINDS[kind_i], w, ht, c
+
+
+def generate_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+    import pandas as pd
+
+    rng = spark.range(0, n, 1, spark.sparkContext.defaultParallelism)
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                blob, kind, w, ht, c = synth_blob(int(i), seed)
+                rows.append(
+                    {
+                        "media_id": int(i),
+                        "kind": kind,
+                        "url": f"https://media.example.org/{kind}/{int(i)}",
+                        "blob": blob,
+                        "meta_width": w,
+                        "meta_height": ht,
+                        "meta_channels": c,
+                    }
+                )
+            yield pd.DataFrame.from_records(rows)
+
+    return rng.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def decode_blob(blob: bytes, codec: str = "synthetic") -> dict:
+    """Decode one blob. ``synthetic`` parses the fake format; ``real``
+    is the integration point for actual media libs (absent here)."""
+    if codec == "real":
+        raise NotImplementedError(
+            "real image/audio decode needs PIL/librosa/av — not in this "
+            "container; wire them here, the Spark plumbing is codec-agnostic"
+        )
+    if blob[:4] != _MAGIC:
+        raise ValueError("bad magic")
+    kind_i, w, h, c = struct.unpack("<BHHB", blob[4:10])
+    payload = blob[10:]
+    return {"kind": _KINDS[kind_i], "width": w, "height": h, "channels": c, "payload": payload}
+
+
+FEATURES_SCHEMA = (
+    "media_id long, kind string, width int, height int, channels int, "
+    "mean_intensity double, n_frames int, feature_v array<double>"
+)
+
+
+def extract_features(media: DataFrame, codec: str = "synthetic", feature_dim: int = 8) -> DataFrame:
+    """Partition-parallel decode + feature extraction (mapInPandas).
+
+    Features (on the fake codec): per-channel-chunk mean intensity folded
+    to ``feature_dim`` buckets — a stand-in with the same batch shape a
+    real embedding/resize/frame-sample stage would have."""
+    import numpy as np
+    import pandas as pd
+
+    src = media.select("media_id", "blob")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                d = decode_blob(bytes(blob), codec)
+                arr = np.frombuffer(d["payload"], dtype=np.uint8).astype(np.float64)
+                chunks = np.array_split(arr, feature_dim)
+                feat = [float(c.mean()) if len(c) else 0.0 for c in chunks]
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "kind": d["kind"],
+                        "width": d["width"],
+                        "height": d["height"],
+                        "channels": d["channels"],
+                        "mean_intensity": float(arr.mean()) if len(arr) else 0.0,
+                        "n_frames": 1 if d["kind"] == "image" else d["height"],
+                        "feature_v": feat,
+                    }
+                )
+            yield pd.DataFrame.from_records(rows)
+
+    return src.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+def media_metadata_only(media: DataFrame) -> DataFrame:
+    """Metadata projection — Catalyst prunes the binary column out of the
+    scan entirely (assert via .explain: ReadSchema excludes ``blob``)."""
+    return media.select("media_id", "kind", "meta_width", "meta_height", "meta_channels")

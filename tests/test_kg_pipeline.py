@@ -64,6 +64,16 @@ def test_kg_salted_shuffle_equals_broadcast(spark, pages):
     assert a == b
 
 
+def test_kg_fused_equals_join(spark, pages):
+    """The shuffle-free fused extract+link path must produce exactly the
+    join-based linking output (same scoring, same tiebreaks)."""
+    from csv_to_jsonld_processor_spark.kg.pipeline import build_kg
+
+    a = _kg_names(build_kg(spark, pages, link_strategy="broadcast")["edges"])
+    b = _kg_names(build_kg(spark, pages, link_strategy="fused_broadcast")["edges"])
+    assert a == b
+
+
 def test_materialize_and_violations(spark, pages, tmp_path):
     from csv_to_jsonld_processor_spark.kg.pipeline import build_kg
 

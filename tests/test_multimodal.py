@@ -1,0 +1,71 @@
+"""Multimodal plumbing: schema, decode round-trip, feature batch shape,
+binary-column pruning, and the real-codec stub contract."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from csv_to_jsonld_processor_spark.session import get_spark
+
+
+@pytest.fixture(scope="module")
+def spark():
+    return get_spark("multimodal", cpus=8)
+
+
+def test_decode_roundtrip_and_features(spark, tmp_path):
+    from csv_to_jsonld_processor_spark.sources.multimodal import (
+        extract_features,
+        generate_media,
+        synth_blob,
+    )
+
+    media = generate_media(spark, 200)
+    path = str(tmp_path / "media")
+    media.write.parquet(path)
+    media = spark.read.parquet(path)
+
+    feats = extract_features(media).collect()
+    assert len(feats) == 200
+    by_id = {r.media_id: r for r in feats}
+    # decoded dims must equal generator metadata
+    for r in media.select("media_id", "meta_width", "meta_height", "meta_channels", "kind").collect():
+        f = by_id[r.media_id]
+        assert (f.width, f.height, f.channels, f.kind) == (
+            r.meta_width,
+            r.meta_height,
+            r.meta_channels,
+            r.kind,
+        )
+        assert len(f.feature_v) == 8
+        assert 0.0 <= f.mean_intensity <= 255.0
+
+    # determinism
+    blob1, *_ = synth_blob(7)
+    blob2, *_ = synth_blob(7)
+    assert blob1 == blob2
+
+
+def test_metadata_projection_prunes_blob(spark, tmp_path):
+    from csv_to_jsonld_processor_spark.sources.multimodal import (
+        generate_media,
+        media_metadata_only,
+    )
+
+    path = str(tmp_path / "media2")
+    generate_media(spark, 50).write.parquet(path)
+    df = media_metadata_only(spark.read.parquet(path))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "blob" not in plan.split("ReadSchema:")[-1]
+    assert df.count() == 50
+
+
+def test_real_codec_is_stubbed():
+    from csv_to_jsonld_processor_spark.sources.multimodal import decode_blob, synth_blob
+
+    blob, *_ = synth_blob(1)
+    with pytest.raises(NotImplementedError):
+        decode_blob(blob, codec="real")
