@@ -183,11 +183,12 @@ def _coerce_one(kind: str, target: str | None, c: Column, vocab: VocabularyMap,
     if kind in ("URI", "Picklist"):
         # J5 (value_processor.rs:152-245): target class is a plan-time
         # constant; only namespacing (off by default) changes the value.
+        # The prefix kebab-cases the raw class key's display string
+        # (value_processor.rs:236-238 uses class_id.to_string()).
         if namespace_iris and target is not None:
-            match = vocab.find_class_by_final_pascal_iri(target, model_base_iri)
-            if match is not None:
-                key, term = match
-                prefix = to_kebab_case(term.id.final() if term.id.replacement is None else key)
+            raw = vocab.find_class_for_target(target, model_base_iri)
+            if raw is not None:
+                prefix = to_kebab_case(raw.display())
                 return F.concat(F.lit(prefix + "/"), c)
         return c
     return c  # String / ID

@@ -217,24 +217,22 @@ class VocabularyMap:
                 return key
         return None
 
-    def find_class_by_final_pascal_iri(self, target_iri: str, model_base_iri: str):
-        """J5: class whose normalize().pascal().with_base(base) matches
-        target (value_processor.rs:159-180): String ids compare by final
-        IRI, replacement ids by *original* id."""
-        for key, term in self.classes.items():
-            raw = IdOpt(key, self._replacement_of(term))
+    def find_class_for_target(self, target_iri: str, model_base_iri: str) -> "IdOpt | None":
+        """J5 (value_processor.rs:159-180): the raw class key whose
+        normalize().pascal().with_base(base) matches the target — String
+        ids compare by the expanded IRI, ReplacementMap ids by their
+        *original* (unexpanded) id. Returns the raw key IdOpt (its
+        Display string is what namespacing kebab-cases)."""
+        for key in self.classes:
+            raw = self.raw_class_keys.get(key) or IdOpt(key)
             final_id = raw.normalize().pascal().with_base(model_base_iri)
             if final_id.replacement is None:
                 if final_id.original == target_iri:
-                    return key, term
+                    return raw
             else:
-                if final_id.original == target_iri:
-                    return key, term
+                if raw.original == target_iri:
+                    return raw
         return None
-
-    @staticmethod
-    def _replacement_of(term: VocabTerm) -> str | None:
-        return term.id.replacement if term.id.replacement is not None else None
 
 
 # --- compiler ---------------------------------------------------------------

@@ -117,8 +117,9 @@ def parse_date_oracle(value: str) -> str | None:
     return None
 
 
-def process_value(value: str, kind: str) -> tuple[str, str]:
-    """(obj string, obj_kind) per value_processor.rs:8-150."""
+def process_value(value: str, kind: str, ns_prefix: str | None = None) -> tuple[str, str]:
+    """(obj string, obj_kind) per value_processor.rs:8-150. ``ns_prefix``
+    is the J5 kebab class prefix when namespaceIris is on."""
     if kind == "Date":
         d = parse_date_oracle(value)
         return (d, "string") if d is not None else (value, "string")
@@ -140,7 +141,9 @@ def process_value(value: str, kind: str) -> tuple[str, str]:
             return ("false", "boolean")
         return (value, "string")
     if kind in ("URI", "Picklist"):
-        return (value, "ref")  # namespace_iris=false path
+        if ns_prefix is not None:
+            return (f"{ns_prefix}/{value}", "ref")
+        return (value, "ref")
     return (value, "string")
 
 
@@ -183,6 +186,27 @@ class ReferenceOracle:
             for v in vals:
                 if v not in slot:
                     slot.append(v)
+
+    def _class_for_target(self, target_iri: str):
+        """Independent J5 lookup (value_processor.rs:159-180)."""
+        from csv_to_jsonld_processor_spark.iri import expand_iri_with_base, normalize_label_for_iri
+
+        for key in self.vocab.classes:
+            raw = self.vocab.raw_class_keys.get(key)
+            if raw is None:
+                from csv_to_jsonld_processor_spark.vocabulary import IdOpt
+
+                raw = IdOpt(key)
+            if raw.replacement is None:
+                fin = expand_iri_with_base(
+                    self.model_base, to_pascal_case(normalize_label_for_iri(raw.original))
+                )
+                if fin == target_iri:
+                    return raw
+            else:
+                if raw.original == target_iri:
+                    return raw
+        return None
 
     def _identifier_label(self, step: ImportStep, class_type: str) -> str:
         override = next((o.column for o in step.overrides if o.map_to == "@id"), None)
@@ -273,7 +297,15 @@ class ReferenceOracle:
                     pieces = [val]
                 else:
                     pieces = [p.strip() for p in val.split(delim)]
-                processed = [process_value(p, kind) for p in pieces]
+                ns_prefix = None
+                if self.namespace_iris and kind in ("URI", "Picklist") and target:
+                    raw = self._class_for_target(target)
+                    if raw is not None:
+                        ns_prefix = to_kebab_case(
+                            raw.original if raw.replacement is None
+                            else f"{raw.original} (to be replaced by {raw.replacement})"
+                        )
+                processed = [process_value(p, kind, ns_prefix) for p in pieces]
                 gi = pivot_of.get(h)
                 if gi is not None:
                     pivot_children.setdefault(gi, {})[h] = processed
