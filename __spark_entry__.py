@@ -22,6 +22,12 @@ def _registry() -> dict[str, tuple]:
     reg: dict[str, tuple] = {}
     reg.update(RELATIONAL_QUERIES)
     try:
+        from csv_to_jsonld_processor_spark.plans.relational2 import RELATIONAL2_QUERIES
+
+        reg.update(RELATIONAL2_QUERIES)
+    except ImportError:
+        pass
+    try:
         from csv_to_jsonld_processor_spark.operators.textops import TEXT_QUERIES
 
         reg.update(TEXT_QUERIES)

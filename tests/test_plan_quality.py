@@ -1,0 +1,89 @@
+"""Physical-plan quality gates: filters reach the parquet scan, small
+dims broadcast, column pruning holds, the fused KG pipeline stays
+shuffle-free. These are the 100 TB guarantees — a plan regression here
+is a performance bug even when results stay correct."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from csv_to_jsonld_processor_spark.session import get_spark
+
+    return get_spark("plan-quality", cpus=8)
+
+
+def plan_of(df, execute: bool = False) -> str:
+    if execute:
+        # AQE materializes the final plan (with WholeStageCodegen spans)
+        # only after the query runs
+        df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_filters_pushed_to_scan(spark):
+    from csv_to_jsonld_processor_spark.plans.relational2 import q6_forecast_revenue
+
+    plan = plan_of(q6_forecast_revenue(spark, SF))
+    assert "PushedFilters:" in plan
+    pushed = plan.split("PushedFilters:")[1].split("]")[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+
+
+def test_q6_column_pruning(spark):
+    from csv_to_jsonld_processor_spark.plans.relational2 import q6_forecast_revenue
+
+    plan = plan_of(q6_forecast_revenue(spark, SF))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    # only the four needed columns are read, not all 11
+    assert "l_extendedprice" in read_schema
+    assert "l_returnflag" not in read_schema
+    assert "l_orderkey" not in read_schema
+
+
+def test_q5_broadcasts_dimensions(spark):
+    from csv_to_jsonld_processor_spark.plans.relational import q5_local_supplier_volume
+
+    plan = plan_of(q5_local_supplier_volume(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3  # nation/region/customer/supplier
+    # only the orders⋈lineitem join may shuffle
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_q1_whole_stage_codegen(spark):
+    from csv_to_jsonld_processor_spark.plans.relational import q1_pricing_summary
+
+    plan = plan_of(q1_pricing_summary(spark, SF), execute=True)
+    # codegen spans render as "*(n)" in the final-plan string
+    assert "WholeStageCodegen" in plan or "*(" in plan
+    # map-side combine: partial aggregation before the exchange
+    assert "partial_sum" in plan
+
+
+def test_fused_kg_pipeline_is_shuffle_free(spark, tmp_path):
+    from csv_to_jsonld_processor_spark.kg.pipeline import build_kg
+    from csv_to_jsonld_processor_spark.sources.pages import generate_pages
+
+    path = str(tmp_path / "pages")
+    generate_pages(spark, 100, partitions=4).write.parquet(path)
+    pages = spark.read.parquet(path)
+    edges = build_kg(spark, pages)["edges"]
+    plan = plan_of(edges)
+    # the only exchange allowed is the broadcast of the predicate context
+    assert "ShuffleExchange" not in plan.replace("BroadcastExchange", "")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("MapInPandas") == 1  # fused: one python stage total
+
+
+def test_anti_join_stays_broadcast_or_single_shuffle(spark):
+    from csv_to_jsonld_processor_spark.plans.relational import semi_anti_join_parts
+
+    plan = plan_of(semi_anti_join_parts(spark, SF))
+    assert "LeftAnti" in plan
