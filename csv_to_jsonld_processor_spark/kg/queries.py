@@ -114,8 +114,25 @@ SELECT term, SUM(weight) AS degree FROM deg GROUP BY term ORDER BY degree DESC, 
 """
 
 
+def kg_webtext_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship web-text pipeline end-to-end on a deterministic
+    1,000-page synthetic corpus: HTML → extract → NER → link →
+    canonicalize → edges. Not ANSI-SQL-expressible (gazetteer NER +
+    linking) → rows-only driver check; P/R vs the generator's ground
+    truth is pytest-gated (tests/test_kg_pipeline.py)."""
+    from ..sources.pages import generate_pages
+    from .pipeline import build_kg
+
+    pages = generate_pages(spark, 1000, seed=42, partitions=8)
+    edges = build_kg(spark, pages)["edges"]
+    return edges.select("url", "sent_idx", "subj", "pred", "obj").orderBy(
+        "url", "sent_idx", "subj", "pred", "obj"
+    )
+
+
 KG_QUERIES: dict[str, tuple] = {
     "kg_mention_counts": (kg_mention_counts, KG_MENTIONS_SQL),
     "kg_cooccurrence_edges": (kg_cooccurrence_edges, KG_COOC_SQL),
     "kg_entity_degree": (kg_entity_degree, KG_DEGREE_SQL),
+    "kg_webtext_edges": (kg_webtext_edges, None),  # rows-only: NER+linking beyond ANSI SQL
 }
