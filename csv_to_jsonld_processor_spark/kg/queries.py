@@ -110,7 +110,7 @@ bg AS (
   UNION ALL
   SELECT obj AS term, weight FROM edges
 )
-SELECT term, SUM(weight) AS degree FROM deg GROUP BY term ORDER BY degree DESC, term ASC
+SELECT term, CAST(SUM(weight) AS BIGINT) AS degree FROM deg GROUP BY term ORDER BY degree DESC, term ASC
 """
 
 

@@ -261,7 +261,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(64):
         bit = F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
         term = F.shiftleft(bit, i)
-        sim = term if sim is None else sim.bitwiseXOR(term) if False else sim + term
+        sim = term if sim is None else sim + term
     out = votes.select("doc_id", sim.alias("simhash"))
     for band in range(4):
         out = out.withColumn(

@@ -196,31 +196,39 @@ def _coerce_one(kind: str, target: str | None, c: Column, vocab: VocabularyMap,
 
 def _values_expr(step: ImportStep, plan: HeaderPlan, c: Column,
                  vocab: VocabularyMap, model_base_iri: str,
-                 namespace_iris: bool) -> tuple[Column, Column]:
-    """(array<string> of coerced values, kind string) for one header.
+                 namespace_iris: bool) -> Column:
+    """array<struct<obj:string, obj_kind:string>> for one header cell.
 
     R4: non-String typed cells split on the step delimiter (default ';'),
-    each piece trimmed (processor_impl.rs:188-200).
+    each piece trimmed (processor_impl.rs:188-200). Each split+trimmed
+    element is coerced AND kind-typed independently — the reference types
+    per value, not per cell (value_processor.rs), so '1;2' under Integer
+    yields two number-kind values, and ' 42 ' is typed on the trimmed
+    form.
     """
     delim = step.delimit_values_on or ";"
     if plan.kind == "String":
         raw_vals = F.array(c)
     else:
         raw_vals = F.transform(F.split(c, re.escape(delim)), lambda x: F.trim(x))
-    coerced = F.transform(
+    return F.transform(
         raw_vals,
-        lambda v: _coerce_one(plan.kind, plan.target, v, vocab, model_base_iri, namespace_iris),
+        lambda v: F.struct(
+            _coerce_one(plan.kind, plan.target, v, vocab, model_base_iri, namespace_iris).alias("obj"),
+            coercion_kind_flags(plan.kind, v).alias("obj_kind"),
+        ),
     )
-    kind = coercion_kind_flags(plan.kind, c)
-    return coerced, kind
 
 
-def _triples_for_values(pred: str, vals: Column, kinds: Column) -> Column:
+_PAIRS_T = "array<struct<obj:string,obj_kind:string>>"
+
+
+def _triples_for_values(pred: str, pairs: Column) -> Column:
     """array<struct<pred,obj,obj_kind>> — one entry per value."""
     return F.transform(
-        vals,
-        lambda v: F.struct(
-            F.lit(pred).alias("pred"), v.alias("obj"), kinds.alias("obj_kind")
+        pairs,
+        lambda s: F.struct(
+            F.lit(pred).alias("pred"), s.obj.alias("obj"), s.obj_kind.alias("obj_kind")
         ),
     )
 
@@ -310,14 +318,14 @@ def basic_instance_triples(
     for p in plans:
         if p is None or p.kind == "ID" or p.pivot_group is not None:
             continue
-        vals, kind = _values_expr(step, p, _col(p.index), vocab, model_base, namespace_iris)
-        arr = F.when(_nonempty(_col(p.index)), _triples_for_values(p.name, vals, kind)).otherwise(
+        pairs = _values_expr(step, p, _col(p.index), vocab, model_base, namespace_iris)
+        arr = F.when(_nonempty(_col(p.index)), _triples_for_values(p.name, pairs)).otherwise(
             F.array().cast("array<struct<pred:string,obj:string,obj_kind:string>>")
         )
         prop_arrays.append(arr)
         if p.is_label:
             label_arr = F.when(
-                _nonempty(_col(p.index)), _triples_for_values("label", vals, kind)
+                _nonempty(_col(p.index)), _triples_for_values("label", pairs)
             ).otherwise(F.array().cast("array<struct<pred:string,obj:string,obj_kind:string>>"))
             prop_arrays.append(label_arr)
 
@@ -333,13 +341,11 @@ def basic_instance_triples(
         if not group_plans:
             continue
         val_cols = {}
-        kind_cols = {}
         for p in group_plans:
-            vals, kind = _values_expr(step, p, _col(p.index), vocab, model_base, namespace_iris)
-            val_cols[p.index] = F.when(_nonempty(_col(p.index)), vals).otherwise(
-                F.array().cast("array<string>")
+            pairs = _values_expr(step, p, _col(p.index), vocab, model_base, namespace_iris)
+            val_cols[p.index] = F.when(_nonempty(_col(p.index)), pairs).otherwise(
+                F.array().cast(_PAIRS_T)
             )
-            kind_cols[p.index] = kind
         any_value = None
         for p in group_plans:
             cond = _nonempty(_col(p.index))
@@ -350,7 +356,9 @@ def basic_instance_triples(
         hash_parts = [F.col("_subj"), F.lit(pc.new_relationship_property), F.lit(pc.instance_type)]
         for p in group_plans:
             hash_parts.append(F.lit(p.name))
-            hash_parts.append(F.concat_ws(_SEP, val_cols[p.index]))
+            hash_parts.append(
+                F.concat_ws(_SEP, F.transform(val_cols[p.index], lambda s: s.obj))
+            )
         child_id = F.sha2(F.concat_ws(_SEP, *hash_parts), 256)
 
         pdf = df.filter(any_value).withColumn("_child", child_id)
@@ -366,7 +374,7 @@ def basic_instance_triples(
         for p in group_plans:
             arr = F.when(
                 _nonempty(_col(p.index)),
-                _triples_for_values(p.name, val_cols[p.index], kind_cols[p.index]),
+                _triples_for_values(p.name, val_cols[p.index]),
             ).otherwise(F.array().cast("array<struct<pred:string,obj:string,obj_kind:string>>"))
             child_arrays.append(arr)
 

@@ -32,7 +32,7 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
-            (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+            F.round(F.sum("n_tokens").cast("double") / F.count(F.lit(1)), 6).alias("avg_tokens"),
             F.min("n_tokens").alias("min_tokens"),
             F.max("n_tokens").alias("max_tokens"),
         )
@@ -43,8 +43,8 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 DOC_TOKEN_STATS_SQL = """
 SELECT lang,
        COUNT(*) AS n_docs,
-       SUM(n_tokens) AS total_tokens,
-       CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       ROUND(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 6) AS avg_tokens,
        MIN(n_tokens) AS min_tokens,
        MAX(n_tokens) AS max_tokens
 FROM (SELECT lang, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens FROM documents)

@@ -20,7 +20,6 @@ def q4_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo = F.lit("1996-07-01 00:00:00").cast("timestamp")
     hi = F.lit("1996-10-01 00:00:00").cast("timestamp")
     orders = t["orders"].where((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
-    late = t["lineitem"].where(F.col("l_shipdate") > F.col("l_shipdate") - F.expr("INTERVAL 0 DAYS"))
     late = t["lineitem"].select("l_orderkey").where(F.col("l_quantity") >= 30)
     return (
         orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")

@@ -22,6 +22,7 @@ Gadget,A gadget,Gadget Name,name,string,,
 Gadget,A gadget,has Color,color ref,Picklist,Color,
 Gadget,A gadget,Tags,multi,URI,Gadget,
 Gadget,A gadget,Weight,weight,Float,,
+Gadget,A gadget,Counts,counts,Integer,,
 """
 
 COLORS_CSV = """Color ID,Color Name
@@ -29,10 +30,10 @@ red,Red
 blue,Blue
 """
 
-GADGETS_CSV = """Gadget ID,Gadget Name,has Color,Tags,Weight
-G1,Widget,red,G2;G3,1.5
-G2,Sprocket,blue,,2
-G3,Doodad,green,G1,bad
+GADGETS_CSV = """Gadget ID,Gadget Name,has Color,Tags,Weight,Counts
+G1,Widget,red,G2;G3,1.5,1;x
+G2,Sprocket,blue,,2, 42
+G3,Doodad,green,G1,bad,
 """
 
 MANIFEST = {
@@ -137,6 +138,12 @@ def test_synthetic_triples(spark, corpus):
     # decimal coercion + fallback
     assert ("gadget/G1", "Weight", "1.5", "number") in triples
     assert ("gadget/G3", "Weight", "bad", "string") in triples
+    # per-element typing of multi-value cells (value_processor.rs types
+    # each split value independently, not the whole cell)
+    assert ("gadget/G1", "Counts", "1", "number") in triples
+    assert ("gadget/G1", "Counts", "x", "string") in triples
+    # padded single value: kind computed on the trimmed element
+    assert ("gadget/G2", "Counts", "42", "number") in triples
 
 
 def test_oracle_agrees_on_synthetic(spark, corpus):
