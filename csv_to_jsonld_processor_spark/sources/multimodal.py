@@ -128,3 +128,54 @@ def media_metadata_only(media: DataFrame) -> DataFrame:
     """Metadata projection — Catalyst prunes the binary column out of the
     scan entirely (assert via .explain: ReadSchema excludes ``blob``)."""
     return media.select("media_id", "kind", "meta_width", "meta_height", "meta_channels")
+
+
+# --------------------------------------------------------------------------
+# driver-visible query: multimodal decode plumbing, hash-checked
+# --------------------------------------------------------------------------
+
+
+def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generate the deterministic 2,000-blob synthetic media table,
+    decode + feature-extract via mapInPandas, aggregate per kind.
+    Hash-checked against a golden VALUES oracle recomputed independently
+    in plain Python/numpy (same seed, no Spark) — a regression in the
+    Arrow batch plumbing, blob schema, or decode path shifts a stat."""
+    from pyspark.sql import functions as F
+
+    media = generate_media(spark, 2000, seed=42)
+    feats = extract_features(media, codec="synthetic", feature_dim=8)
+    return (
+        feats.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("width"), 6).alias("avg_width"),
+            F.round(F.avg("height"), 6).alias("avg_height"),
+            F.round(F.avg("channels"), 6).alias("avg_channels"),
+            F.round(F.avg("mean_intensity"), 6).alias("avg_intensity"),
+            F.sum("n_frames").alias("total_frames"),
+        )
+        .orderBy("kind")
+    )
+
+
+# golden values: plain-Python recomputation (sha256 synth + numpy means),
+# N=2000 seed=42 — see module docstring for the blob format
+MEDIA_STATS_SQL = """
+SELECT kind, CAST(n AS BIGINT) AS n,
+       CAST(avg_width AS DOUBLE) AS avg_width,
+       CAST(avg_height AS DOUBLE) AS avg_height,
+       CAST(avg_channels AS DOUBLE) AS avg_channels,
+       CAST(avg_intensity AS DOUBLE) AS avg_intensity,
+       CAST(total_frames AS BIGINT) AS total_frames
+FROM (VALUES
+  ('audio', 654, 19.634557, 18.912844, 2.030581, 126.863261, 12369),
+  ('image', 682, 19.56305, 18.888563, 2.004399, 128.233968, 682),
+  ('video', 664, 19.688253, 19.031627, 2.003012, 126.751694, 12637)
+) AS golden(kind, n, avg_width, avg_height, avg_channels, avg_intensity, total_frames)
+ORDER BY kind
+"""
+
+MULTIMODAL_QUERIES: dict[str, tuple] = {
+    "media_feature_stats": (media_feature_stats, MEDIA_STATS_SQL),
+}

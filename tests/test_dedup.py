@@ -1,0 +1,47 @@
+"""SimHash hamming-pair exactness: the band-join candidate generation is
+provably complete for hamming <= 3 (4 disjoint 16-bit bands), so the
+registered pairs query must EQUAL an all-pairs popcount recomputation —
+set equality, not a recall gate."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from csv_to_jsonld_processor_spark.session import get_spark
+
+    return get_spark("dedup", cpus=8)
+
+
+def test_simhash_pairs_exact_vs_allpairs(spark):
+    from csv_to_jsonld_processor_spark.operators.dedup import (
+        HAMMING_TAU,
+        _simhash_df,
+        dedup_simhash_pairs,
+    )
+    from csv_to_jsonld_processor_spark.session import load_tables
+
+    sigs = {
+        r.doc_id: r.simhash
+        for r in _simhash_df(load_tables(spark, SF_DIR)["documents"]).collect()
+    }
+    expected = set()
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
+            if h <= HAMMING_TAU:
+                expected.add((a, b, h))
+
+    got = {(r.doc_a, r.doc_b, r.hamming) for r in dedup_simhash_pairs(spark, SF_DIR).collect()}
+    assert got == expected, (
+        f"missing={sorted(expected - got)[:5]} extra={sorted(got - expected)[:5]}"
+    )
+    assert len(got) > 0, "degenerate: no hamming-close pairs at sf0.01"

@@ -58,3 +58,21 @@ def test_lsh_buckets_deterministic(spark):
     a = {tuple(r) for r in ann_lsh_bucketed(spark, SF_DIR).collect()}
     b = {tuple(r) for r in ann_lsh_bucketed(spark, SF_DIR).collect()}
     assert a == b and len(a) > 0
+
+
+def test_neardup_lsh_recall_vs_bruteforce(spark):
+    """The registered near-dup query is LSH-bucketed; brute force is the
+    exact oracle. Gate: recall >= 0.85 and zero false positives (every
+    LSH pair must appear in the exact pair set with the same score)."""
+    from csv_to_jsonld_processor_spark.operators.similarity import (
+        embedding_neardup_bruteforce,
+        embedding_neardup_cosine,
+    )
+
+    exact = {(r.id_a, r.id_b): r.score for r in embedding_neardup_bruteforce(spark, SF_DIR).collect()}
+    lsh = {(r.id_a, r.id_b): r.score for r in embedding_neardup_cosine(spark, SF_DIR).collect()}
+    assert set(lsh) <= set(exact), f"false positives: {set(lsh) - set(exact)}"
+    for k, s in lsh.items():
+        assert s == exact[k]
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.85, f"LSH near-dup recall {recall} ({len(lsh)}/{len(exact)})"
