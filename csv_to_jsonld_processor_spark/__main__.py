@@ -50,6 +50,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--base-path", default=None)
     p.add_argument("--output", default="./output")
     p.add_argument("--strict", action="store_true")
+    p.add_argument("--vocab-meta", default=None,
+                   help="path to an exported vocab_meta.json; skips the model phase (S5)")
     p.add_argument("--cpus", type=int, default=None)
 
     v = sub.add_parser("validate")
@@ -84,7 +86,9 @@ def main(argv: list[str] | None = None) -> int:
     from .plans.pipeline import Pipeline
     from .session import get_spark
 
-    pipeline = Pipeline.from_manifest(args.manifest, args.base_path, strict=args.strict)
+    pipeline = Pipeline.from_manifest(
+        args.manifest, args.base_path, strict=args.strict, vocab_meta=args.vocab_meta
+    )
     spark = get_spark("csv-to-jsonld-process", cpus=args.cpus)
     outcome = pipeline.run(spark, args.output)
     if outcome.errors:

@@ -54,13 +54,22 @@ def run_stage(
     key: str = "url",
     n_parts: int = 16,
     fail_after_parts: int | None = None,
+    fail_before_ledger: bool = False,
 ) -> DataFrame:
     """Resumable stage: process pending partitions only, one group at a
     time is NOT needed — all pending partitions go in a single Spark job
     (the ledger granularity is for resume, not scheduling).
 
-    ``fail_after_parts`` injects a crash after N partitions commit — used
-    by the kill-and-resume test.
+    Crash-safety: data lands via DYNAMIC partition overwrite, so a rerun
+    of a partition REPLACES its directory instead of appending — a crash
+    in the window between the data write and the ledger commit therefore
+    cannot duplicate rows on resume (the reprocessed partition simply
+    overwrites itself; with an Iceberg catalog the same property comes
+    from snapshot-atomic replacePartitions).
+
+    ``fail_after_parts`` injects a crash after N partitions commit;
+    ``fail_before_ledger`` injects one INSIDE the write→ledger window —
+    both used by the kill-and-resume tests.
     """
     done = completed_parts(spark, ledger_path, stage)
     src = with_part_id(input_df, key, n_parts)
@@ -74,11 +83,20 @@ def run_stage(
         result = transform(batch)
         if "part_id" not in result.columns:
             result = with_part_id(result, key, n_parts)
-        (
-            result.write.mode("append" if done else "overwrite")
-            .partitionBy("part_id")
-            .parquet(out_path)
-        )
+        conf_key = "spark.sql.sources.partitionOverwriteMode"
+        prev = spark.conf.get(conf_key, None)
+        spark.conf.set(conf_key, "dynamic")
+        try:
+            result.write.mode("overwrite").partitionBy("part_id").parquet(out_path)
+        finally:
+            if prev is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prev)
+        if fail_before_ledger:
+            raise RuntimeError(
+                f"injected failure between data write and ledger commit of stage {stage}"
+            )
         counts_in = {r.part_id: r.n for r in batch.groupBy("part_id").agg(F.count(F.lit(1)).alias("n")).collect()}
         counts_out = {
             r.part_id: r.n

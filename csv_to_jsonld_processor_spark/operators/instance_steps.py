@@ -43,7 +43,7 @@ Known reference bugs NOT reproduced (documented deviations):
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from pathlib import Path
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -124,13 +124,22 @@ def valid_property_headers(
     return out
 
 
+@dataclass
+class HeaderDiags:
+    """What validate_headers (validation.rs:8-81) warns/errors about:
+    unknown columns (not in vocab, not ignored) and empty header cells."""
+
+    unknown: list[str] = field(default_factory=list)
+    empty: int = 0
+
+
 def plan_headers(
     headers: list[str],
     vocab: VocabularyMap,
     model_base_iri: str,
     step: ImportStep,
     identifier_label: str,
-) -> list[HeaderPlan | None]:
+) -> tuple[list[HeaderPlan | None], HeaderDiags]:
     """validate_headers (validation.rs:8-81) with positional alignment kept."""
     valid = valid_property_headers(
         vocab, model_base_iri, step.instance_type, step.pivot_columns, step.map_to_label
@@ -141,9 +150,11 @@ def plan_headers(
         for col in pc.columns:
             pivot_of[col] = gi
 
+    diags = HeaderDiags()
     plans: list[HeaderPlan | None] = []
     for i, h in enumerate(headers):
         if h == "":
+            diags.empty += 1
             plans.append(None)
         elif h == identifier_label:
             plans.append(HeaderPlan(i, h, "ID", None))
@@ -160,9 +171,12 @@ def plan_headers(
                 )
             )
         else:
-            # unknown or ignored → dropped from emission (P4)
+            # unknown or ignored → dropped from emission (P4); unknown
+            # additionally routed to violations (validation.rs:66-79)
+            if h not in ignorable:
+                diags.unknown.append(h)
             plans.append(None)
-    return plans
+    return plans, diags
 
 
 # --------------------------------------------------------------------------
@@ -258,6 +272,24 @@ def read_csv_positional(spark: SparkSession, path: str) -> tuple[DataFrame, list
     return df, headers
 
 
+def read_step_positional(
+    spark: SparkSession, path: str, step: ImportStep
+) -> tuple[DataFrame, list[str]]:
+    """Dispatch: .xlsx / sheet-bearing steps (S2, ExcelImportManifest)
+    route through the driver-side sheet reader — workbooks are
+    driver-sized manifest inputs, not lake tables — everything else is
+    the distributed CSV scan. Empty cells normalize to null to match
+    the CSV reader's semantics."""
+    if step.sheet or path.lower().endswith((".xlsx", ".xlsm")):
+        from ..sources.excel import read_sheet
+
+        headers, rows = read_sheet(path, step.sheet or step.step_id())
+        schema = ", ".join(f"c{i} string" for i in range(len(headers)))
+        norm = [[x if x != "" else None for x in r] for r in rows]
+        return spark.createDataFrame(norm, schema), headers
+    return read_csv_positional(spark, path)
+
+
 def _col(i: int) -> Column:
     return F.col(f"c{i}")
 
@@ -278,7 +310,24 @@ def basic_instance_triples(
     step: ImportStep,
     base_path: str | Path,
 ) -> DataFrame:
-    """BasicInstanceStep / PicklistStep (processor_impl.rs:14-338) + R1 pivot."""
+    """BasicInstanceStep / PicklistStep triples only (see
+    basic_instance_outputs for the planning metadata variant)."""
+    return basic_instance_outputs(spark, manifest, vocab, step, base_path)[0]
+
+
+def basic_instance_outputs(
+    spark: SparkSession,
+    manifest: Manifest,
+    vocab: VocabularyMap,
+    step: ImportStep,
+    base_path: str | Path,
+) -> tuple[DataFrame, list[HeaderPlan | None], HeaderDiags, str]:
+    """BasicInstanceStep / PicklistStep (processor_impl.rs:14-338) + R1 pivot.
+
+    Returns (triples, header plans, header diagnostics, class_type) so
+    the violations builder (operators/violations.py) can route unknown
+    headers and per-value coercion/picklist failures without a second
+    planning pass."""
     class_type = step.instance_type or None
     if not class_type:
         from ..iri import to_pascal_case
@@ -293,8 +342,8 @@ def basic_instance_triples(
         raise ValueError(f"No identifier property found for class '{class_type}'")
 
     path = str(Path(base_path) / manifest.instances.path / step.path)
-    df, headers = read_csv_positional(spark, path)
-    plans = plan_headers(headers, vocab, model_base, step, identifier_label)
+    df, headers = read_step_positional(spark, path, step)
+    plans, diags = plan_headers(headers, vocab, model_base, step, identifier_label)
 
     id_plan = next((p for p in plans if p and p.kind == "ID"), None)
     if id_plan is None:
@@ -391,7 +440,7 @@ def basic_instance_triples(
         )
         out = out.unionByName(child_triples).unionByName(edges)
 
-    return out
+    return out, plans, diags, class_type
 
 
 def subclass_instance_triples(
@@ -420,7 +469,7 @@ def subclass_instance_triples(
         raise ValueError("SubClassInstanceStep requires subClassProperty")
 
     path = str(Path(base_path) / manifest.instances.path / step.path)
-    df, headers = read_csv_positional(spark, path)
+    df, headers = read_step_positional(spark, path, step)
     try:
         id_idx = headers.index(identifier_label)
     except ValueError:
@@ -498,7 +547,7 @@ def properties_instance_triples(
     identifier_label = vocab.get_identifier_label(class_type)
 
     path = str(Path(base_path) / manifest.instances.path / step.path)
-    df, headers = read_csv_positional(spark, path)
+    df, headers = read_step_positional(spark, path, step)
     if identifier_label in headers:
         id_idx = headers.index(identifier_label)
     elif "Entity ID" in headers:

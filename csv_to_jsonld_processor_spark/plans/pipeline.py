@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..manifest import Manifest
-from ..operators.instance_steps import build_instance_triples
+from ..operators.violations import build_instance_outputs
 from ..vocabulary import (
     VocabularyMap,
     build_jsonld_context,
@@ -31,7 +31,10 @@ from ..vocabulary import (
     vocab_to_broadcast,
 )
 
-SINGLE_DOC_MAX_ENTITIES = 500_000
+# Driver-collect ceiling for single-document mode. 50k JSON nodes is a
+# few hundred MB worst-case — safe to hold on the driver; anything
+# larger takes the distributed NDJSON path automatically.
+SINGLE_DOC_MAX_ENTITIES = 50_000
 
 
 def _typed(obj: str, kind: str):
@@ -87,16 +90,20 @@ class Pipeline:
     """Library entry point mirroring ProcessorBuilder (processor/mod.rs:24-124):
     ``Pipeline.from_manifest(path, base_path).run(spark, out_dir)``."""
 
-    def __init__(self, manifest: Manifest, base_path: str | Path, strict: bool = False):
+    def __init__(self, manifest: Manifest, base_path: str | Path, strict: bool = False,
+                 vocab_meta: str | Path | None = None):
         self.manifest = manifest
         self.base_path = Path(base_path)
         self.strict = strict
+        # S5: path to an exported vocab_meta.json — skips PHASE A
+        # (vocabulary/processor.rs:64-133; CLI main.rs:197-220)
+        self.vocab_meta = vocab_meta
 
     @classmethod
     def from_manifest(cls, manifest_path: str | Path, base_path: str | Path | None = None,
-                      strict: bool = False) -> "Pipeline":
+                      strict: bool = False, vocab_meta: str | Path | None = None) -> "Pipeline":
         m = Manifest.from_file(manifest_path)
-        return cls(m, base_path or Path(manifest_path).parent, strict)
+        return cls(m, base_path or Path(manifest_path).parent, strict, vocab_meta=vocab_meta)
 
     def run(self, spark: SparkSession, out_dir: str | Path,
             single_document: bool = True) -> PipelineOutcome:
@@ -106,8 +113,38 @@ class Pipeline:
         if errors:
             return PipelineOutcome(errors, [], {})
 
-        vocab = compile_vocabulary(self.manifest, self.base_path, self.strict)
-        triples = build_instance_triples(spark, self.manifest, vocab, self.base_path)
+        if self.vocab_meta is not None:
+            from ..vocabulary import vocab_from_meta_file
+
+            vocab = vocab_from_meta_file(self.vocab_meta)
+        else:
+            vocab = compile_vocabulary(self.manifest, self.base_path, self.strict)
+        # snapshot the PHASE A artifact before instance processing mutates
+        # it (picklist one_of accumulation) — the export must be the
+        # reloadable pre-instance state
+        vocab_meta_snapshot = vocab_to_broadcast(vocab, self.manifest.model.base_iri)
+        triples, violations = build_instance_outputs(
+            spark, self.manifest, vocab, self.base_path, self.strict
+        )
+
+        # A7: violations are a first-class output — always materialized;
+        # strict mode fails the run on any error-severity row, mirroring
+        # the reference's ProcessingState error escalation (error/mod.rs)
+        violations.write.mode("overwrite").parquet(str(out_dir / "violations.parquet"))
+        vio_rows = violations.limit(10_000).collect()
+        warnings = [
+            f"[{r.rule}] stage={r.stage} subj={r.subj} pred={r.pred}: {r.value}"
+            for r in vio_rows
+            if r.severity == "warning"
+        ]
+        vio_errors = [
+            f"[{r.rule}] stage={r.stage} subj={r.subj} pred={r.pred}: {r.value}"
+            for r in vio_rows
+            if r.severity == "error"
+        ]
+        if self.strict and vio_errors:
+            return PipelineOutcome(vio_errors, warnings, {"violations": len(vio_rows)})
+
         nodes = assemble_entities_json(triples)
 
         context = build_jsonld_context(
@@ -136,9 +173,13 @@ class Pipeline:
         # K3 vocab-meta export (vocabulary/mod.rs:86-99): the compiled
         # broadcast artifact, reloadable to skip the model phase
         (out_dir / "vocab_meta.json").write_text(
-            json.dumps(vocab_to_broadcast(vocab, self.manifest.model.base_iri), indent=1, sort_keys=True)
+            json.dumps(vocab_meta_snapshot, indent=1, sort_keys=True)
         )
-        return PipelineOutcome([], [], {"entities": n_entities, "triples": triples.count()})
+        return PipelineOutcome(
+            [],
+            warnings,
+            {"entities": n_entities, "triples": triples.count(), "violations": len(vio_rows)},
+        )
 
     def _write_vocabulary(self, vocab: VocabularyMap, out_dir: Path) -> None:
         """K2 (vocabulary/serializer.rs:19-66): classes + properties under

@@ -217,6 +217,17 @@ class VocabularyMap:
                 return key
         return None
 
+    def find_picklist_class_key(self, class_name: str) -> str | None:
+        """update_or_insert_picklist_instance's key lookup
+        (types/vocabulary.rs:578-595): the class whose raw key
+        normalize().pascal() id — String id, or ReplacementMap
+        original_id — equals the step's class name."""
+        for key in self.classes:
+            raw = self.raw_class_keys.get(key) or IdOpt(key)
+            if raw.normalize().pascal().original == class_name:
+                return key
+        return None
+
     def find_class_for_target(self, target_iri: str, model_base_iri: str) -> "IdOpt | None":
         """J5 (value_processor.rs:159-180): the raw class key whose
         normalize().pascal().with_base(base) matches the target — String
@@ -337,6 +348,11 @@ class VocabularyCompiler:
 
     def _read_csv(self, step: ImportStep):
         path = self.base_path / self.manifest.model.path / step.path
+        if step.sheet or str(path).lower().endswith((".xlsx", ".xlsm")):
+            # S2: Excel model step — driver-side sheet render (excel/mod.rs)
+            from .sources.excel import read_sheet
+
+            return read_sheet(path, step.sheet or step.step_id())
         with open(path, newline="", encoding="utf-8-sig") as f:
             rdr = csv.reader(f)
             headers = next(rdr)
@@ -546,6 +562,77 @@ def compile_vocabulary(manifest: Manifest, base_path: str | Path, strict: bool =
     return VocabularyCompiler(manifest, base_path, strict).compile()
 
 
+def accumulate_picklist_one_of(
+    manifest: Manifest, vocab: VocabularyMap, base_path: str | Path
+) -> list[str]:
+    """A4: fold each PicklistStep's instance ids into its class term's
+    ``one_of`` (types/vocabulary.rs:569-614, driven from
+    instance/processor_impl.rs:298-325). Entries are the id with the
+    instances base IRI applied — namespaced with the kebab class prefix
+    when namespaceIris is on, raw otherwise (the reference's
+    with_base_iri of the already-prefixed id).
+
+    Driver-side CSV read: picklist domains are dimension-sized by
+    definition (they enumerate an enum); at cluster scale swap in a
+    Spark scan + collect of the single id column — the accumulated set
+    broadcasts either way. Returns lookup-failure messages (the
+    reference's warn/error text) for the caller to route."""
+    from .iri import to_kebab_case
+
+    # idempotence guard: reuse of one compiled vocab across several
+    # builds must not duplicate the accumulated enum entries
+    if getattr(vocab, "_one_of_accumulated", False):
+        return []
+    vocab._one_of_accumulated = True
+
+    problems: list[str] = []
+    for step in manifest.instance_sequence():
+        if not step.has_type("PicklistStep"):
+            continue
+        class_type = step.instance_type or to_pascal_case(step.step_id())
+        override_id = next((o.column for o in step.overrides if o.map_to == "@id"), None)
+        identifier_label = vocab.get_identifier_label(class_type) or override_id
+        if identifier_label is None:
+            problems.append(f"No identifier property found for picklist class '{class_type}'")
+            continue
+        key = vocab.find_picklist_class_key(class_type)
+        if key is None:
+            problems.append(
+                "Cannot process picklist entry because class name "
+                f"({class_type}) not found in vocabulary classes"
+            )
+            continue
+        path = Path(base_path) / manifest.instances.path / step.path
+        if step.sheet or str(path).lower().endswith((".xlsx", ".xlsm")):
+            from .sources.excel import read_sheet
+
+            headers, data_rows = read_sheet(path, step.sheet or step.step_id())
+        else:
+            with open(path, newline="", encoding="utf-8-sig") as f:
+                rdr = csv.reader(f)
+                headers = next(rdr)
+                data_rows = list(rdr)
+        try:
+            idx = headers.index(identifier_label)
+        except ValueError:
+            problems.append(
+                f"Identifier column '{identifier_label}' not found in {path}"
+            )
+            continue
+        term = vocab.classes[key]
+        if term.one_of is None:
+            term.one_of = []
+        for row in data_rows:
+            if idx < len(row) and row[idx]:
+                rid = row[idx]
+                if manifest.instances.namespace_iris:
+                    rid = f"{to_kebab_case(class_type)}/{rid}"
+                term.one_of.append(
+                    expand_iri_with_base(manifest.instances.base_iri, rid)
+                )
+    return problems
+
+
 # --- broadcastable plain form ------------------------------------------------
 
 
@@ -576,7 +663,48 @@ def vocab_to_broadcast(vocab: VocabularyMap, model_base_iri: str) -> dict:
         "classes": {k: term(v) for k, v in vocab.classes.items()},
         "properties": {k: term(v) for k, v in vocab.properties.items()},
         "identifiers": {k: term(v) for k, v in vocab.identifiers.items()},
+        "rawClassKeys": {
+            k: {"original": r.original, "replacement": r.replacement}
+            for k, r in vocab.raw_class_keys.items()
+        },
     }
+
+
+def vocab_from_broadcast(d: dict) -> VocabularyMap:
+    """S5 import: rebuild a VocabularyMap from the exported vocab-meta
+    artifact, skipping PHASE A entirely on re-runs — the engine's
+    VocabularyProcessorMetadata::from_file
+    (vocabulary/processor.rs:64-133, CLI wiring main.rs:197-220).
+    Inverse of vocab_to_broadcast: round-trip equality is pytest-gated
+    (compile → export → import → identical instance output)."""
+
+    def idopt(m: dict) -> IdOpt:
+        return IdOpt(m["original"], m.get("replacement"))
+
+    def term(t: dict) -> VocabTerm:
+        return VocabTerm(
+            id=idopt(t["id"]),
+            type_=list(t["type"]),
+            label=t.get("label"),
+            sub_class_of=t.get("subClassOf"),
+            comment=t.get("comment"),
+            domain=t.get("domain"),
+            range=[Datatype(r["kind"], r.get("target")) for r in t.get("range") or []] or None,
+            extra_items=dict(t.get("extraItems") or {}),
+            one_of=t.get("oneOf"),
+        )
+
+    return VocabularyMap(
+        classes={k: term(v) for k, v in d["classes"].items()},
+        properties={k: term(v) for k, v in d["properties"].items()},
+        identifiers={k: term(v) for k, v in d["identifiers"].items()},
+        raw_class_keys={k: idopt(v) for k, v in d.get("rawClassKeys", {}).items()},
+    )
+
+
+def vocab_from_meta_file(path: str | Path) -> VocabularyMap:
+    with open(path, encoding="utf-8") as f:
+        return vocab_from_broadcast(json.load(f))
 
 
 def build_jsonld_context(vocab: VocabularyMap, model_base_iri: str, instances_base_iri: str) -> dict:

@@ -150,3 +150,40 @@ def test_violations_routes(spark, pages):
     assert "unlinked_subject" in rules
     assert "unknown_predicate" in rules
     assert edges.count() > 0
+
+
+def test_resume_after_crash_before_ledger_commit(spark, pages, tmp_path):
+    """Crash in the window between the partition data write and the
+    ledger append must NOT duplicate rows on resume: dynamic partition
+    overwrite replaces the unledgered partitions instead of appending."""
+    from pyspark.sql import functions as F
+
+    from csv_to_jsonld_processor_spark.kg.lineage import completed_parts, run_stage
+    from csv_to_jsonld_processor_spark.kg.mentions import extract_mentions
+    from csv_to_jsonld_processor_spark.extract import extract_pages
+    from csv_to_jsonld_processor_spark.sources.pages import ENTITIES, PREDICATES
+
+    surfaces = [p[0] for p in PREDICATES]
+    gazetteer = [a for _c, aliases, _cls in ENTITIES for a in aliases]
+
+    def stage(df):
+        return extract_mentions(extract_pages(df), surfaces, gazetteer)
+
+    out = str(tmp_path / "out")
+    ledger = str(tmp_path / "ledger")
+    # run writes ALL partition data, then dies before any ledger commit
+    with pytest.raises(RuntimeError, match="between data write and ledger"):
+        run_stage(spark, "mentions", pages, stage, out, ledger, n_parts=8,
+                  fail_before_ledger=True)
+    assert completed_parts(spark, ledger, "mentions") == set()
+
+    # resume reprocesses everything; totals must equal a clean run (no dupes)
+    resumed = run_stage(spark, "mentions", pages, stage, out, ledger, n_parts=8)
+    clean = run_stage(
+        spark, "mentions", pages, stage, str(tmp_path / "clean_out"),
+        str(tmp_path / "clean_ledger"), n_parts=8,
+    )
+    assert resumed.count() == clean.count()
+    r = {tuple(x) for x in resumed.drop("part_id").collect()}
+    c = {tuple(x) for x in clean.drop("part_id").collect()}
+    assert r == c

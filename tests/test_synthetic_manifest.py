@@ -30,10 +30,10 @@ red,Red
 blue,Blue
 """
 
-GADGETS_CSV = """Gadget ID,Gadget Name,has Color,Tags,Weight,Counts
-G1,Widget,red,G2;G3,1.5,1;x
-G2,Sprocket,blue,,2, 42
-G3,Doodad,green,G1,bad,
+GADGETS_CSV = """Gadget ID,Gadget Name,has Color,Tags,Weight,Counts,Mystery
+G1,Widget,red,G2;G3,1.5,1;x,m1
+G2,Sprocket,blue,,2, 42,m2
+G3,Doodad,green,G1,bad,,m3
 """
 
 MANIFEST = {
@@ -157,3 +157,84 @@ def test_oracle_agrees_on_synthetic(spark, corpus):
     assert engine == oracle, (
         f"engine-only={sorted(engine - oracle)[:6]} oracle-only={sorted(oracle - engine)[:6]}"
     )
+
+
+def test_violations_lenient(spark, corpus):
+    """A7 + J4: unknown header, failed Integer coercion, and picklist
+    membership failures route to the violations DataFrame; Decimal
+    fallback stays silent (reference value_processor.rs:106-114)."""
+    from csv_to_jsonld_processor_spark.operators.violations import build_instance_outputs
+
+    m = Manifest.from_dict(MANIFEST)
+    vocab = compile_vocabulary(m, corpus)
+    triples_df, violations_df = build_instance_outputs(spark, m, vocab, corpus, strict=False)
+
+    # A4: one_of accumulated from the PicklistStep rows, base-expanded
+    assert vocab.classes["Color"].one_of == [
+        "http://ex.com/ids/color/red",
+        "http://ex.com/ids/color/blue",
+    ]
+
+    v = [(r.rule, r.subj, r.pred, r.value, r.severity) for r in violations_df.collect()]
+    assert ("header_validation", None, "Mystery",
+            "Unknown column found in CSV for class 'Gadget'", "warning") in [
+        (r[0], r[1], r[2], r[3], r[4]) for r in v
+    ]
+    assert ("value_validation", "gadget/G1", "Counts", "x", "warning") in v
+    # G3's picklist value 'green' is not in {red, blue}
+    assert ("picklist_validation", "gadget/G3", "has Color", "color/green", "warning") in v
+    # valid picklist values pass the broadcast anti-join
+    assert not any(r[0] == "picklist_validation" and r[3] in ("color/red", "color/blue") for r in v)
+    # Decimal fallback ('bad') must NOT warn — the reference is silent there
+    assert not any(r[3] == "bad" for r in v)
+    # triples identical to the plain builder
+    from csv_to_jsonld_processor_spark.operators.instance_steps import build_instance_triples
+
+    vocab2 = compile_vocabulary(m, corpus)
+    plain = {tuple(r) for r in build_instance_triples(spark, m, vocab2, corpus).collect()}
+    assert {tuple(r) for r in triples_df.collect()} == plain
+
+
+def test_strict_mode_fails_run(spark, corpus, tmp_path):
+    """Strict escalates violations to errors and the pipeline run fails
+    (reference is_strict Err path); lenient run succeeds with warnings."""
+    from csv_to_jsonld_processor_spark.plans.pipeline import Pipeline
+
+    m = Manifest.from_dict(MANIFEST)
+    strict_out = Pipeline(m, corpus, strict=True).run(spark, tmp_path / "strict")
+    assert not strict_out.ok
+    assert any("picklist_validation" in e or "value_validation" in e for e in strict_out.errors)
+
+    m2 = Manifest.from_dict(MANIFEST)
+    lenient_out = Pipeline(m2, corpus, strict=False).run(spark, tmp_path / "lenient")
+    assert lenient_out.ok
+    assert lenient_out.warnings  # same issues, downgraded
+    # violations parquet is always written
+    viol = spark.read.parquet(str(tmp_path / "lenient" / "violations.parquet"))
+    assert viol.count() >= 3
+    # vocabulary export carries the accumulated f:oneOf
+    import json as _json
+
+    vocab_doc = _json.loads((tmp_path / "lenient" / "vocabulary.jsonld").read_text())
+    color = next(c for c in vocab_doc["insert"]["f:classes"] if c["@id"].endswith("Color"))
+    assert set(color["f:oneOf"]) == {
+        "http://ex.com/ids/color/red",
+        "http://ex.com/ids/color/blue",
+    }
+
+
+def test_vocab_meta_reload_identical(spark, corpus, tmp_path):
+    """S5: a run driven by the exported vocab_meta.json (model phase
+    skipped) must produce byte-identical outputs to the compiled run
+    (vocabulary/processor.rs:64-133 round-trip)."""
+    from csv_to_jsonld_processor_spark.plans.pipeline import Pipeline
+
+    out1, out2 = tmp_path / "o1", tmp_path / "o2"
+    r1 = Pipeline(Manifest.from_dict(MANIFEST), corpus).run(spark, out1)
+    assert r1.ok
+    r2 = Pipeline(
+        Manifest.from_dict(MANIFEST), corpus, vocab_meta=out1 / "vocab_meta.json"
+    ).run(spark, out2)
+    assert r2.ok
+    for name in ("instances.jsonld", "vocabulary.jsonld", "vocab_meta.json"):
+        assert (out1 / name).read_text() == (out2 / name).read_text(), name
