@@ -30,7 +30,12 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "ann_topk_bruteforce",
+    "ann_ivf_topk",
+    "dedup_clusters",
+    "embedding_neardup_cosine",
     "kg_cooccurrence_edges",
+    "kg_pagerank",
+    "fixture_triples",
 ]
 
 

@@ -114,6 +114,94 @@ SELECT term, CAST(SUM(weight) AS BIGINT) AS degree FROM deg GROUP BY term ORDER 
 """
 
 
+PR_ITERS = 10
+PR_DAMP = 0.85
+
+
+def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the co-occurrence graph, {PR_ITERS} fixed
+    iterations, d={PR_DAMP} — the standard KG entity-importance score.
+
+    Iterative DataFrame loop: rank_{{k+1}}(v) = (1-d)/N + d ·
+    Σ_in rank_k(u)·w(u,v)/out_w(u). Each iteration is one shuffle on the
+    destination key; ``localCheckpoint`` per iteration keeps the plan
+    flat (the 100 TB variant checkpoints to the lineage ledger instead,
+    kg/lineage.py). Dangling mass is dropped (documented — both engines
+    identically). Hash-checked against a DuckDB oracle that unrolls the
+    same {PR_ITERS} iterations as chained CTEs; ranks rounded to 6dp on
+    both sides at the very end only."""
+    edges = kg_cooccurrence_edges(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("subj").alias("node"))
+        .unionByName(edges.select(F.col("obj").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    out_w = edges.groupBy("subj").agg(F.sum("weight").alias("ow"))
+    norm = edges.join(out_w, "subj").select(
+        F.col("subj").alias("src"),
+        F.col("obj").alias("dst"),
+        (F.col("weight").cast("double") / F.col("ow")).alias("wn"),
+    ).localCheckpoint()
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(PR_ITERS):
+        contrib = (
+            norm.join(ranks, norm.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("wn")).alias("acc"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (F.lit((1.0 - PR_DAMP) / n) + F.lit(PR_DAMP) * F.coalesce(F.col("acc"), F.lit(0.0))).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("node", F.round(F.col("rank"), 6).alias("rank")).orderBy("node")
+
+
+def _pagerank_sql() -> str:
+    head = f"""
+WITH toks AS (SELECT string_split(text,' ') AS tokens FROM documents),
+bg AS (
+  SELECT unnest(list_transform(generate_series(1, greatest(len(tokens)-1, 0)),
+                i -> struct_pack(subj := tokens[i], obj := tokens[i+1]))) AS p
+  FROM toks
+), edges AS (
+  SELECT p.subj AS subj, p.obj AS obj, COUNT(*) AS weight
+  FROM bg
+  WHERE list_contains({LEXICON!r}, p.subj) AND list_contains({LEXICON!r}, p.obj)
+  GROUP BY 1, 2
+), nodes AS (
+  SELECT subj AS node FROM edges UNION SELECT obj FROM edges
+), nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+norm AS (
+  SELECT subj AS src, obj AS dst, CAST(weight AS DOUBLE) / SUM(weight) OVER (PARTITION BY subj) AS wn
+  FROM edges
+), pr0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    steps = []
+    for k in range(1, PR_ITERS + 1):
+        steps.append(f""",
+pr{k} AS (
+  SELECT nodes.node,
+         (1 - {PR_DAMP}) / (SELECT n FROM nn) + {PR_DAMP} * COALESCE(s.acc, 0) AS rank
+  FROM nodes
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM(p.rank * e.wn) AS acc
+    FROM pr{k - 1} p JOIN norm e ON e.src = p.node
+    GROUP BY e.dst
+  ) s ON s.node = nodes.node
+)""")
+    return head + "".join(steps) + f"""
+SELECT node, ROUND(rank, 6) AS rank FROM pr{PR_ITERS} ORDER BY node
+"""
+
+
+KG_PAGERANK_SQL = _pagerank_sql()
+
+
 def kg_webtext_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship web-text pipeline end-to-end on a deterministic
     1,000-page synthetic corpus: HTML → extract → NER → link →
@@ -134,5 +222,6 @@ KG_QUERIES: dict[str, tuple] = {
     "kg_mention_counts": (kg_mention_counts, KG_MENTIONS_SQL),
     "kg_cooccurrence_edges": (kg_cooccurrence_edges, KG_COOC_SQL),
     "kg_entity_degree": (kg_entity_degree, KG_DEGREE_SQL),
+    "kg_pagerank": (kg_pagerank, KG_PAGERANK_SQL),
     "kg_webtext_edges": (kg_webtext_edges, None),  # rows-only: NER+linking beyond ANSI SQL
 }

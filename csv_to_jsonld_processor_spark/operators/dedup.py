@@ -330,10 +330,113 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the MinHash/LSH
+    pair graph, each doc labeled with its component's minimum doc_id
+    (the canonical keeper — the standard "pick one per dup cluster"
+    step after pair generation). Exact dups are a subgraph by
+    construction (identical text → identical signature → same bands).
+
+    Algorithm: iterative min-label propagation to fixpoint — per round,
+    every node takes min(own label, neighbors' labels); rounds = graph
+    diameter (dup clusters are shallow, 2-4 in practice). Each round is
+    ONE shuffle on node id; ``localCheckpoint`` cuts lineage so plans
+    stay flat. At 100 TB the known upgrade is alternating large-star/
+    small-star (Kiveris et al.) — same join shape, fewer rounds on
+    skewed components; min-propagation keeps this oracle-exact.
+
+    Docs in no pair are singleton clusters (cluster = own id), so the
+    output covers the whole corpus: (doc_id, cluster, cluster_size).
+    """
+    t = load_tables(spark, sf_dir)
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
+        pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+    )
+    labels = t["documents"].select(F.col("doc_id").alias("node"), F.col("doc_id").alias("label"))
+
+    while True:
+        msgs = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), F.col("label"))
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("cluster"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# oracle: same pair graph, components via recursive transitive closure
+# (UNION dedup terminates it), cluster = min reachable node
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split(lower(trim(regexp_replace(text,'\\s+',' ','g'))), ' ') AS tokens
+  FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(tokens) - {SHINGLE_K - 1}, 0)),
+           i -> array_to_string(tokens[i:i+{SHINGLE_K - 1}], ' ')))) AS shingle
+  FROM toks
+), sig AS (
+  SELECT doc_id,
+         {", ".join(f"MIN(substr(md5('{i}:' || shingle), 1, 16)) AS mh{i}" for i in range(MINHASH_K))}
+  FROM sh GROUP BY doc_id
+), banded AS (
+  {" UNION ALL ".join(
+      "SELECT doc_id, " + str(b) + " AS band_idx, md5("
+      + " || '|' || ".join(f"mh{b * LSH_ROWS + r}" for r in range(LSH_ROWS))
+      + ") AS band_key FROM sig"
+      for b in range(LSH_BANDS)
+  )}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+), reach AS (
+  SELECT doc_id AS node, doc_id AS r FROM documents
+  UNION
+  SELECT e.dst AS node, reach.r
+  FROM reach JOIN edges e ON e.src = reach.node
+), comp AS (
+  SELECT node, MIN(r) AS cluster FROM reach GROUP BY node
+)
+SELECT node AS doc_id, cluster,
+       CAST(COUNT(*) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_size
+FROM comp ORDER BY doc_id
+"""
+
+
 DEDUP_QUERIES: dict[str, tuple] = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
     "dedup_simhash": (dedup_simhash, None),  # rows-only: bitwise folds aren't ANSI SQL
     "dedup_simhash_pairs": (dedup_simhash_pairs, None),  # rows-only: ditto; exactness pytest-gated
+    "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
 }

@@ -232,8 +232,111 @@ ORDER BY id_a, id_b
 NEARDUP_LSH_SQL = _neardup_lsh_sql()
 
 
+N_CENTROIDS = 32
+IVF_PROBES = 8
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse quantizer = the first {N_CENTROIDS} vectors
+    (deterministic "training sample"), every vector assigned to its
+    nearest centroid by cosine, queries probe their {IVF_PROBES} nearest
+    cells, exact re-score inside probed cells only.
+
+    Scale shape: assignment is SHUFFLE-FREE — the centroid table is a
+    literal array in the row expression (at real scale: a broadcast),
+    and argmax is an ``array_max`` over per-centroid score structs, so
+    the corpus is scanned once with no exchange. Candidate selection is
+    an equi-join on cell id (queries × probes is tiny and broadcast).
+    Fully ANSI-expressible → hash-checked against DuckDB end-to-end;
+    recall vs brute force is pytest-gated."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"].select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+
+    cents = [
+        (int(r.vec_id), [float(x) for x in r.v])
+        for r in emb.where(F.col("vec_id") < N_CENTROIDS).collect()
+    ]
+
+    def scores_arr() -> Column:
+        # struct(score, -cid): array_max/sort desc = score DESC, cid ASC
+        return F.array(
+            *[
+                F.struct(
+                    F.round(cosine("v", F.array(*[F.lit(x) for x in vec])), 6).alias("s"),
+                    F.lit(-cid).alias("ncid"),
+                )
+                for cid, vec in cents
+            ]
+        )
+
+    assigned = emb.withColumn("cell", (-F.array_max(scores_arr()).ncid).cast("int"))
+
+    queries = assigned.where(F.col("vec_id") < N_QUERIES)
+    probes = (
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.explode(F.slice(F.sort_array(scores_arr(), asc=False), 1, IVF_PROBES)).alias("p"),
+        )
+        .select("query_id", "qv", (-F.col("p.ncid")).cast("int").alias("cell"))
+    )
+
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine("v", "qv"), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+ANN_IVF_SQL = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), cent AS (
+  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {N_CENTROIDS}
+), assign AS (
+  SELECT vec_id, v, cid AS cell FROM (
+    SELECT e.vec_id, e.v, cent.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY ROUND(list_cosine_similarity(e.v, cent.cv), 6) DESC,
+                                       cent.cid ASC) AS rn
+    FROM e CROSS JOIN cent
+  ) WHERE rn = 1
+), probes AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.vec_id AS query_id, q.v AS qv, cent.cid AS cell,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY ROUND(list_cosine_similarity(q.v, cent.cv), 6) DESC,
+                                       cent.cid ASC) AS rn
+    FROM e q CROSS JOIN cent WHERE q.vec_id < {N_QUERIES}
+  ) WHERE rn <= {IVF_PROBES}
+), scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(a.v, p.qv), 6) AS score
+  FROM assign a JOIN probes p ON a.cell = p.cell
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
 SIMILARITY_QUERIES: dict[str, tuple] = {
     "ann_topk_bruteforce": (ann_topk_bruteforce, ANN_TOPK_SQL),
     "embedding_neardup_cosine": (embedding_neardup_cosine, NEARDUP_LSH_SQL),
     "ann_lsh_buckets": (ann_lsh_bucketed, None),  # rows-only: hyperplane folds aren't ANSI SQL
+    "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
 }

@@ -140,6 +140,117 @@ FROM s GROUP BY user_id, session_id
 ORDER BY user_id, session_start
 """
 
+
+
+
+# --- custom stateful operator: applyInPandasWithState ----------------------
+
+
+STATE_OUT_SCHEMA = "user_id int, n_events long, total_value double, first_seen timestamp, last_seen timestamp"
+STATE_SCHEMA = "n long, total double, first timestamp, last timestamp"
+
+
+def user_profile_stateful(stream: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): a
+    running per-user profile — event count, value sum, first/last seen —
+    maintained in grouped state across micro-batches and emitted
+    per-batch. The built-in windowed aggs can't express "entire-history
+    running profile keyed by user" in append semantics; this is the
+    escape hatch the task description names for custom stateful ops.
+
+    State is one tiny tuple per user; partitioning is the groupBy hash
+    on user_id, so state shards linearly with executors at scale."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    def update(key, pdfs, state: GroupState):
+        n, total, first, last = (
+            state.get if state.exists else (0, 0.0, None, None)
+        )
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            ts_min, ts_max = pdf["ts"].min(), pdf["ts"].max()
+            first = ts_min if first is None or ts_min < first else first
+            last = ts_max if last is None or ts_max > last else last
+        state.update((n, total, first, last))
+        yield pd.DataFrame(
+            [{"user_id": key[0], "n_events": n, "total_value": total,
+              "first_seen": first, "last_seen": last}]
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=STATE_OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=timeout,
+    )
+
+
+def user_profile_batch(events: DataFrame) -> DataFrame:
+    """Batch twin of the stateful profile (for stream==batch tests and
+    the DuckDB oracle)."""
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("total_value"),
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+    )
+
+
+def events_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated query: run the CUSTOM STATEFUL operator as a real
+    stream over the events parquet (multi-batch via maxFilesPerTrigger
+    when multiple files exist), keep each user's LAST emitted update —
+    which, after a full drain, must equal the batch groupBy profile; the
+    DuckDB oracle checks exactly that."""
+    from ..session import load_tables
+
+    t = load_tables(spark, sf_dir)  # registers path; reuse its source dir
+    src = t["events"].where(F.col("user_id") < 50)
+    # bounded drain through the stateful operator
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    src.repartition(4).write.mode("overwrite").parquet(d)
+    schema = src.schema.simpleString().replace("struct<", "").rstrip(">").replace(":", " ")
+    out = run_stream_over_dir(
+        spark,
+        d,
+        user_profile_stateful,
+        schema,
+        query_name="user_profiles_stateful",
+        output_mode="update",
+    )
+    # last update per user wins (update mode emits one row per user per batch)
+    latest = out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("total_value").alias("total_value"),
+        F.min("first_seen").alias("first_seen"),
+        F.max("last_seen").alias("last_seen"),
+    )
+    return latest.select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("total_value", 4).alias("total_value"),
+        F.date_format("first_seen", "yyyy-MM-dd HH:mm:ss").alias("first_seen"),
+        F.date_format("last_seen", "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
+    ).orderBy("user_id")
+
+
+EVENTS_PROFILE_SQL = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS total_value,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_seen,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_seen
+FROM events WHERE user_id < 50
+GROUP BY user_id ORDER BY user_id
+"""
+
+
 STREAMING_QUERIES: dict[str, tuple] = {
     "events_sessionization": (events_sessionization, EVENTS_SESSION_SQL),
+    "events_user_profiles": (events_user_profiles, EVENTS_PROFILE_SQL),
 }

@@ -76,3 +76,17 @@ def test_neardup_lsh_recall_vs_bruteforce(spark):
         assert s == exact[k]
     recall = len(lsh) / len(exact)
     assert recall >= 0.85, f"LSH near-dup recall {recall} ({len(lsh)}/{len(exact)})"
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    """IVF probe path recall@10 vs exact brute force (measured 0.88 at
+    sf0.01 with 8/32 probes; gate leaves variance room)."""
+    from csv_to_jsonld_processor_spark.operators.similarity import (
+        ann_ivf_topk,
+        ann_topk_bruteforce,
+    )
+
+    truth = {(r.query_id, r.neighbor_id) for r in ann_topk_bruteforce(spark, SF_DIR).collect()}
+    ivf = {(r.query_id, r.neighbor_id) for r in ann_ivf_topk(spark, SF_DIR).collect()}
+    recall = len(truth & ivf) / len(truth)
+    assert recall >= 0.75, f"IVF recall@10 {recall}"

@@ -65,3 +65,54 @@ def test_sessionize_stream_equals_batch(spark, events_dir):
     stream = run_stream_over_dir(spark, events_dir, xform, EVENTS_SCHEMA, "sessions_mem")
     cols = ["user_id", "session_start", "session_end", "n_events"]
     assert _norm(stream, cols) == _norm(batch, cols)
+
+
+def test_stateful_profile_multibatch_equals_batch(spark, tmp_path):
+    """applyInPandasWithState: state must carry across micro-batches —
+    drain a 4-file source one file per trigger and require the final
+    per-user profile to equal the batch groupBy twin."""
+    from pyspark.sql import functions as F
+
+    from csv_to_jsonld_processor_spark.session import load_tables
+    from csv_to_jsonld_processor_spark.streaming.events import (
+        user_profile_batch,
+        user_profile_stateful,
+    )
+
+    src = load_tables(spark, "/root/testdata/sf0.001")["events"].where(F.col("user_id") < 30)
+    d = str(tmp_path / "events_parts")
+    src.repartition(4).write.mode("overwrite").parquet(d)
+    schema = src.schema.simpleString().replace("struct<", "").rstrip(">").replace(":", " ")
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    q = (
+        user_profile_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("profiles_mb")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("profiles_mb")
+    # several micro-batches ran (state exercised across batches)
+    assert out.count() > out.select("user_id").distinct().count()
+
+    latest = out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.round(F.max("total_value"), 4).alias("total_value"),
+        F.min("first_seen").alias("first_seen"),
+        F.max("last_seen").alias("last_seen"),
+    )
+    batch = user_profile_batch(src).select(
+        "user_id",
+        "n_events",
+        F.round("total_value", 4).alias("total_value"),
+        "first_seen",
+        "last_seen",
+    )
+    got = {tuple(r) for r in latest.collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want
