@@ -130,11 +130,12 @@ def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically). Hash-checked against a DuckDB oracle that unrolls the
     same {PR_ITERS} iterations as chained CTEs; ranks rounded to 6dp on
     both sides at the very end only."""
-    edges = kg_cooccurrence_edges(spark, sf_dir)
+    edges = kg_cooccurrence_edges(spark, sf_dir).localCheckpoint()
     nodes = (
         edges.select(F.col("subj").alias("node"))
         .unionByName(edges.select(F.col("obj").alias("node")))
         .distinct()
+        .localCheckpoint()
     )
     n = nodes.count()
     out_w = edges.groupBy("subj").agg(F.sum("weight").alias("ow"))

@@ -352,8 +352,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_minhash_lsh(spark, sf_dir)
     edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
         pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+    ).localCheckpoint()
+
+    # only nodes that appear in an edge can ever change label — iterate
+    # over that (much smaller) set; singletons join back at the end
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
     )
-    labels = t["documents"].select(F.col("doc_id").alias("node"), F.col("doc_id").alias("label"))
 
     while True:
         msgs = (
@@ -376,9 +383,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
 
-    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    full = (
+        t["documents"]
+        .select(F.col("doc_id").alias("node"))
+        .join(labels, "node", "left")
+        .select("node", F.coalesce(F.col("label"), F.col("node")).alias("label"))
+    )
+    sizes = full.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
-        labels.join(sizes, "label")
+        full.join(sizes, "label")
         .select(
             F.col("node").alias("doc_id"),
             F.col("label").alias("cluster"),

@@ -86,41 +86,48 @@ ORDER BY query_id, rank
 
 
 def embedding_neardup_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact all-pairs near-dup (cos >= 0.4 — this synthetic table has no
-    planted near-dups; 0.4 captures the top tail, max observed ≈0.51).
-    O(n²) crossJoin: NOT the registered query — it is the pytest recall
-    oracle for the LSH scale path below."""
+    """Exact all-pairs near-dup over the same planted-dup corpus the
+    registered LSH query uses. O(n²) crossJoin: NOT the registered
+    query — it is the pytest recall oracle for the LSH scale path."""
     t = load_tables(spark, sf_dir)
-    emb = t["embeddings"].select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    emb = _neardup_input(
+        t["embeddings"].select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
     return (
         a.crossJoin(b)
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.round(cosine("va", "vb"), 6).alias("score"))
-        .where(F.col("score") >= 0.4)
+        .where(F.col("score") >= NEARDUP_TAU)
         .orderBy("id_a", "id_b")
     )
 
 
-def _lsh_planes(dim: int = 64):
+def _lsh_planes(dim: int = 64, tables: int = LSH_TABLES, planes: int = LSH_PLANES,
+                rademacher: bool = False, salt: str = "plane"):
     """Deterministic pseudo-random hyperplanes: plane[t][p][i] derived
-    from a hash counter — reproducible everywhere, no RNG state."""
+    from a hash counter — reproducible everywhere, no RNG state.
+    ``rademacher=True`` gives ±1 entries (equally valid for sign-LSH,
+    and compact enough to inline thousands of them into oracle SQL)."""
     import hashlib
 
-    planes = []
-    for t in range(LSH_TABLES):
+    out = []
+    for t in range(tables):
         table = []
-        for p in range(LSH_PLANES):
+        for p in range(planes):
             vec = []
             for i in range(dim):
                 h = int.from_bytes(
-                    hashlib.sha256(f"plane:{t}:{p}:{i}".encode()).digest()[:8], "big"
+                    hashlib.sha256(f"{salt}:{t}:{p}:{i}".encode()).digest()[:8], "big"
                 )
-                vec.append((h % 2_000_001 - 1_000_000) / 1_000_000.0)
+                if rademacher:
+                    vec.append(1.0 if h % 2 == 0 else -1.0)
+                else:
+                    vec.append((h % 2_000_001 - 1_000_000) / 1_000_000.0)
             table.append(vec)
-        planes.append(table)
-    return planes
+        out.append(table)
+    return out
 
 
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -132,30 +139,43 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_buckets_df(emb).orderBy("vec_id", "table_id")
 
 
-def _lsh_buckets_df(emb: DataFrame) -> DataFrame:
+def _dot_sql(vec: list[float], col: str = "v") -> str:
+    """The SQL-string form of _dot(col, literal vector) — identical fold
+    (zip_with → left-to-right aggregate), built as ONE parsed expression
+    instead of thousands of py4j Column calls (constant-literal plans
+    like 16-plane LSH or 32-centroid IVF otherwise spend seconds of
+    DRIVER time just constructing the expression tree)."""
+    arr = "array(" + ",".join(f"{x!r}D" for x in vec) + ")"
+    return (
+        f"aggregate(zip_with({col}, {arr}, (x, y) -> x * y), "
+        "cast(0 as double), (acc, x) -> acc + x)"
+    )
+
+
+def _lsh_buckets_df(emb: DataFrame, planes=None) -> DataFrame:
     """(vec_id, table_id, bucket) sign-bit assignments — shared by the
     bucket-listing query and candidate generation."""
-    planes = _lsh_planes()
-    buckets = []
+    if planes is None:
+        planes = _lsh_planes()
+    tables = []
     for ti, table in enumerate(planes):
-        bits = None
-        for pi, plane in enumerate(table):
-            arr = F.array(*[F.lit(x) for x in plane])
-            bit = F.when(_dot("v", arr) >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
-            term = F.shiftleft(bit, pi)
-            bits = term if bits is None else bits + term
-        buckets.append(F.struct(F.lit(ti).alias("table_id"), bits.alias("bucket")))
-    return emb.select("vec_id", F.explode(F.array(*buckets)).alias("b")).select(
+        bits = " + ".join(
+            f"(case when {_dot_sql(plane)} >= 0 then {1 << pi}L else 0L end)"
+            for pi, plane in enumerate(table)
+        )
+        tables.append(f"struct({ti} as table_id, ({bits}) as bucket)")
+    banded = F.expr("array(" + ",".join(tables) + ")")
+    return emb.select("vec_id", F.explode(banded).alias("b")).select(
         "vec_id", "b.table_id", "b.bucket"
     )
 
 
-def lsh_candidate_pairs(emb: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(emb: DataFrame, planes=None) -> DataFrame:
     """Distinct (id_a < id_b) pairs sharing >=1 LSH bucket — the equi-join
     candidate generator. Shuffle is on (table_id, bucket); bucket
     population is ~n/2^planes per table, so fan-out stays linear-ish and
     AQE's skew-join split handles any dense bucket."""
-    b = _lsh_buckets_df(emb)
+    b = _lsh_buckets_df(emb, planes)
     l, r = b.alias("l"), b.alias("r")
     return (
         l.join(
@@ -169,50 +189,89 @@ def lsh_candidate_pairs(emb: DataFrame) -> DataFrame:
     )
 
 
-def embedding_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup, scale path: LSH bucket equi-join for candidate
-    generation, exact cosine re-score on candidates only, threshold 0.4.
+# near-dup regime: LSH only prunes when the similarity threshold is
+# high (for cos tau the per-plane agreement prob is 1 - theta/pi; at
+# tau=0.4 pruning and recall cannot coexist — that's the LSH rho-curve,
+# not an implementation artifact). The operator therefore benchmarks
+# the regime real dedup runs in: planted near-duplicates at cos≈0.9987,
+# tau=0.9, and a 16-plane × 4-table index (65,536 buckets/table) so
+# candidate volume is ~O(n), not a disguised cross join.
+NEARDUP_TAU = 0.9
+ND_PLANES = 16
+ND_TABLES = 4
+ND_ID_OFFSET = 10_000_000
+ND_EPS = 0.05
 
-    Semantics = "same-bucket AND cos >= tau", and the DuckDB oracle
-    computes the IDENTICAL buckets (plane constants embedded in the SQL),
-    so this approximate-by-construction operator is still hash-checked
-    end-to-end. Recall vs the exact brute-force pairs is pytest-gated
-    (tests/test_similarity.py). Replaces the round-1 all-pairs crossJoin
+
+def _neardup_input(emb: DataFrame) -> DataFrame:
+    """embeddings ∪ planted near-duplicates: v' = v + eps·rot1(v)
+    (deterministic, same arithmetic in the SQL oracle), cos(v,v') ≈
+    1/sqrt(1+eps²) ≈ 0.99875 — true positives at any SF."""
+    n = F.size(F.col("v"))
+    rot = F.concat(F.slice(F.col("v"), 2, 10_000), F.slice(F.col("v"), 1, 1))
+    planted = emb.select(
+        (F.col("vec_id") + ND_ID_OFFSET).alias("vec_id"),
+        F.zip_with(F.col("v"), rot, lambda a, b: a + F.lit(ND_EPS) * b).alias("v"),
+    )
+    return emb.select("vec_id", "v").unionByName(planted)
+
+
+def embedding_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup, scale path: LSH bucket equi-join candidate
+    generation over the planted-dup corpus, exact cosine re-score on
+    candidates only, cos >= {NEARDUP_TAU}.
+
+    Semantics = "same-bucket AND cos >= tau"; the DuckDB oracle computes
+    IDENTICAL buckets (±1 Rademacher plane constants inlined in the
+    SQL), so the approximate-by-construction operator is hash-checked
+    end-to-end. Recall vs exact brute force is pytest-gated (planted
+    pairs sit at theta≈2.9°, per-table hit prob 0.984^16≈0.77, 4 tables
+    → expected recall ≈ 99.7%). Replaces the round-1 all-pairs crossJoin
     (kept above as the pytest oracle) per the scale review."""
     t = load_tables(spark, sf_dir)
-    emb = t["embeddings"].select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    cand = lsh_candidate_pairs(emb)
+    emb = _neardup_input(
+        t["embeddings"].select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    planes = _lsh_planes(tables=ND_TABLES, planes=ND_PLANES, rademacher=True, salt="ndplane")
+    cand = lsh_candidate_pairs(emb, planes)
     va = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
     vb = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .select("id_a", "id_b", F.round(cosine("va", "vb"), 6).alias("score"))
-        .where(F.col("score") >= 0.4)
+        .where(F.col("score") >= NEARDUP_TAU)
         .orderBy("id_a", "id_b")
     )
 
 
 def _neardup_lsh_sql() -> str:
-    """DuckDB oracle: identical hyperplane sign-bit buckets (constants
-    inlined), identical candidate equi-join, identical re-score."""
-    planes = _lsh_planes()
+    """DuckDB oracle: identical planted input, identical ±1 hyperplane
+    sign-bit buckets (constants inlined), identical re-score."""
+    planes = _lsh_planes(tables=ND_TABLES, planes=ND_PLANES, rademacher=True, salt="ndplane")
     bucket_exprs = []
     for ti, table in enumerate(planes):
         terms = []
         for pi, plane in enumerate(table):
-            lst = "[" + ", ".join(repr(x) for x in plane) + "]"
+            lst = "[" + ", ".join("1" if x > 0 else "-1" for x in plane) + "]"
             terms.append(
                 f"(CASE WHEN list_dot_product(v, {lst}::DOUBLE[]) >= 0 THEN {1 << pi} ELSE 0 END)"
             )
         bucket_exprs.append("(" + " + ".join(terms) + f") AS bucket{ti}")
     union = " UNION ALL ".join(
         f"SELECT vec_id, {ti} AS table_id, bucket{ti} AS bucket FROM bk"
-        for ti in range(LSH_TABLES)
+        for ti in range(ND_TABLES)
     )
     return f"""
-WITH e AS (
+WITH base AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), e AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + {ND_ID_OFFSET},
+         list_transform(list_zip(v, v[2:] || v[1:1]),
+                        x -> x[1] + {ND_EPS} * x[2]) AS v
+  FROM base
 ), bk AS (
   SELECT vec_id, {", ".join(bucket_exprs)} FROM e
 ), banded AS ({union}),
@@ -224,7 +283,7 @@ cand AS (
 SELECT id_a, id_b,
        ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS score
 FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b
-WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 6) >= 0.4
+WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 6) >= {NEARDUP_TAU}
 ORDER BY id_a, id_b
 """
 
@@ -257,26 +316,43 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in emb.where(F.col("vec_id") < N_CENTROIDS).collect()
     ]
 
-    def scores_arr() -> Column:
-        # struct(score, -cid): array_max/sort desc = score DESC, cid ASC
-        return F.array(
-            *[
-                F.struct(
-                    F.round(cosine("v", F.array(*[F.lit(x) for x in vec])), 6).alias("s"),
-                    F.lit(-cid).alias("ncid"),
-                )
-                for cid, vec in cents
-            ]
+    def norm2(vec: list[float]) -> float:
+        # same left-to-right fold DuckDB's list_cosine_similarity and the
+        # previous Spark-side constant fold perform — bit-identical
+        acc = 0.0
+        for x in vec:
+            acc += x * x
+        return acc
+
+    # struct(score, -cid): array_max/sort desc = score DESC, cid ASC.
+    # Built as one parsed SQL expression — see _dot_sql on driver cost.
+    parts = [
+        f"struct(round({_dot_sql(vec)} / sqrt(_n2v * {norm2(vec)!r}D), 6) as s, "
+        f"{-cid} as ncid)"
+        for cid, vec in cents
+    ]
+    scores_arr = F.expr("array(" + ",".join(parts) + ")")
+
+    # the centroid-literal expression appears ONCE in the plan ("scores"
+    # column); cell assignment and probe selection both derive from it
+    withscores = (
+        emb.withColumn(
+            "_n2v",
+            F.expr("aggregate(transform(v, x -> x * x), cast(0 as double), (acc, x) -> acc + x)"),
         )
+        .withColumn("scores", scores_arr)
+        .drop("_n2v")
+    )
+    assigned = withscores.withColumn(
+        "cell", (-F.array_max(F.col("scores")).ncid).cast("int")
+    ).drop("scores")
 
-    assigned = emb.withColumn("cell", (-F.array_max(scores_arr()).ncid).cast("int"))
-
-    queries = assigned.where(F.col("vec_id") < N_QUERIES)
+    queries = withscores.where(F.col("vec_id") < N_QUERIES)
     probes = (
         queries.select(
             F.col("vec_id").alias("query_id"),
             F.col("v").alias("qv"),
-            F.explode(F.slice(F.sort_array(scores_arr(), asc=False), 1, IVF_PROBES)).alias("p"),
+            F.explode(F.slice(F.sort_array("scores", asc=False), 1, IVF_PROBES)).alias("p"),
         )
         .select("query_id", "qv", (-F.col("p.ncid")).cast("int").alias("cell"))
     )

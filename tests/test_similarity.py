@@ -75,7 +75,8 @@ def test_neardup_lsh_recall_vs_bruteforce(spark):
     for k, s in lsh.items():
         assert s == exact[k]
     recall = len(lsh) / len(exact)
-    assert recall >= 0.85, f"LSH near-dup recall {recall} ({len(lsh)}/{len(exact)})"
+    # planted dups at theta≈2.9°: 16-plane/4-table expected recall ≈ 0.997
+    assert recall >= 0.95, f"LSH near-dup recall {recall} ({len(lsh)}/{len(exact)})"
 
 
 def test_ivf_recall_vs_bruteforce(spark):
