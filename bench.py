@@ -145,11 +145,26 @@ def main() -> None:
         else:
             times = bench_queries(spark, sf_dir)
             times["kg_pipeline"] = kg["kg_seconds"]
+            # round-over-round comparability: the suite GREW from 11
+            # queries (round 1) to 16, so the total is not apples-to-
+            # apples; round1_subset_seconds sums exactly the round-1
+            # query list for direct comparison with BENCH_r01.json
+            r1_subset = [
+                "q1_pricing_summary", "q3_shipping_priority",
+                "q5_local_supplier_volume", "q10_returned_items",
+                "events_hourly_rollup", "doc_quality_scores",
+                "dedup_ngram_jaccard", "dedup_minhash_lsh",
+                "ann_topk_bruteforce", "kg_cooccurrence_edges", "kg_pipeline",
+            ]
             out = {
                 "metric": "headline_suite_seconds",
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
+                "n_queries": len(times),
+                "round1_subset_seconds": round(
+                    sum(times[q] for q in r1_subset if q in times), 3
+                ),
                 "sf": sf,
                 "cpus": cpus,
                 **kg,

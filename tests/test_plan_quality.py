@@ -87,3 +87,44 @@ def test_anti_join_stays_broadcast_or_single_shuffle(spark):
 
     plan = plan_of(semi_anti_join_parts(spark, SF))
     assert "LeftAnti" in plan
+
+
+def test_ivf_assignment_shuffle_free_and_no_cartesian(spark):
+    """IVF: centroid assignment must not shuffle the corpus (literal
+    scores array + array_max, no exchange before the cell join), and no
+    plan node may be a cartesian product."""
+    from csv_to_jsonld_processor_spark.operators.similarity import ann_ivf_topk
+
+    plan = plan_of(ann_ivf_topk(spark, SF))
+    assert "CartesianProduct" not in plan
+    # the only joins are the broadcast of probes + window ranking
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+
+
+def test_neardup_lsh_no_cartesian(spark):
+    """The near-dup scale path must be a bucket equi-join, never a
+    cross join (the round-1 brute-force shape)."""
+    from csv_to_jsonld_processor_spark.operators.similarity import (
+        embedding_neardup_cosine,
+    )
+
+    plan = plan_of(embedding_neardup_cosine(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_media_metadata_projection_prunes_blob(spark, tmp_path):
+    """Metadata-only projection over the media table: the parquet scan's
+    ReadSchema must exclude the binary blob column entirely."""
+    from csv_to_jsonld_processor_spark.sources.multimodal import (
+        generate_media,
+        media_metadata_only,
+    )
+
+    path = str(tmp_path / "media")
+    generate_media(spark, 200).write.parquet(path)
+    df = media_metadata_only(spark.read.parquet(path))
+    plan = plan_of(df)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "blob" not in read_schema
+    assert "meta_width" in read_schema
