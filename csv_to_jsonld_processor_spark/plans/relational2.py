@@ -251,6 +251,83 @@ ORDER BY o_custkey, o_orderkey
 """
 
 
+
+
+def events_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — an operator Spark has no built-in for, composed from
+    existing DataFrame ops (the union + window-last trick): each event
+    picks the customer's most recent order with o_orderdate <= ts.
+
+    Plan: tag orders kind=0 and events kind=1, union, ONE shuffle on the
+    customer key, and a running last_value(ignorenulls) over
+    (time, kind) ordering — no range-join explosion, no per-row
+    subquery. Ties at equal timestamps are deterministic: orders dedupe
+    to max(o_orderkey) per (cust, date) first, and kind=0 sorts before
+    the event at the same instant (inclusive as-of). The DuckDB oracle
+    is a native ASOF LEFT JOIN over the same deduped order set."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    orders = (
+        t["orders"]
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    o = orders.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("kind"),
+        F.col("o_orderkey").alias("asof_orderkey"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    e = t["events"].where(F.col("user_id") < 50).select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("asof_orderkey"),
+        F.col("event_id"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = o.unionByName(e).withColumn(
+        "last_orderkey", F.last("asof_orderkey", ignorenulls=True).over(w)
+    ).withColumn(
+        "last_orderdate",
+        F.last(F.when(F.col("kind") == 0, F.col("t")), ignorenulls=True).over(w),
+    )
+    return (
+        u.where(F.col("kind") == 1)
+        .select(
+            "event_id",
+            F.col("k").alias("user_id"),
+            F.date_format("t", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            F.col("last_orderkey").alias("asof_orderkey"),
+            F.date_format("last_orderdate", "yyyy-MM-dd HH:mm:ss").alias("asof_orderdate"),
+        )
+        .orderBy("event_id")
+    )
+
+
+ASOF_SQL = """
+WITH o AS (
+  SELECT o_custkey AS k, o_orderdate AS t, MAX(o_orderkey) AS asof_orderkey
+  FROM orders GROUP BY 1, 2
+), e AS (
+  SELECT event_id, user_id, ts FROM events WHERE user_id < 50
+)
+SELECT e.event_id,
+       e.user_id,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       o.asof_orderkey,
+       strftime(o.t, '%Y-%m-%d %H:%M:%S') AS asof_orderdate
+FROM e ASOF LEFT JOIN o ON e.user_id = o.k AND e.ts >= o.t
+ORDER BY event_id
+"""
+
+
 RELATIONAL2_QUERIES: dict[str, tuple] = {
     "q4_order_priority_exists": (q4_order_priority_exists, Q4_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
@@ -259,4 +336,5 @@ RELATIONAL2_QUERIES: dict[str, tuple] = {
     "q17_brand_avg_quantity": (q17_brand_avg_quantity, Q17_SQL),
     "q7_nation_volume": (q7_nation_volume, Q7_SQL),
     "customer_order_gaps": (customer_order_gaps, ORDER_GAPS_SQL),
+    "events_asof_orders": (events_asof_orders, ASOF_SQL),
 }
