@@ -39,11 +39,16 @@ def _norm_text() -> F.Column:
 
 
 def _shingles(tokens: F.Column, k: int = SHINGLE_K) -> F.Column:
-    """Distinct word k-shingles via a higher-order transform (JVM-side)."""
+    """Distinct word k-shingles via a higher-order transform (JVM-side).
+    Docs shorter than k tokens yield an empty array — guarded explicitly
+    because Spark's sequence(1, 0) steps BACKWARDS ([1, 0]) and would
+    feed slice() an invalid 0 start."""
     return F.array_distinct(
         F.expr(
-            f"transform(sequence(1, greatest(size(_tokens) - {k - 1}, 0)),"
-            f" i -> array_join(slice(_tokens, i, {k}), ' '))"
+            f"CASE WHEN size(_tokens) >= {k} THEN "
+            f"transform(sequence(1, size(_tokens) - {k - 1}),"
+            f" i -> array_join(slice(_tokens, i, {k}), ' ')) "
+            "ELSE array() END"
         )
     )
 

@@ -156,10 +156,157 @@ SELECT doc_id, fingerprint, substr(fingerprint, 1, 4) AS fp_bucket FROM (
 """
 
 
+
+
+# --------------------------------------------------------------------------
+# corpus-assembly ops: sampling, sequence packing, decontamination
+# --------------------------------------------------------------------------
+
+SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.1, "zz": 0.1}
+PACK_WINDOW = 4096
+CONTAM_K = 13  # 13-gram overlap, the common decontamination shingle size
+BENCH_DOCS = 10  # doc_id < BENCH_DOCS play the held-out benchmark set
+
+
+def doc_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling — the standard corpus-mix
+    step of a pre-training pipeline. Per-language keep-rates applied via
+    an md5 hash gate (first 8 hex chars as a uniform u32), so the sample
+    is reproducible on any cluster size, any partitioning, both engines:
+    keep ⟺ hash_u32 < rate · 2³². Shuffle-free (a filter + map-side
+    groupBy for the audit counts)."""
+    t = load_tables(spark, sf_dir)
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+    rate = None
+    for lang, r in SAMPLE_RATES.items():
+        cond = F.col("lang") == lang
+        rate = F.when(cond, F.lit(r)) if rate is None else rate.when(cond, F.lit(r))
+    rate = rate.otherwise(F.lit(0.05))
+    kept = t["documents"].where(h < (rate * F.lit(float(1 << 32))))
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("doc_id").alias("first_kept"),
+            F.max("doc_id").alias("last_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+_RATE_SQL = "CASE " + " ".join(
+    f"WHEN lang = '{lang}' THEN {r!r}" for lang, r in SAMPLE_RATES.items()
+) + " ELSE 0.05 END"
+
+DOC_SAMPLE_SQL = f"""
+SELECT lang, COUNT(*) AS n_kept, MIN(doc_id) AS first_kept, MAX(doc_id) AS last_kept
+FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      < ({_RATE_SQL}) * 4294967296.0
+GROUP BY lang ORDER BY lang
+"""
+
+
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign docs (in deterministic doc_id order,
+    partitioned by language) to {PACK_WINDOW}-token context windows via a
+    running token cumsum — the batch-assembly step before tokenizer
+    sharding. One window shuffle on lang; at 100 TB packing runs inside
+    each shard (partitionBy shard key) so state never crosses executors."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].select(
+        "doc_id", "lang", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    d = d.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    d = d.withColumn(
+        "pack_id", F.floor((F.col("cum_tokens") - F.col("n_tokens")) / F.lit(PACK_WINDOW)).cast("int")
+    )
+    return (
+        d.groupBy("lang", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("lang", "pack_id")
+    )
+
+
+DOC_PACK_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT *, SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM d
+)
+SELECT lang, CAST(FLOOR((cum_tokens - n_tokens) / {PACK_WINDOW}.0) AS INT) AS pack_id,
+       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens, MIN(doc_id) AS first_doc
+FROM c GROUP BY 1, 2 ORDER BY lang, pack_id
+"""
+
+
+def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any word
+    {CONTAM_K}-gram with the held-out set (doc_id < {BENCH_DOCS} stands
+    in for the benchmark). The benchmark shingle set is tiny by nature →
+    broadcast semi-join against it; the corpus side never shuffles.
+    Returns the contaminated doc ids with overlap counts."""
+    t = load_tables(spark, sf_dir)
+    toks = F.split(F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))), " ")
+    # sequence(1, 0) steps BACKWARDS in Spark — guard short docs explicitly
+    sh = F.array_distinct(
+        F.expr(
+            f"CASE WHEN size(_tokens) >= {CONTAM_K} THEN "
+            f"transform(sequence(1, size(_tokens) - {CONTAM_K - 1}),"
+            f" i -> array_join(slice(_tokens, i, {CONTAM_K}), ' ')) "
+            "ELSE array() END"
+        )
+    )
+    docs = t["documents"].withColumn("_tokens", toks).select(
+        "doc_id", F.explode(sh).alias("shingle")
+    )
+    bench = docs.where(F.col("doc_id") < BENCH_DOCS).select("shingle").distinct()
+    corpus = docs.where(F.col("doc_id") >= BENCH_DOCS)
+    return (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_shingles"))
+        .orderBy("doc_id")
+    )
+
+
+DOC_DECONTAM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS tokens
+  FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(tokens) - {CONTAM_K - 1}, 0)),
+           i -> array_to_string(tokens[i:i+{CONTAM_K - 1}], ' ')))) AS shingle
+  FROM toks
+), bench AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id < {BENCH_DOCS}
+)
+SELECT s.doc_id, COUNT(*) AS n_contaminated_shingles
+FROM sh s JOIN bench b ON s.shingle = b.shingle
+WHERE s.doc_id >= {BENCH_DOCS}
+GROUP BY s.doc_id ORDER BY s.doc_id
+"""
+
+
 TEXT_QUERIES: dict[str, tuple] = {
     "doc_token_stats": (doc_token_stats, DOC_TOKEN_STATS_SQL),
     "doc_bpe_token_count": (doc_bpe_token_count, DOC_BPE_SQL),
     "doc_quality_scores": (doc_quality_scores, DOC_QUALITY_SQL),
     "doc_lang_confusion": (doc_lang_confusion, DOC_LANG_SQL),
     "doc_fingerprints": (doc_fingerprints, DOC_FINGERPRINT_SQL),
+    "doc_sample_stratified": (doc_sample_stratified, DOC_SAMPLE_SQL),
+    "doc_pack_sequences": (doc_pack_sequences, DOC_PACK_SQL),
+    "doc_decontaminate": (doc_decontaminate, DOC_DECONTAM_SQL),
 }
