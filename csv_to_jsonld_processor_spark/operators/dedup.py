@@ -12,9 +12,12 @@ Four families, all shuffle-architected for 100 TB:
 - MinHash + LSH: k md5-derived min-hashes per doc → band keys →
   bucket-join on band → Jaccard verify on candidates only. md5 (not
   xxhash64) so the DuckDB oracle computes the identical signature.
-- SimHash: 64-bit signature from per-token hashes; hamming-close pairs
-  via band rotation. Deterministic but not SQL-expressible → pytest
-  invariant check instead of a DuckDB oracle (rows-only for the driver).
+- SimHash: 60-bit signature from per-token md5-derived hashes;
+  hamming<=3 pairs via 15-bit band pigeonholing + popcount verify —
+  exact by construction, oracle-checked in DuckDB bit-for-bit, and
+  additionally set-equality pytest-gated vs an all-pairs recompute.
+- clusters: connected components over the MinHash pair graph
+  (min-label propagation; recursive-CTE oracle).
 
 Embedding near-dup (cosine) lives in similarity.py.
 """
@@ -245,26 +248,31 @@ ORDER BY doc_a, doc_b
 """
 
 
-SIMHASH_BANDS = 4  # 4 x 16-bit bands: hamming <= 3 pigeonholes into >=1 equal band
+SIMHASH_BITS = 60  # 15 hex chars of md5 → fits a signed 64-bit in BOTH engines
+SIMHASH_BANDS = 4  # 4 x 15-bit bands: hamming <= 3 pigeonholes into >=1 equal band
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
 HAMMING_TAU = 3
 
 
 def _simhash_df(docs: DataFrame) -> DataFrame:
-    """(doc_id, simhash, band0..band3): 64-bit SimHash per doc from token
-    xxhash64 bits + 16-bit band keys."""
+    """(doc_id, simhash, band0..band3): 60-bit SimHash per doc + 15-bit
+    band keys. The per-token hash is md5-derived (first 15 hex chars as
+    int) so the DuckDB oracle computes the identical signature — same
+    deliberate md5-for-parity tax as the MinHash path; at pure-Spark
+    scale swap xxhash64 (identical plan shape)."""
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split(_norm_text(), " "))).alias("token")
     )
-    h = F.xxhash64(F.col("token"))
+    h = F.conv(F.substring(F.md5(F.col("token")), 1, 15), 16, 10).cast("long")
     bit_votes = [
         F.sum(
             F.when(((F.shiftright(h, i)).bitwiseAND(F.lit(1))) == 1, 1).otherwise(-1)
         ).alias(f"b{i}")
-        for i in range(64)
+        for i in range(SIMHASH_BITS)
     ]
     votes = toks.groupBy("doc_id").agg(*bit_votes)
     sim = None
-    for i in range(64):
+    for i in range(SIMHASH_BITS):
         bit = F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
         term = F.shiftleft(bit, i)
         sim = term if sim is None else sim + term
@@ -272,31 +280,68 @@ def _simhash_df(docs: DataFrame) -> DataFrame:
     for band in range(SIMHASH_BANDS):
         out = out.withColumn(
             f"band{band}",
-            F.shiftright(F.col("simhash"), band * 16).bitwiseAND(F.lit(0xFFFF)).cast("int"),
+            F.shiftright(F.col("simhash"), band * SIMHASH_BAND_BITS)
+            .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
+            .cast("int"),
         )
     return out
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash signatures + band keys per doc. Deterministic but not
-    ANSI-SQL-expressible (bitwise popcount folds) → rows-only driver
-    check; invariants are pytest-verified."""
+    """SimHash signatures + band keys per doc, hash-checked against a
+    DuckDB oracle that folds the identical bit votes."""
     t = load_tables(spark, sf_dir)
     return _simhash_df(t["documents"]).orderBy("doc_id")
+
+
+def _simhash_sql_core() -> str:
+    """Shared oracle CTEs computing (doc_id, simhash, band0..3)."""
+    votes = ", ".join(
+        f"SUM(CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    sim = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(SIMHASH_BITS)
+    )
+    bands = ", ".join(
+        f"CAST((simhash >> {b * SIMHASH_BAND_BITS}) & {(1 << SIMHASH_BAND_BITS) - 1} AS INT) AS band{b}"
+        for b in range(SIMHASH_BANDS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(string_split(lower(trim(regexp_replace(text,'\\s+',' ','g'))), ' '))) AS token
+  FROM documents
+), hashed AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) AS h FROM toks
+), votes AS (
+  SELECT doc_id, {votes} FROM hashed GROUP BY doc_id
+), sig AS (
+  SELECT doc_id, {sim} AS simhash FROM votes
+), sigb AS (
+  SELECT doc_id, simhash, {bands} FROM sig
+)"""
+
+
+DEDUP_SIMHASH_SQL = _simhash_sql_core() + """
+SELECT doc_id, simhash, band0, band1, band2, band3 FROM sigb ORDER BY doc_id
+"""
 
 
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hamming-neighbor pairs (distance <= 3): band equi-join for
     candidates, popcount(xor) verify.
 
-    EXACT by construction, not approximate: 4 disjoint 16-bit bands and
+    EXACT by construction, not approximate: 4 disjoint 15-bit bands and
     <= 3 differing bits pigeonhole at least one band into equality, so
     the band join has zero false negatives and the popcount filter
     removes all false positives (pytest asserts set-equality vs an
-    all-pairs recomputation). Shuffle is on (band_idx, band_val) — at
-    100 TB only same-band docs meet; degenerate signatures (empty docs
-    all hash to band 0) are the skew risk, which AQE skew-split and the
-    distinct() before the signature join bound."""
+    all-pairs recomputation; the DuckDB oracle recomputes the identical
+    join). Shuffle is on (band_idx, band_val) — at 100 TB only same-band
+    docs meet; degenerate signatures (empty docs all hash to band 0)
+    are the skew risk, which AQE skew-split and the distinct() before
+    the signature join bound."""
     t = load_tables(spark, sf_dir)
     sig = _simhash_df(t["documents"])
     banded = sig.select(
@@ -450,11 +495,29 @@ FROM comp ORDER BY doc_id
 """
 
 
+DEDUP_SIMHASH_PAIRS_SQL = _simhash_sql_core() + f"""
+, banded AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, band{b} AS band_val FROM sigb" for b in range(SIMHASH_BANDS))}
+), cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM banded l JOIN banded r
+    ON l.band_idx = r.band_idx AND l.band_val = r.band_val AND l.doc_id < r.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+FROM cand
+JOIN sigb sa ON sa.doc_id = doc_a
+JOIN sigb sb ON sb.doc_id = doc_b
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {HAMMING_TAU}
+ORDER BY doc_a, doc_b
+"""
+
+
 DEDUP_QUERIES: dict[str, tuple] = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
-    "dedup_simhash": (dedup_simhash, None),  # rows-only: bitwise folds aren't ANSI SQL
-    "dedup_simhash_pairs": (dedup_simhash_pairs, None),  # rows-only: ditto; exactness pytest-gated
+    "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
+    "dedup_simhash_pairs": (dedup_simhash_pairs, DEDUP_SIMHASH_PAIRS_SQL),
     "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
 }

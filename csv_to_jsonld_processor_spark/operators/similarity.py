@@ -410,9 +410,41 @@ ORDER BY query_id, rank
 """
 
 
+def _lsh_buckets_sql() -> str:
+    """DuckDB oracle for ann_lsh_bucketed: the default 8-table × 3-plane
+    assignment with the float plane constants inlined (same pattern as
+    the near-dup oracle — sign-bit folds ARE SQL once the constants are
+    literals)."""
+    planes = _lsh_planes()
+    bucket_exprs = []
+    for ti, table in enumerate(planes):
+        terms = []
+        for pi, plane in enumerate(table):
+            lst = "[" + ", ".join(repr(x) for x in plane) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(v, {lst}::DOUBLE[]) >= 0 THEN {1 << pi} ELSE 0 END)"
+            )
+        bucket_exprs.append("(" + " + ".join(terms) + f") AS bucket{ti}")
+    union = " UNION ALL ".join(
+        f"SELECT vec_id, {ti} AS table_id, CAST(bucket{ti} AS BIGINT) AS bucket FROM bk"
+        for ti in range(LSH_TABLES)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), bk AS (
+  SELECT vec_id, {", ".join(bucket_exprs)} FROM e
+)
+SELECT vec_id, table_id, bucket FROM ({union}) ORDER BY vec_id, table_id
+"""
+
+
+ANN_LSH_BUCKETS_SQL = _lsh_buckets_sql()
+
+
 SIMILARITY_QUERIES: dict[str, tuple] = {
     "ann_topk_bruteforce": (ann_topk_bruteforce, ANN_TOPK_SQL),
     "embedding_neardup_cosine": (embedding_neardup_cosine, NEARDUP_LSH_SQL),
-    "ann_lsh_buckets": (ann_lsh_bucketed, None),  # rows-only: hyperplane folds aren't ANSI SQL
+    "ann_lsh_buckets": (ann_lsh_bucketed, ANN_LSH_BUCKETS_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
 }

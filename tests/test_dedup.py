@@ -36,7 +36,7 @@ def test_simhash_pairs_exact_vs_allpairs(spark):
     ids = sorted(sigs)
     for i, a in enumerate(ids):
         for b in ids[i + 1 :]:
-            h = bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
+            h = bin((sigs[a] ^ sigs[b]) & ((1 << 60) - 1)).count("1")
             if h <= HAMMING_TAU:
                 expected.add((a, b, h))
 
