@@ -39,25 +39,45 @@ _DATE_PATTERNS = [
 ]
 
 
+def _year_sane(d: Column) -> Column:
+    """Clamp format-parsed dates to 4-digit unsigned years. Java's yyyy
+    (SignStyle.EXCEEDS_PAD) sneaks in '-262144' / '+12345' style years
+    where chrono's %Y accepts any signed in-range integer — the two
+    parsers are irreconcilable beyond 4 digits, so the engine AND the
+    oracle pin the same documented contract: dash/slash/month-name
+    formats carry years 0000-9999 only (the %Y year-only branch keeps
+    chrono's full ±262143)."""
+    return F.when((F.year(d) >= 0) & (F.year(d) <= 9999), d)
+
+
 def parse_date(c: Column) -> Column:
     """15-format date cascade → DateType or null (utils/mod.rs:5-21,
     value_processor.rs:17-61). Ordering mirrors the reference's
     first-match-wins loop."""
     c = F.trim(c)
-    attempts = [F.try_to_date(c, p) for p in _DATE_PATTERNS]
-    attempts.append(F.try_to_date(F.try_to_timestamp(c, F.lit("yyyy-M-d H:m:s"))))
-    attempts.append(F.try_to_date(c, "MMM d, yyyy"))
-    attempts.append(F.try_to_date(c, "MMMM d, yyyy"))
-    # "%Y" special: whole-string integer → Jan 1 (value_processor.rs:30-37)
+    attempts = [_year_sane(F.try_to_date(c, p)) for p in _DATE_PATTERNS]
     attempts.append(
-        F.when(c.rlike(INT_RE), F.try_to_date(F.concat(c.cast("int"), F.lit("-1-1")), "y-M-d"))
+        _year_sane(F.try_to_date(F.try_to_timestamp(c, F.lit("yyyy-M-d H:m:s"))))
+    )
+    attempts.append(_year_sane(F.try_to_date(c, "MMM d, yyyy")))
+    attempts.append(_year_sane(F.try_to_date(c, "MMMM d, yyyy")))
+    # "%Y" special: whole-string integer → Jan 1 (value_processor.rs:30-37).
+    # Bounded to chrono's NaiveDate year range (±262143): java.time would
+    # happily build year 2_000_000 where the reference's from_ymd_opt
+    # returns None and falls through to the raw value.
+    yr = c.cast("int")
+    attempts.append(
+        F.when(
+            c.rlike(INT_RE) & (F.abs(yr) <= 262143),
+            F.try_to_date(F.concat(yr, F.lit("-1-1")), "y-M-d"),
+        )
     )
     # year-month fallbacks (value_processor.rs:39-58): "2024-06"/"2024/06" →
     # "<v>-01"; "Jun 2024"/"June 2024" → "01 <v>"
     swapped = F.concat(F.replace(c, F.lit("/"), F.lit("-")), F.lit("-01"))
-    attempts.append(F.try_to_date(swapped, "yyyy-M-d"))
-    attempts.append(F.try_to_date(F.concat(F.lit("01 "), c), "d MMMM yyyy"))
-    attempts.append(F.try_to_date(F.concat(F.lit("01 "), c), "d MMM yyyy"))
+    attempts.append(_year_sane(F.try_to_date(swapped, "yyyy-M-d")))
+    attempts.append(_year_sane(F.try_to_date(F.concat(F.lit("01 "), c), "d MMMM yyyy")))
+    attempts.append(_year_sane(F.try_to_date(F.concat(F.lit("01 "), c), "d MMM yyyy")))
     return F.coalesce(*attempts)
 
 

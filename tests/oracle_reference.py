@@ -48,11 +48,41 @@ def _month_no(tok: str) -> int | None:
     return None
 
 
-def _try_date(y: int, m: int, d: int) -> date | None:
+class _IsoDate(str):
+    def isoformat(self) -> str:  # duck-types datetime.date for callers
+        return str(self)
+
+
+_CHRONO_MAX_YEAR = 262143  # chrono NaiveDate year range: ±262143
+
+
+def _leap(y: int) -> bool:
+    return y % 4 == 0 and (y % 100 != 0 or y % 400 == 0)
+
+
+def _try_date(y: int, m: int, d: int) -> "_IsoDate | date | None":
+    if 1 <= y <= 9999:
+        try:
+            return date(y, m, d)
+        except ValueError:
+            return None
+    # chrono's proleptic Gregorian spans ±262143 — far past Python's
+    # datetime (1..9999). Validate (m, d) against a leap-aligned probe
+    # year and render chrono's %Y-%m-%d form: zero-padded to >=4 digits,
+    # '-' prefix for negative years (incl. year 0), '+' above 9999.
+    if abs(y) > _CHRONO_MAX_YEAR:
+        return None
     try:
-        return date(y, m, d)
+        date(2000 if _leap(y) else 2001, m, d)
     except ValueError:
         return None
+    if y < 0:
+        ys = f"-{abs(y):04d}"
+    elif y > 9999:
+        ys = f"+{y}"
+    else:
+        ys = f"{y:04d}"
+    return _IsoDate(f"{ys}-{m:02d}-{d:02d}")
 
 
 def parse_date_oracle(value: str) -> str | None:
