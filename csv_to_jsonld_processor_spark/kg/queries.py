@@ -219,10 +219,50 @@ def kg_webtext_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def kg_webtext_edge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-predicate edge statistics of the flagship pipeline run —
+    hash-checked REGRESSION PIN: the golden VALUES oracle is the
+    pipeline's own verified output on the deterministic seed-42 corpus
+    (independence from the generator ground truth is separately
+    pytest-gated at P/R >= 0.95 in tests/test_kg_pipeline.py; this gate
+    exists so any behavior drift in extract/NER/link/canonicalize turns
+    a driver row red instead of hiding in a rows-only count)."""
+    edges = kg_webtext_edges(spark, sf_dir)
+    return (
+        edges.groupBy("pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.countDistinct("subj").alias("n_subjects"),
+            F.countDistinct("obj").alias("n_objects"),
+        )
+        .orderBy("pred")
+    )
+
+
+KG_EDGE_STATS_SQL = """
+SELECT pred, CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(n_subjects AS BIGINT) AS n_subjects,
+       CAST(n_objects AS BIGINT) AS n_objects
+FROM (VALUES
+  ('http://example.org/kg/terms/acquired', 276, 6, 6),
+  ('http://example.org/kg/terms/birthPlace', 259, 8, 5),
+  ('http://example.org/kg/terms/founderOf', 493, 8, 6),
+  ('http://example.org/kg/terms/headquarters', 466, 6, 5),
+  ('http://example.org/kg/terms/partner', 270, 6, 6),
+  ('http://example.org/kg/terms/residence', 287, 8, 5),
+  ('http://example.org/kg/terms/worksFor', 739, 8, 6)
+) AS golden(pred, n_edges, n_subjects, n_objects)
+ORDER BY pred
+"""
+
+
 KG_QUERIES: dict[str, tuple] = {
     "kg_mention_counts": (kg_mention_counts, KG_MENTIONS_SQL),
     "kg_cooccurrence_edges": (kg_cooccurrence_edges, KG_COOC_SQL),
     "kg_entity_degree": (kg_entity_degree, KG_DEGREE_SQL),
     "kg_pagerank": (kg_pagerank, KG_PAGERANK_SQL),
     "kg_webtext_edges": (kg_webtext_edges, None),  # rows-only: NER+linking beyond ANSI SQL
+    "kg_webtext_edge_stats": (kg_webtext_edge_stats, KG_EDGE_STATS_SQL),
 }
