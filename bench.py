@@ -122,6 +122,11 @@ def main() -> None:
             # memory traffic in the fused python stage, which is what
             # bounds multi-core scaling on a single box
             "spark.sql.execution.arrow.pyspark.selfDestruct.enabled": "true",
+            # smaller Arrow batches keep the per-worker working set inside
+            # cache at high core counts: measured local[16] 16.3s → 14.3s
+            # per 4M pages (default 10000 → 2000) with local[4] unchanged —
+            # the knob that lifts the bandwidth-bound wide config
+            "spark.sql.execution.arrow.maxRecordsPerBatch": "2000",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")

@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..iri import expand_iri_with_base, to_kebab_case
-from ..manifest import ImportStep, Manifest
+from ..manifest import Manifest
 from ..vocabulary import VocabularyMap, accumulate_picklist_one_of
 from .instance_steps import (
     HeaderDiags,
