@@ -252,14 +252,28 @@ def _triples_for_values(pred: str, pairs: Column) -> Column:
 # --------------------------------------------------------------------------
 
 
+def csv_headers(spark: SparkSession, path: str) -> list[str]:
+    """First CSV record via the driver filesystem for plain paths, or
+    through Spark's Hadoop FS for scheme-qualified URIs (s3a://,
+    file://, hdfs://) — S3 storage (S5/S3) must not fall over on the
+    driver-side header peek."""
+    import csv as _csv
+    import io
+    import re as _re
+
+    if _re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", path):
+        first = spark.read.text(path).limit(1).collect()
+        line = first[0][0] if first else ""
+        return next(_csv.reader(io.StringIO(line.lstrip("\ufeff"))))
+    with open(path, newline="", encoding="utf-8-sig") as f:
+        return next(_csv.reader(f))
+
+
 def read_csv_positional(spark: SparkSession, path: str) -> tuple[DataFrame, list[str]]:
     """RFC-4180 scan; columns renamed c0..cn so header strings with
     dots/parens never fight Spark's column resolution. Returns the raw
     header list alongside."""
-    import csv as _csv
-
-    with open(path, newline="", encoding="utf-8-sig") as f:
-        headers = next(_csv.reader(f))
+    headers = csv_headers(spark, path)
     df = (
         spark.read.option("header", True)
         .option("quote", '"')

@@ -328,6 +328,58 @@ ORDER BY event_id
 """
 
 
+
+
+def events_activity_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join — per event, how many of the SAME user's
+    events fall in the trailing 2-hour window [ts - 2h, ts) (the
+    classic sessionless activity-density feature).
+
+    Scale shape: a naive range join on (key, range) degenerates to a
+    per-key cartesian; this uses HOUR-BUCKET BLOCKING — each candidate
+    event explodes into the 3 hour buckets it can serve ([u, u+2h]
+    spans at most 3 hour marks), the join is a pure equi-join on
+    (user_id, hour), and the exact interval predicate filters after.
+    Candidate fan-out is bounded at 3× regardless of key skew, and the
+    equi-join keeps Spark on a hash/sort-merge join instead of
+    BroadcastNestedLoop. DuckDB oracle is the plain range self-join."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].where(F.col("user_id") < 30).select("event_id", "user_id", "ts")
+    probe = ev.withColumn("hour", F.date_trunc("hour", F.col("ts")))
+    cand = ev.select(
+        F.col("user_id"),
+        F.col("ts").alias("other_ts"),
+    ).withColumn(
+        "hour",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 2), h -> date_trunc('hour', other_ts) + make_interval(0, 0, 0, 0, h, 0, 0))"
+            )
+        ),
+    )
+    j = probe.join(cand, ["user_id", "hour"]).where(
+        (F.col("other_ts") >= F.col("ts") - F.expr("INTERVAL 2 HOURS"))
+        & (F.col("other_ts") < F.col("ts"))
+    )
+    return (
+        j.groupBy("event_id", "user_id")
+        .agg(F.count(F.lit(1)).alias("n_recent_events"))
+        .orderBy("event_id")
+    )
+
+
+EVENTS_WINDOW_SQL = """
+SELECT e.event_id, e.user_id, COUNT(*) AS n_recent_events
+FROM (SELECT event_id, user_id, ts FROM events WHERE user_id < 30) e
+JOIN (SELECT user_id, ts AS other_ts FROM events WHERE user_id < 30) o
+  ON e.user_id = o.user_id
+ AND o.other_ts >= e.ts - INTERVAL 2 HOUR
+ AND o.other_ts <  e.ts
+GROUP BY e.event_id, e.user_id
+ORDER BY e.event_id
+"""
+
+
 RELATIONAL2_QUERIES: dict[str, tuple] = {
     "q4_order_priority_exists": (q4_order_priority_exists, Q4_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
@@ -337,4 +389,5 @@ RELATIONAL2_QUERIES: dict[str, tuple] = {
     "q7_nation_volume": (q7_nation_volume, Q7_SQL),
     "customer_order_gaps": (customer_order_gaps, ORDER_GAPS_SQL),
     "events_asof_orders": (events_asof_orders, ASOF_SQL),
+    "events_activity_window": (events_activity_window, EVENTS_WINDOW_SQL),
 }

@@ -97,3 +97,18 @@ def test_cli_validate_rejects_bad(tmp_path):
         cwd=REPO, capture_output=True, text=True,
     )
     assert r.returncode == 1
+
+
+def test_csv_scan_accepts_uri_paths(tmp_path):
+    """S3 storage-abstraction evidence: scheme-qualified paths (file://
+    here, s3a:// on a cluster) flow through Spark's Hadoop FS for both
+    the header peek and the scan — no driver-side open() on a URI."""
+    from csv_to_jsonld_processor_spark.operators.instance_steps import read_csv_positional
+    from csv_to_jsonld_processor_spark.session import get_spark
+
+    p = tmp_path / "t.csv"
+    p.write_text("Thing ID,Thing Name\nT1,Widget\n")
+    spark = get_spark("uri-scan", cpus=4)
+    df, headers = read_csv_positional(spark, f"file://{p}")
+    assert headers == ["Thing ID", "Thing Name"]
+    assert [tuple(r) for r in df.collect()] == [("T1", "Widget")]
