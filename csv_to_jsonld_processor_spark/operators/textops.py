@@ -300,6 +300,58 @@ GROUP BY s.doc_id ORDER BY s.doc_id
 """
 
 
+
+
+def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language token-length quantiles (p50/p90/p99) — the
+    corpus length-distribution report every training pipeline keeps.
+
+    DISCRETE quantiles via window rank (value at ceil(q·n), doc_id
+    tiebreak) rather than interpolating approx_percentile: rank
+    arithmetic is integer-exact so both engines hash-match, and at scale
+    one window shuffle per language replaces a driver-side sort."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].select(
+        "lang", "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    w = Window.partitionBy("lang").orderBy("n_tokens", "doc_id")
+    ranked = d.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("lang"))
+    )
+    qs = {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+    aggs = [
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.lit(q) * F.col("n")), F.col("n_tokens"))
+        ).alias(name)
+        for name, q in qs.items()
+    ]
+    return (
+        ranked.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), *aggs)
+        .orderBy("lang")
+    )
+
+
+DOC_QUANTILES_SQL = """
+WITH d AS (
+  SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+  FROM documents
+), ranked AS (
+  SELECT lang, n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM d
+)
+SELECT lang, COUNT(*) AS n_docs,
+       MAX(CASE WHEN rn = CEIL(0.5 * n)  THEN n_tokens END) AS p50,
+       MAX(CASE WHEN rn = CEIL(0.9 * n)  THEN n_tokens END) AS p90,
+       MAX(CASE WHEN rn = CEIL(0.99 * n) THEN n_tokens END) AS p99
+FROM ranked GROUP BY lang ORDER BY lang
+"""
+
+
 TEXT_QUERIES: dict[str, tuple] = {
     "doc_token_stats": (doc_token_stats, DOC_TOKEN_STATS_SQL),
     "doc_bpe_token_count": (doc_bpe_token_count, DOC_BPE_SQL),
@@ -309,4 +361,5 @@ TEXT_QUERIES: dict[str, tuple] = {
     "doc_sample_stratified": (doc_sample_stratified, DOC_SAMPLE_SQL),
     "doc_pack_sequences": (doc_pack_sequences, DOC_PACK_SQL),
     "doc_decontaminate": (doc_decontaminate, DOC_DECONTAM_SQL),
+    "doc_length_quantiles": (doc_length_quantiles, DOC_QUANTILES_SQL),
 }
