@@ -90,3 +90,15 @@ def test_vocabulary_shape(vocab):
     # replaced property ids emit camelCase finals
     p = vocab.properties["MF1"]
     assert p.id.final() == "http://example.com/dell-bom/terms/type"
+
+
+def test_fixture_corpus_has_no_violations(spark, manifest, vocab):
+    """The reference's own CLI processes this corpus under --strict
+    successfully (cli_tests.rs), so the violations path must emit ZERO
+    rows here — any row would be a false positive in header validation,
+    coercion checking, or picklist enforcement."""
+    from csv_to_jsonld_processor_spark.operators.violations import build_instance_outputs
+
+    _, violations = build_instance_outputs(spark, manifest, vocab, FIXTURES, strict=True)
+    rows = violations.collect()
+    assert rows == [], f"false-positive violations: {rows[:5]}"
