@@ -123,6 +123,59 @@ def validate_edges(edges: DataFrame, domain_range: dict[str, tuple[str, str]]) -
     )
 
 
+def validate_cardinality(edges: DataFrame, max_counts: dict[str, int]) -> DataFrame:
+    """sh:maxCount as a groupBy constraint: a subject whose DISTINCT
+    object count for a functional predicate exceeds the cap is a
+    violation (e.g. two different birthPlaces). One partial-aggregated
+    groupBy on (subj, pred) — at 100 TB the shuffle carries only the
+    (subj, pred) key space, and the cap table broadcasts."""
+    spark = edges.sparkSession
+    mc = spark.createDataFrame(
+        [(p, int(c)) for p, c in max_counts.items()], ["_pred", "_max_count"]
+    )
+    counts = edges.groupBy("subj", "pred").agg(F.countDistinct("obj").alias("n_obj"))
+    return (
+        counts.join(F.broadcast(mc), counts["pred"] == mc["_pred"])
+        .where(F.col("n_obj") > F.col("_max_count"))
+        .select(
+            F.lit("shacl_cardinality").alias("stage"),
+            F.lit("max_count_exceeded").alias("rule"),
+            F.col("subj"),
+            F.col("pred"),
+            F.concat_ws(" > ", F.col("n_obj").cast("string"), F.col("_max_count").cast("string")).alias("value"),
+            F.lit("warning").alias("severity"),
+        )
+    )
+
+
+def validate_node_iris(edges: DataFrame) -> DataFrame:
+    """sh:nodeKind sh:IRI + sh:pattern: every subject/object must be an
+    absolute IRI under the ids namespace and every predicate under the
+    terms namespace. A structural invariant of canonicalize_edges —
+    expected to emit ZERO rows on pipeline output (pytest-pinned); it
+    exists to catch foreign data merged into the edges table."""
+    import re as _re
+
+    id_pat = "^" + _re.escape(KG_IDS) + "[a-z0-9-]+/[a-z0-9-]+$"
+    term_pat = "^" + _re.escape(KG_TERMS) + "[A-Za-z0-9]+$"
+    bad = edges.where(
+        ~F.col("subj").rlike(id_pat)
+        | ~F.col("obj").rlike(id_pat)
+        | ~F.col("pred").rlike(term_pat)
+    )
+    return bad.select(
+        F.lit("shacl_node_kind").alias("stage"),
+        F.when(~F.col("pred").rlike(term_pat), F.lit("pred_not_term_iri"))
+        .when(~F.col("subj").rlike(id_pat), F.lit("subj_not_id_iri"))
+        .otherwise(F.lit("obj_not_id_iri"))
+        .alias("rule"),
+        F.col("subj"),
+        F.col("pred"),
+        F.col("obj").alias("value"),
+        F.lit("warning").alias("severity"),
+    )
+
+
 def with_bucket(df: DataFrame, key: str = "subj", n: int = N_BUCKETS) -> DataFrame:
     return df.withColumn("bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(n)).cast("int"))
 

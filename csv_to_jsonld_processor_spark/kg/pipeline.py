@@ -19,13 +19,24 @@ from .graph import (
     canonicalize_edges,
     materialize_graph,
     predicate_context,
+    validate_cardinality,
     validate_edges,
+    validate_node_iris,
 )
 from .link import kb_alias_table, kb_index, link_mentions
 
 DOMAIN_RANGE = {
     f"http://example.org/kg/terms/{canon}": (s_cls, o_cls)
     for _surface, canon, s_cls, o_cls in PREDICATES
+}
+
+# sh:maxCount: functional predicates — a person has one birth place, an
+# org one headquarters. The synthetic generator draws each fact's object
+# independently, so conflicting birthPlaces/headquarters occur and these
+# fire as genuine data-quality findings (pytest pins that they do)
+MAX_COUNTS = {
+    "http://example.org/kg/terms/birthPlace": 1,
+    "http://example.org/kg/terms/headquarters": 1,
 }
 
 
@@ -58,6 +69,8 @@ def build_kg(
 
     edges, viol = canonicalize_edges(linked, predicate_context(predicates))
     viol = viol.unionByName(validate_edges(edges, DOMAIN_RANGE))
+    viol = viol.unionByName(validate_cardinality(edges, MAX_COUNTS))
+    viol = viol.unionByName(validate_node_iris(edges))
 
     result = {"edges": edges, "violations": viol}
     if out_dir:

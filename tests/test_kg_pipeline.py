@@ -187,3 +187,38 @@ def test_resume_after_crash_before_ledger_commit(spark, pages, tmp_path):
     r = {tuple(x) for x in resumed.drop("part_id").collect()}
     c = {tuple(x) for x in clean.drop("part_id").collect()}
     assert r == c
+
+
+def test_shacl_cardinality_and_node_kind(spark, pages):
+    """sh:maxCount fires on conflicting functional facts (the generator
+    draws objects independently, so multi-birthPlace subjects exist);
+    sh:nodeKind is a structural invariant of canonicalization — zero
+    rows on pipeline output, but it must catch injected foreign rows."""
+    from pyspark.sql import functions as F
+
+    from csv_to_jsonld_processor_spark.kg.graph import validate_node_iris
+    from csv_to_jsonld_processor_spark.kg.pipeline import build_kg
+
+    res = build_kg(spark, pages)
+    by_rule = {
+        (r.stage, r.rule): r.n
+        for r in res["violations"].groupBy("stage", "rule").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_rule.get(("shacl_cardinality", "max_count_exceeded"), 0) > 0
+    assert not any(s == "shacl_node_kind" for s, _ in by_rule)
+
+    # injected foreign edge rows: each nodeKind rule must fire
+    bad = spark.createDataFrame(
+        [
+            ("not-an-iri", "http://example.org/kg/terms/worksFor",
+             "http://example.org/kg/ids/place/x", "n", "C", "n", "C", "u", 0),
+            ("http://example.org/kg/ids/person/a", "urn:other:pred",
+             "http://example.org/kg/ids/place/x", "n", "C", "n", "C", "u", 0),
+            ("http://example.org/kg/ids/person/a", "http://example.org/kg/terms/worksFor",
+             "relative/too/deep/x", "n", "C", "n", "C", "u", 0),
+        ],
+        "subj string, pred string, obj string, subj_name string, subj_class string, "
+        "obj_name string, obj_class string, url string, sent_idx int",
+    )
+    rules = {r.rule for r in validate_node_iris(bad).collect()}
+    assert rules == {"subj_not_id_iri", "pred_not_term_iri", "obj_not_id_iri"}
