@@ -222,3 +222,18 @@ def test_shacl_cardinality_and_node_kind(spark, pages):
     )
     rules = {r.rule for r in validate_node_iris(bad).collect()}
     assert rules == {"subj_not_id_iri", "pred_not_term_iri", "obj_not_id_iri"}
+
+
+def test_kg_stream_equals_batch(spark, pages, tmp_path):
+    """Incremental construction: the stateless KG stages run as a
+    Structured Streaming job (file source, availableNow drain) and must
+    produce exactly the batch edge set."""
+    from csv_to_jsonld_processor_spark.kg.pipeline import build_kg
+    from csv_to_jsonld_processor_spark.streaming.kg_stream import kg_edges_stream
+
+    d = str(tmp_path / "pages_stream")
+    pages.repartition(4).write.mode("overwrite").parquet(d)
+
+    batch = {tuple(r) for r in build_kg(spark, spark.read.parquet(d))["edges"].collect()}
+    streamed = {tuple(r) for r in kg_edges_stream(spark, d).collect()}
+    assert streamed == batch and len(batch) > 0
