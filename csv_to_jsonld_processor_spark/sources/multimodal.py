@@ -179,3 +179,81 @@ ORDER BY kind
 MULTIMODAL_QUERIES: dict[str, tuple] = {
     "media_feature_stats": (media_feature_stats, MEDIA_STATS_SQL),
 }
+
+
+# --------------------------------------------------------------------------
+# resize + frame-sample (the remaining multimodal plumbing ops)
+# --------------------------------------------------------------------------
+
+
+RESIZED_SCHEMA = (
+    "media_id long, kind string, width int, height int, channels int, blob binary"
+)
+
+
+def resize_media(media: DataFrame, factor: int = 2, codec: str = "synthetic") -> DataFrame:
+    """Binary→binary resize: decode, drop every ``factor``-th sample in
+    both spatial dims (nearest-neighbor downsample), re-encode in the
+    same blob format. mapInPandas keeps it partition-parallel and the
+    output is a valid media table (decode_blob round-trips it) — the
+    shape a real thumbnail/downsample stage has."""
+    import numpy as np
+    import pandas as pd
+
+    src = media.select("media_id", "blob")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                d = decode_blob(bytes(blob), codec)
+                w, h, c = d["width"], d["height"], d["channels"]
+                arr = np.frombuffer(d["payload"], dtype=np.uint8).reshape(h, w, c)
+                small = arr[::factor, ::factor, :]
+                nh, nw = small.shape[0], small.shape[1]
+                kind_i = _KINDS.index(d["kind"])
+                out_blob = _MAGIC + struct.pack("<BHHB", kind_i, nw, nh, c) + small.tobytes()
+                rows.append(
+                    {"media_id": int(mid), "kind": d["kind"], "width": nw,
+                     "height": nh, "channels": c, "blob": out_blob}
+                )
+            yield pd.DataFrame.from_records(rows)
+
+    return src.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = "media_id long, frame_idx int, frame_mean double"
+
+
+def sample_frames(media: DataFrame, every_k: int = 4, codec: str = "synthetic") -> DataFrame:
+    """Frame sampling for video rows (the fake codec models a video as
+    height 'frames' of width×channels samples): emit every k-th frame's
+    index and mean intensity. Non-video rows contribute nothing —
+    the filter happens inside the batch, exactly how a real
+    pyav-frame-iterator stage behaves."""
+    import numpy as np
+    import pandas as pd
+
+    src = media.select("media_id", "blob")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                d = decode_blob(bytes(blob), codec)
+                if d["kind"] != "video":
+                    continue
+                w, h, c = d["width"], d["height"], d["channels"]
+                arr = np.frombuffer(d["payload"], dtype=np.uint8).reshape(h, w * c)
+                for fi in range(0, h, every_k):
+                    rows.append(
+                        {"media_id": int(mid), "frame_idx": fi,
+                         "frame_mean": float(arr[fi].mean())}
+                    )
+            yield pd.DataFrame.from_records(rows) if rows else pd.DataFrame(
+                {"media_id": pd.Series(dtype="int64"),
+                 "frame_idx": pd.Series(dtype="int32"),
+                 "frame_mean": pd.Series(dtype="float64")}
+            )
+
+    return src.mapInPandas(run, schema=FRAMES_SCHEMA)

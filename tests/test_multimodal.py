@@ -69,3 +69,54 @@ def test_real_codec_is_stubbed():
     blob, *_ = synth_blob(1)
     with pytest.raises(NotImplementedError):
         decode_blob(blob, codec="real")
+
+
+def test_resize_roundtrip(spark):
+    """Resized blobs stay valid media: decode round-trips, dims are the
+    nearest-neighbor downsample, payload bytes match numpy recompute."""
+    import numpy as np
+
+    from csv_to_jsonld_processor_spark.sources.multimodal import (
+        decode_blob,
+        generate_media,
+        resize_media,
+        synth_blob,
+    )
+
+    media = generate_media(spark, 50)
+    out = {r.media_id: r for r in resize_media(media, factor=2).collect()}
+    assert len(out) == 50
+    for mid in (0, 7, 23):
+        blob, kind, w, h, c = synth_blob(mid)
+        d = decode_blob(bytes(out[mid].blob))
+        assert (d["width"], d["height"], d["channels"]) == ((w + 1) // 2, (h + 1) // 2, c)
+        orig = np.frombuffer(decode_blob(blob)["payload"], dtype=np.uint8).reshape(h, w, c)
+        want = orig[::2, ::2, :].tobytes()
+        assert d["payload"] == want
+
+
+def test_frame_sampling_videos_only(spark):
+    """Every 4th frame of each video row; image/audio rows contribute
+    nothing; means match a numpy recompute."""
+    import numpy as np
+
+    from csv_to_jsonld_processor_spark.sources.multimodal import (
+        decode_blob,
+        generate_media,
+        sample_frames,
+        synth_blob,
+    )
+
+    media = generate_media(spark, 60)
+    frames = sample_frames(media, every_k=4).collect()
+    kinds = {mid: synth_blob(mid)[1] for mid in range(60)}
+    vids = {m for m, k in kinds.items() if k == "video"}
+    assert {r.media_id for r in frames} == vids
+    for r in frames[:20]:
+        blob = synth_blob(r.media_id)[0]
+        d = decode_blob(blob)
+        arr = np.frombuffer(d["payload"], dtype=np.uint8).reshape(
+            d["height"], d["width"] * d["channels"]
+        )
+        assert r.frame_idx % 4 == 0
+        assert abs(r.frame_mean - float(arr[r.frame_idx].mean())) < 1e-9
