@@ -112,3 +112,27 @@ def test_csv_scan_accepts_uri_paths(tmp_path):
     df, headers = read_csv_positional(spark, f"file://{p}")
     assert headers == ["Thing ID", "Thing Name"]
     assert [tuple(r) for r in df.collect()] == [("T1", "Widget")]
+
+
+def test_cli_vocab_meta_flag(tmp_path, fixed_manifest):
+    """--vocab-meta round trip through the CLI: a second run driven by
+    the first run's exported metadata produces identical instances."""
+    env = dict(os.environ)
+    out1 = tmp_path / "o1"
+    r1 = subprocess.run(
+        [sys.executable, "-m", "csv_to_jsonld_processor_spark", "process",
+         "--manifest", fixed_manifest, "--base-path", FIXTURES,
+         "--output", str(out1), "--cpus", "4"],
+        cwd=REPO, capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    out2 = tmp_path / "o2"
+    r2 = subprocess.run(
+        [sys.executable, "-m", "csv_to_jsonld_processor_spark", "process",
+         "--manifest", fixed_manifest, "--base-path", FIXTURES,
+         "--output", str(out2), "--cpus", "4",
+         "--vocab-meta", str(out1 / "vocab_meta.json")],
+        cwd=REPO, capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert (out1 / "instances.jsonld").read_text() == (out2 / "instances.jsonld").read_text()
