@@ -36,17 +36,24 @@ def _compile_gazetteer(gazetteer: list[str]) -> "re.Pattern":
     return re.compile(r"\b(" + "|".join(parts) + r")\b")
 
 
+def _padded(surfaces: list[str]) -> list[tuple[str, str]]:
+    """[(surface, ' surface ')]: the search patterns are loop constants —
+    precompute once per partition, not per sentence × surface."""
+    return [(s, f" {s} ") for s in surfaces]
+
+
 def _extract_from_text(
-    url: str, text: str, surfaces: list[str], gaz: "re.Pattern"
+    url: str, text: str, surfaces: list[tuple[str, str]], gaz: "re.Pattern"
 ) -> list[tuple]:
+    """``surfaces`` is the _padded() pair list (ordered longest-first)."""
     rows = []
+    find = str.find
     for si, sent in enumerate(_SENT_SPLIT.split(text)):
         sent = sent.rstrip(".").strip()
         if not sent:
             continue
-        for surface in surfaces:
-            pat = f" {surface} "
-            pos = sent.find(pat)
+        for surface, pat in surfaces:
+            pos = find(sent, pat)
             if pos <= 0:
                 continue
             # subject: gazetteer match ending nearest before the predicate;
@@ -79,7 +86,7 @@ def extract_mentions(
     to several canonical entities."""
     import pandas as pd
 
-    ordered = sorted(surfaces, key=len, reverse=True)
+    ordered = _padded(sorted(surfaces, key=len, reverse=True))
     gaz = _compile_gazetteer(gazetteer)
     src = pages
     if lang_filter is not None and "lang" in pages.columns:
@@ -125,7 +132,7 @@ def extract_link_from_html(
     from ..extract import extract_text
     from .link import resolve_mention
 
-    ordered = sorted(surfaces, key=len, reverse=True)
+    ordered = _padded(sorted(surfaces, key=len, reverse=True))
     gaz = _compile_gazetteer(gazetteer)
     src = pages
     if lang_filter is not None and "lang" in pages.columns:
@@ -184,7 +191,7 @@ def extract_mentions_from_html(
 
     from ..extract import extract_text
 
-    ordered = sorted(surfaces, key=len, reverse=True)
+    ordered = _padded(sorted(surfaces, key=len, reverse=True))
     gaz = _compile_gazetteer(gazetteer)
     src = pages
     if lang_filter is not None and "lang" in pages.columns:
