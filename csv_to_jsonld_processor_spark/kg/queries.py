@@ -11,6 +11,11 @@ is pytest-gated).
   extraction: subject term, "next-to" predicate, object term.
 - ``kg_entity_degree``: graph-side aggregation over the extracted edges
   (entity materialization A1 analog).
+- ``kg_pagerank``: weighted PageRank, 10 fixed iterations, vs a DuckDB
+  oracle that unrolls the same iterations as chained CTEs.
+- ``kg_webtext_edges`` / ``kg_webtext_edge_stats``: the flagship
+  HTML→triples pipeline on the deterministic synthetic corpus —
+  rows-only + a hash-checked per-predicate regression pin.
 """
 
 from __future__ import annotations
