@@ -513,10 +513,101 @@ ORDER BY doc_a, doc_b
 """
 
 
+
+
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE MinHash dedup chain: LSH candidates → exact Jaccard
+    verification on candidates only → confirmed near-dups at tau.
+
+    Verification work is proportional to |candidates| × shingles-per-doc
+    (the candidate set joins back to the shingle table on doc id, then
+    equi-joins the other side on (doc, shingle)) — never the all-pairs
+    shingle self-join. This is the production shape: LSH prunes, exact
+    Jaccard decides."""
+    t = load_tables(spark, sf_dir)
+    cand = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    sh = _doc_shingles(t["documents"])
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    return (
+        cand.join(common, ["doc_a", "doc_b"], "left")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.coalesce(F.col("n_common"), F.lit(0)).alias("n_common"),
+            F.round(
+                F.coalesce(F.col("n_common"), F.lit(0)).cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.coalesce(F.col("n_common"), F.lit(0))).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .withColumn("is_dup", (F.col("jaccard") >= JACCARD_TAU).cast("boolean"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+DEDUP_MINHASH_VERIFIED_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))), ' ') AS tokens
+  FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(tokens) - {SHINGLE_K - 1}, 0)),
+           i -> array_to_string(tokens[i:i+{SHINGLE_K - 1}], ' ')))) AS shingle
+  FROM toks
+), sig AS (
+  SELECT doc_id,
+         {", ".join(f"MIN(substr(md5('{i}:' || shingle), 1, 16)) AS mh{i}" for i in range(MINHASH_K))}
+  FROM sh GROUP BY doc_id
+), banded AS (
+  {" UNION ALL ".join(
+      "SELECT doc_id, " + str(b) + " AS band_idx, md5("
+      + " || '|' || ".join(f"mh{b * LSH_ROWS + r}" for r in range(LSH_ROWS))
+      + ") AS band_key FROM sig"
+      for b in range(LSH_BANDS)
+  )}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id
+), common AS (
+  SELECT c.doc_a AS ca, c.doc_b AS cb, COUNT(*) AS n_common
+  FROM cand c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(COALESCE(cm.n_common, 0) AS BIGINT) AS n_common,
+       ROUND(CAST(COALESCE(cm.n_common, 0) AS DOUBLE)
+             / (sa.n_shingles + sb.n_shingles - COALESCE(cm.n_common, 0)), 6) AS jaccard,
+       (CAST(COALESCE(cm.n_common, 0) AS DOUBLE)
+             / (sa.n_shingles + sb.n_shingles - COALESCE(cm.n_common, 0))) >= {JACCARD_TAU} AS is_dup
+FROM cand c
+LEFT JOIN common cm ON cm.ca = c.doc_a AND cm.cb = c.doc_b
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+ORDER BY doc_a, doc_b
+"""
+
+
 DEDUP_QUERIES: dict[str, tuple] = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
+    "dedup_minhash_verified": (dedup_minhash_verified, DEDUP_MINHASH_VERIFIED_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_simhash_pairs": (dedup_simhash_pairs, DEDUP_SIMHASH_PAIRS_SQL),
     "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
