@@ -558,7 +558,7 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_MINHASH_VERIFIED_SQL = f"""
+DEDUP_MINHASH_VERIFIED_SQL = rf"""
 WITH toks AS (
   SELECT doc_id, string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))), ' ') AS tokens
   FROM documents

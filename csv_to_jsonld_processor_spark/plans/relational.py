@@ -2,9 +2,18 @@
 
 Each query is written declaratively with the DataFrame API so Catalyst
 handles predicate pushdown, column pruning, join reordering and (with
-AQE) runtime skew handling. Joins against small dimensions are
-explicitly ``broadcast()`` — on a 1000-executor cluster region/nation/
-supplier-sized tables must never shuffle.
+AQE) runtime skew handling. Broadcast-hint policy: only bounded-size
+relations get an explicit ``broadcast()`` — the constant-cardinality
+dims (region, nation) and *filtered projections* whose size is bounded
+by a selective predicate (e.g. q3's segment-filtered custkey slice).
+Tables that scale with SF (customer, supplier, part) are NEVER
+force-broadcast unfiltered: at the 100 TB analog a forced broadcast of
+customer is a multi-GB build side replicated to every executor (driver
+OOM / build-side OOM). Their join strategy is left to parquet size
+stats + AQE, which auto-broadcasts while small and switches to shuffle
+joins past ``spark.sql.autoBroadcastJoinThreshold``.
+tests/test_plan_quality.py::test_no_forced_broadcast_of_scaling_tables
+locks this policy.
 
 Numeric discipline (cross-engine determinism): floating-point SUM is
 order-dependent, and Spark's partial aggregation order differs from any
@@ -122,8 +131,11 @@ LIMIT 10
 
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-style: revenue by nation where supplier and customer share
-    a nation. region/nation/supplier/customer are all broadcast dims; the
-    single large shuffle is orders⋈lineitem.
+    a nation. Only the true dims (region, region-filtered nation) carry a
+    broadcast hint; customer and supplier scale with SF, so their join
+    strategy is left to stats + AQE (auto-broadcast while they fit,
+    shuffle join beyond the threshold — a forced broadcast would OOM the
+    build side at the 100 TB analog). The large shuffle is orders⋈lineitem.
     """
     t = load_tables(spark, sf_dir)
     lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
@@ -136,9 +148,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t["orders"].where((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
     j = (
         orders.join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(t["supplier"]),
+            t["supplier"],
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("s_nationkey") == F.col("c_nationkey")),
         )
@@ -183,7 +195,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t["lineitem"].where(F.col("l_returnflag") == "R")
     return (
         orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(

@@ -79,7 +79,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo = F.lit("1996-09-01 00:00:00").cast("timestamp")
     hi = F.lit("1996-10-01 00:00:00").cast("timestamp")
     li = t["lineitem"].where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
-    j = li.join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+    j = li.join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
     disc = F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
     promo = F.when(F.col("p_type").startswith("PROMO"), disc).otherwise(F.lit(0).cast(DEC))
     return j.agg(
@@ -112,7 +112,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_name",
             "o_orderkey",
@@ -179,8 +179,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = (
         t["lineitem"]
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
         .where(

@@ -128,3 +128,40 @@ def test_media_metadata_projection_prunes_blob(spark, tmp_path):
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "blob" not in read_schema
     assert "meta_width" in read_schema
+
+
+def test_no_forced_broadcast_of_scaling_tables():
+    """Broadcast hints are only legal on bounded relations: constant
+    dims (region/nation) or filtered/projected slices. A forced
+    broadcast of an UNFILTERED SF-scaling table (customer, supplier,
+    part, orders, lineitem) is the inverse anti-pattern — at the 100 TB
+    analog it replicates a multi-GB build side to every executor. This
+    lints the plan sources for the direct pattern; filtered slices like
+    ``F.broadcast(t["customer"].where(...))`` intentionally don't match."""
+    import re
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parent.parent / "csv_to_jsonld_processor_spark"
+    scaling = ("customer", "supplier", "part", "orders", "lineitem")
+    pat = re.compile(
+        r"F\.broadcast\(\s*t\[\s*['\"](%s)['\"]\s*\]\s*\)" % "|".join(scaling)
+    )
+    offenders = []
+    for py in sorted(pkg.rglob("*.py")):
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            if pat.search(line):
+                offenders.append(f"{py.relative_to(pkg.parent)}:{i}: {line.strip()}")
+    assert not offenders, "forced broadcast of unfiltered scaling table:\n" + "\n".join(offenders)
+
+
+def test_q5_no_broadcast_hint_on_scaling_tables(spark):
+    """q5's analyzed plan must carry broadcast hints only on the
+    region-filtered nation dim — customer/supplier join strategy is
+    AQE's call, not a hint."""
+    from csv_to_jsonld_processor_spark.plans.relational import q5_local_supplier_volume
+
+    df = q5_local_supplier_volume(spark, SF)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    # exactly two hinted subtrees, both bounded dims: the ASIA-filtered
+    # region inside the nation build, and the region-filtered nation
+    assert analyzed.count("ResolvedHint") == 2
