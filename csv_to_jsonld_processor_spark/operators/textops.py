@@ -164,6 +164,7 @@ SELECT doc_id, fingerprint, substr(fingerprint, 1, 4) AS fp_bucket FROM (
 
 SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.1, "zz": 0.1}
 PACK_WINDOW = 4096
+PACK_BLOCK_DOCS = 100  # docs per packing block; production: ~64k (few hundred MB text)
 CONTAM_K = 13  # 13-gram overlap, the common decontamination shingle size
 BENCH_DOCS = 10  # doc_id < BENCH_DOCS play the held-out benchmark set
 
@@ -208,45 +209,62 @@ GROUP BY lang ORDER BY lang
 
 
 def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence packing: assign docs (in deterministic doc_id order,
-    partitioned by language) to {PACK_WINDOW}-token context windows via a
-    running token cumsum — the batch-assembly step before tokenizer
-    sharding. One window shuffle on lang; at 100 TB packing runs inside
-    each shard (partitionBy shard key) so state never crosses executors."""
+    """Sequence packing: assign docs (in deterministic doc_id order) to
+    {PACK_WINDOW}-token context windows via a running token cumsum — the
+    batch-assembly step before tokenizer sharding.
+
+    Scale shape: the window key is TWO-level, (lang, block) with
+    block = floor(doc_id / {PACK_BLOCK_DOCS}) — packing state is
+    block-local, so window parallelism grows with the corpus instead of
+    being one task per language (on a real web corpus ~half the data is
+    'en'; a lang-only window key would sort half the corpus in one
+    task). Packing never crosses a block boundary by design — the same
+    property that lets each tokenizer shard pack independently. At
+    100 TB, size the block to a few hundred MB of text (e.g. ~64k docs);
+    here it is {PACK_BLOCK_DOCS} so even sf0.001 exercises multiple
+    blocks per language."""
     from pyspark.sql.window import Window
 
     t = load_tables(spark, sf_dir)
     d = t["documents"].select(
-        "doc_id", "lang", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+        "doc_id",
+        "lang",
+        (F.col("doc_id") / F.lit(PACK_BLOCK_DOCS)).cast("int").alias("block"),
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
     )
-    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    w = (
+        Window.partitionBy("lang", "block")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     d = d.withColumn("cum_tokens", F.sum("n_tokens").over(w))
     d = d.withColumn(
         "pack_id", F.floor((F.col("cum_tokens") - F.col("n_tokens")) / F.lit(PACK_WINDOW)).cast("int")
     )
     return (
-        d.groupBy("lang", "pack_id")
+        d.groupBy("lang", "block", "pack_id")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("pack_tokens"),
             F.min("doc_id").alias("first_doc"),
         )
-        .orderBy("lang", "pack_id")
+        .orderBy("lang", "block", "pack_id")
     )
 
 
 DOC_PACK_SQL = f"""
 WITH d AS (
-  SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+  SELECT doc_id, lang, CAST(FLOOR(doc_id / {PACK_BLOCK_DOCS}) AS INT) AS block,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
   FROM documents
 ), c AS (
-  SELECT *, SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+  SELECT *, SUM(n_tokens) OVER (PARTITION BY lang, block ORDER BY doc_id
                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
   FROM d
 )
-SELECT lang, CAST(FLOOR((cum_tokens - n_tokens) / {PACK_WINDOW}.0) AS INT) AS pack_id,
+SELECT lang, block, CAST(FLOOR((cum_tokens - n_tokens) / {PACK_WINDOW}.0) AS INT) AS pack_id,
        COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens, MIN(doc_id) AS first_doc
-FROM c GROUP BY 1, 2 ORDER BY lang, pack_id
+FROM c GROUP BY 1, 2, 3 ORDER BY lang, block, pack_id
 """
 
 

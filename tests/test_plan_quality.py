@@ -165,3 +165,19 @@ def test_q5_no_broadcast_hint_on_scaling_tables(spark):
     # exactly two hinted subtrees, both bounded dims: the ASIA-filtered
     # region inside the nation build, and the region-filtered nation
     assert analyzed.count("ResolvedHint") == 2
+
+
+def test_doc_pack_window_parallelism_scales(spark):
+    """Sequence packing must not funnel each language into one window
+    partition (at web scale ~half the corpus is 'en'). The two-level
+    (lang, block) key gives >1 block per language even at sf0.001."""
+    from csv_to_jsonld_processor_spark.operators.textops import doc_pack_sequences
+
+    out = doc_pack_sequences(spark, SF)
+    groups = out.select("lang", "block").distinct().collect()
+    langs = {r.lang for r in groups}
+    assert len(groups) > len(langs)  # window keys outnumber languages
+    per_lang = {}
+    for r in groups:
+        per_lang.setdefault(r.lang, set()).add(r.block)
+    assert all(len(b) > 1 for b in per_lang.values())
