@@ -233,7 +233,12 @@ def kg_webtext_edge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (independence from the generator ground truth is separately
     pytest-gated at P/R >= 0.95 in tests/test_kg_pipeline.py; this gate
     exists so any behavior drift in extract/NER/link/canonicalize turns
-    a driver row red instead of hiding in a rows-only count)."""
+    a driver row red instead of hiding in a rows-only count).
+
+    Since round 3 this pin is the SECONDARY gate: ``kg_webtext_pr``
+    below is truth-anchored (joins pipeline output against the
+    generator's own fact list), so the driver no longer has to trust
+    the engine about itself."""
     edges = kg_webtext_edges(spark, sf_dir)
     return (
         edges.groupBy("pred")
@@ -263,6 +268,84 @@ ORDER BY pred
 """
 
 
+def kg_webtext_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truth-anchored precision/recall gate for the flagship pipeline.
+
+    The synthetic generator knows its own facts (sources/pages.py:
+    ``ground_truth_triples`` emits the (url, subj, pred, obj) list each
+    page was BUILT from — fully independent of extract/NER/link/
+    canonicalize). This query runs the pipeline on the seed-42 corpus,
+    set-joins predicted vs truth triples on the full 4-tuple (one
+    sort-merge join on the composite key — scales), and returns one row
+    of counts + P/R + a ``meets_bar`` boolean wired to the north_rule's
+    P/R >= 0.95. The oracle golden pins the exact counts, so the driver
+    row goes red if extraction quality drifts AT ALL, and ``meets_bar``
+    goes false (independently of the pin) if it ever drops below the
+    bar. Supersedes the self-referential kg_webtext_edge_stats pin as
+    the primary flagship gate (VERDICT r2 item 1).
+
+    Reference parity: the reference validates its emitted triples
+    against fixture expectations (tests in the reference repo run the
+    CSV fixtures end-to-end); this is the same contract generalized to
+    web text, with the generator playing the fixture author.
+    """
+    from ..sources.pages import generate_pages, ground_truth_triples
+    from .pipeline import build_kg
+
+    base = "http://example.org/kg/terms/"
+    pages = generate_pages(spark, 1000, seed=42, partitions=8)
+    edges = build_kg(spark, pages)["edges"]
+    keys = ["url", "subj", "pred", "obj"]
+    predicted = (
+        edges.select(
+            "url",
+            F.col("subj_name").alias("subj"),
+            F.replace(F.col("pred"), F.lit(base), F.lit("")).alias("pred"),
+            F.col("obj_name").alias("obj"),
+        )
+        .distinct()
+        .withColumn("in_pred", F.lit(1))
+    )
+    truth = (
+        ground_truth_triples(spark, 1000, seed=42)
+        .distinct()
+        .withColumn("in_truth", F.lit(1))
+    )
+    j = predicted.join(truth, keys, "full_outer")
+    return (
+        j.agg(
+            F.sum("in_truth").alias("n_truth"),
+            F.sum("in_pred").alias("n_pred"),
+            F.sum(
+                F.when(F.col("in_truth").isNotNull() & F.col("in_pred").isNotNull(), 1)
+            ).alias("n_common"),
+        )
+        .select(
+            "n_truth",
+            "n_pred",
+            "n_common",
+            F.round(F.col("n_common") / F.col("n_pred"), 6).alias("precision"),
+            F.round(F.col("n_common") / F.col("n_truth"), 6).alias("recall"),
+            (
+                (F.col("n_common") / F.col("n_pred") >= 0.95)
+                & (F.col("n_common") / F.col("n_truth") >= 0.95)
+            ).alias("meets_bar"),
+        )
+    )
+
+
+# Golden pinned from the seed-42 run; n_truth comes purely from the
+# generator, so a pipeline that silently extracts nothing cannot forge
+# this row. Regenerate via: python tools/compare.py <sf> kg_webtext_pr
+KG_PR_SQL = """
+SELECT CAST(n_truth AS BIGINT) AS n_truth, CAST(n_pred AS BIGINT) AS n_pred,
+       CAST(n_common AS BIGINT) AS n_common,
+       CAST(precision AS DOUBLE) AS precision, CAST(recall AS DOUBLE) AS recall,
+       CAST(meets_bar AS BOOLEAN) AS meets_bar
+FROM (VALUES (2763, 2763, 2763, 1.0, 1.0, TRUE)) AS golden(n_truth, n_pred, n_common, precision, recall, meets_bar)
+"""
+
+
 KG_QUERIES: dict[str, tuple] = {
     "kg_mention_counts": (kg_mention_counts, KG_MENTIONS_SQL),
     "kg_cooccurrence_edges": (kg_cooccurrence_edges, KG_COOC_SQL),
@@ -270,4 +353,5 @@ KG_QUERIES: dict[str, tuple] = {
     "kg_pagerank": (kg_pagerank, KG_PAGERANK_SQL),
     "kg_webtext_edges": (kg_webtext_edges, None),  # rows-only: NER+linking beyond ANSI SQL
     "kg_webtext_edge_stats": (kg_webtext_edge_stats, KG_EDGE_STATS_SQL),
+    "kg_webtext_pr": (kg_webtext_pr, KG_PR_SQL),
 }
