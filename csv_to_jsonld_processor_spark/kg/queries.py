@@ -13,9 +13,11 @@ is pytest-gated).
   (entity materialization A1 analog).
 - ``kg_pagerank``: weighted PageRank, 10 fixed iterations, vs a DuckDB
   oracle that unrolls the same iterations as chained CTEs.
-- ``kg_webtext_edges`` / ``kg_webtext_edge_stats``: the flagship
-  HTML→triples pipeline on the deterministic synthetic corpus —
-  rows-only + a hash-checked per-predicate regression pin.
+- ``kg_webtext_edges`` / ``kg_webtext_edge_stats`` / ``kg_webtext_pr``:
+  the flagship HTML→triples pipeline on the deterministic synthetic
+  corpus — full-table hash check vs a generator-derived golden, a
+  per-predicate regression pin, and a truth-anchored precision/recall
+  row (the primary gate).
 """
 
 from __future__ import annotations
@@ -211,9 +213,14 @@ KG_PAGERANK_SQL = _pagerank_sql()
 def kg_webtext_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship web-text pipeline end-to-end on a deterministic
     1,000-page synthetic corpus: HTML → extract → NER → link →
-    canonicalize → edges. Not ANSI-SQL-expressible (gazetteer NER +
-    linking) → rows-only driver check; P/R vs the generator's ground
-    truth is pytest-gated (tests/test_kg_pipeline.py)."""
+    canonicalize → edges. The extraction itself is not ANSI-SQL-
+    expressible (gazetteer NER + linking), but the EXPECTED output is
+    derivable from the generator's own fact list — the oracle reads
+    tests/golden/kg_webtext_edges.csv, written by
+    tools/regen_kg_edges_golden.py purely from sources/pages.py ground
+    truth (sent_idx = fact position in the page's sentence sequence;
+    IRIs from the shared F10 namespacing rule). Truth-anchored full-
+    table hash check; P/R ≥ 0.95 additionally pytest-gated."""
     from ..sources.pages import generate_pages
     from .pipeline import build_kg
 
@@ -224,6 +231,15 @@ def kg_webtext_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# Truth-anchored full-table oracle (see kg_webtext_edges docstring).
+KG_EDGES_SQL = """
+SELECT url, CAST(sent_idx AS INT) AS sent_idx, subj, pred, obj
+FROM read_csv('/root/repo/tests/golden/kg_webtext_edges.csv',
+              header=true, all_varchar=true)
+ORDER BY url, sent_idx, subj, pred, obj
+"""
 
 
 def kg_webtext_edge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -351,7 +367,7 @@ KG_QUERIES: dict[str, tuple] = {
     "kg_cooccurrence_edges": (kg_cooccurrence_edges, KG_COOC_SQL),
     "kg_entity_degree": (kg_entity_degree, KG_DEGREE_SQL),
     "kg_pagerank": (kg_pagerank, KG_PAGERANK_SQL),
-    "kg_webtext_edges": (kg_webtext_edges, None),  # rows-only: NER+linking beyond ANSI SQL
+    "kg_webtext_edges": (kg_webtext_edges, KG_EDGES_SQL),
     "kg_webtext_edge_stats": (kg_webtext_edge_stats, KG_EDGE_STATS_SQL),
     "kg_webtext_pr": (kg_webtext_pr, KG_PR_SQL),
 }
