@@ -103,6 +103,37 @@ def _doc_shingles(docs: DataFrame) -> DataFrame:
     )
 
 
+def _ngram_candidate_pairs(
+    docs: DataFrame, max_shingle_freq: int | None = MAX_SHINGLE_FREQ
+) -> tuple[DataFrame, DataFrame]:
+    """Shingle-blocked candidate generation: explode → (optional)
+    hot-shingle cap → self-equi-join on shingle → per-pair intersection
+    counts. The cap is THE fan-out bound: a boilerplate shingle shared
+    by f docs alone contributes C(f,2) join rows, so one stopword shield
+    in a web corpus makes the join quadratic without it
+    (tests/test_dedup_stress.py proves the bound on a planted corpus).
+    Returns (pairs(doc_a, doc_b, n_common), sizes(doc_id, n_shingles));
+    sizes are computed BEFORE the cap so Jaccard stays exact for every
+    surviving pair."""
+    sh = _doc_shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    if max_shingle_freq is not None:
+        hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
+        sh = sh.join(
+            F.broadcast(hot.where(F.col("freq") > max_shingle_freq).select("shingle")),
+            "shingle",
+            "left_anti",
+        )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return pairs, sizes
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by word-5-gram Jaccard >= 0.8.
 
@@ -110,23 +141,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     → per-pair intersection counts → Jaccard from |A|+|B|-∩. Hot-shingle
     cap bounds the join fan-out at scale."""
     t = load_tables(spark, sf_dir)
-    sh = _doc_shingles(t["documents"])
-
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
-    sh_cold = sh.join(
-        F.broadcast(hot.where(F.col("freq") > MAX_SHINGLE_FREQ).select("shingle")),
-        "shingle",
-        "left_anti",
-    )
-
-    a = sh_cold.alias("a")
-    b = sh_cold.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    pairs, sizes = _ngram_candidate_pairs(t["documents"])
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
     jac = (
@@ -380,39 +395,20 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate CLUSTERS: connected components over the MinHash/LSH
-    pair graph, each doc labeled with its component's minimum doc_id
-    (the canonical keeper — the standard "pick one per dup cluster"
-    step after pair generation). Exact dups are a subgraph by
-    construction (identical text → identical signature → same bands).
-
-    Algorithm: iterative min-label propagation to fixpoint — per round,
-    every node takes min(own label, neighbors' labels); rounds = graph
-    diameter (dup clusters are shallow, 2-4 in practice). Each round is
-    ONE shuffle on node id; ``localCheckpoint`` cuts lineage so plans
-    stay flat. At 100 TB the known upgrade is alternating large-star/
-    small-star (Kiveris et al.) — same join shape, fewer rounds on
-    skewed components; min-propagation keeps this oracle-exact.
-
-    Docs in no pair are singleton clusters (cluster = own id), so the
-    output covers the whole corpus: (doc_id, cluster, cluster_size).
-    """
-    t = load_tables(spark, sf_dir)
-    pairs = dedup_minhash_lsh(spark, sf_dir)
-    edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
-        pairs.selectExpr("doc_b AS src", "doc_a AS dst")
-    ).localCheckpoint()
-
-    # only nodes that appear in an edge can ever change label — iterate
-    # over that (much smaller) set; singletons join back at the end
+def _cc_min_label(edges: DataFrame) -> tuple[DataFrame, int]:
+    """Connected components by min-label propagation: per round every
+    node takes min(own label, neighbors' labels); converges in diameter
+    rounds. ``edges`` must be the SYMMETRIC pair list (src, dst).
+    Returns (labels(node, label), rounds). Kept as the simple baseline —
+    ``_cc_star`` below is the production algorithm (O(log n) rounds)."""
     labels = (
         edges.select(F.col("src").alias("node")).distinct()
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-
+    rounds = 0
     while True:
+        rounds += 1
         msgs = (
             edges.join(labels, edges.src == labels.node)
             .select(F.col("dst").alias("node"), F.col("label"))
@@ -432,6 +428,98 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    return labels, rounds
+
+
+def _cc_star(edges: DataFrame) -> tuple[DataFrame, int]:
+    """Connected components by alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14): per round every node hooks its larger neighbors (then its
+    smaller neighbors) directly onto its neighborhood minimum, so chains
+    collapse doubly-exponentially — O(log n) rounds vs diameter for
+    min-label propagation, and per-round output stays bounded by the
+    edge count (no frontier blow-up on skewed/hub components — the
+    100 TB property; tests/test_dedup_stress.py measures the round
+    reduction on a planted deep chain).
+
+    ``edges`` is any (src, dst) pair list, src != dst. Returns
+    (labels(node, label=component min), rounds)."""
+    # canonical (hi, lo) orientation; the loop preserves it
+    canon = (
+        edges.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    rounds = 0
+    while True:
+        rounds += 1
+        sym = canon.unionByName(
+            canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        # large-star: u's strictly-larger neighbors → min(Γ(u) ∪ {u})
+        mins = sym.groupBy("src").agg(F.min("dst").alias("mn"))
+        mins = mins.withColumn("m", F.least("mn", "src"))
+        large = (
+            sym.join(mins, "src")
+            .where(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        # small-star on the (hi, lo) output: hi's ≤-neighbors and hi
+        # itself → min neighbor
+        smins = large.groupBy("src").agg(F.min("dst").alias("m"))
+        new_canon = (
+            large.join(smins, "src")
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .unionByName(smins.select("src", F.col("m").alias("dst")))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint()
+        )
+        stable = (
+            new_canon.subtract(canon).count() == 0
+            and canon.subtract(new_canon).count() == 0
+        )
+        canon = new_canon
+        if stable:
+            break
+    # at fixpoint the graph is a forest of stars: every non-root points
+    # at its component min; roots label themselves
+    labels = canon.select(F.col("src").alias("node"), F.col("dst").alias("label"))
+    roots = (
+        canon.select(F.col("dst").alias("node"))
+        .distinct()
+        .join(labels.select("node"), "node", "left_anti")
+        .withColumn("label", F.col("node"))
+    )
+    return labels.unionByName(roots), rounds
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the MinHash/LSH
+    pair graph, each doc labeled with its component's minimum doc_id
+    (the canonical keeper — the standard "pick one per dup cluster"
+    step after pair generation). Exact dups are a subgraph by
+    construction (identical text → identical signature → same bands).
+
+    Algorithm: alternating large-star/small-star (``_cc_star``) —
+    O(log n) rounds with per-round work bounded by the edge count, the
+    scale-safe choice for skewed dup clusters (boilerplate mega-
+    clusters). Output identical to min-label propagation (component min
+    labels), so the recursive-CTE DuckDB oracle is unchanged;
+    tests/test_dedup_stress.py pins label equality of the two
+    algorithms and the round reduction on a planted deep chain.
+
+    Docs in no pair are singleton clusters (cluster = own id), so the
+    output covers the whole corpus: (doc_id, cluster, cluster_size).
+    """
+    t = load_tables(spark, sf_dir)
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    labels, _rounds = _cc_star(pairs.selectExpr("doc_a AS src", "doc_b AS dst"))
 
     full = (
         t["documents"]
