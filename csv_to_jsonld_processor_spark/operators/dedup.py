@@ -480,9 +480,11 @@ def _cc_star(edges: DataFrame) -> tuple[DataFrame, int]:
             .distinct()
             .localCheckpoint()
         )
+        # set equality via |new| == |old| plus new ⊆ old (one count + one
+        # broadcast-able anti-join — cheaper than two full subtracts)
         stable = (
-            new_canon.subtract(canon).count() == 0
-            and canon.subtract(new_canon).count() == 0
+            new_canon.count() == canon.count()
+            and new_canon.join(canon, ["src", "dst"], "left_anti").count() == 0
         )
         canon = new_canon
         if stable:
