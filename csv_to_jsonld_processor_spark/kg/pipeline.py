@@ -76,3 +76,77 @@ def build_kg(
     if out_dir:
         result["counts"] = materialize_graph(edges, viol, out_dir)
     return result
+
+
+def build_kg_resumable(
+    spark: SparkSession,
+    pages: DataFrame,
+    work_dir: str,
+    n_parts: int = 16,
+    entities: list[tuple] = ENTITIES,
+    predicates: list[tuple] = PREDICATES,
+    fail_at: tuple[str, int] | None = None,
+) -> dict:
+    """The full pipeline as CHAINED resumable stages (north_rule: "every
+    stage checkpoints per-partition lineage and counters ... a killed
+    run resumes at partition granularity").
+
+    Each stage materializes under ``work_dir/<stage>/part_id=k/`` and
+    commits per-partition ledger rows (kg/lineage.py run_stage); a
+    killed run re-invoked with the same work_dir skips every
+    (stage, partition) already ledgered — including fully-complete
+    earlier stages — and reprocesses only what's pending. Stage
+    boundaries are the three shuffle-free row-local transforms
+    (mentions → linked → edges); the global steps (SHACL cardinality,
+    node-kind checks) run post-hoc over the final materialized edges,
+    where they are plain aggregations and need no per-partition resume.
+
+    ``fail_at=(stage, k)`` injects a crash after k partitions of the
+    named stage — the kill-and-resume test hook.
+
+    Output contract: identical edge set to ``build_kg(...,
+    link_strategy='broadcast')`` (pinned by
+    tests/test_kg_pipeline.py::test_resumable_pipeline_equals_batch).
+    """
+    from .lineage import run_stage
+
+    surfaces = [p[0] for p in predicates]
+    gazetteer = [a for _c, aliases, _cls in entities for a in aliases]
+    kb = kb_alias_table(spark, entities)
+    ledger = f"{work_dir}/ledger"
+
+    def _fail(stage: str) -> int | None:
+        return fail_at[1] if fail_at and fail_at[0] == stage else None
+
+    mentions = run_stage(
+        spark, "mentions", pages,
+        lambda df: extract_mentions_from_html(df, surfaces, gazetteer),
+        f"{work_dir}/mentions", ledger, key="url", n_parts=n_parts,
+        fail_after_parts=_fail("mentions"),
+    )
+
+    def _link(df: DataFrame) -> DataFrame:
+        out = link_mentions(df, kb, "subj_mention")
+        return link_mentions(out, kb, "obj_mention")
+
+    linked = run_stage(
+        spark, "linked", mentions.drop("part_id"), _link,
+        f"{work_dir}/linked", ledger, key="url", n_parts=n_parts,
+        fail_after_parts=_fail("linked"),
+    )
+
+    ctx = predicate_context(predicates)
+    edges = run_stage(
+        spark, "edges", linked.drop("part_id"),
+        lambda df: canonicalize_edges(df, ctx)[0],
+        f"{work_dir}/edges", ledger, key="url", n_parts=n_parts,
+        fail_after_parts=_fail("edges"),
+    ).drop("part_id")
+
+    viol = canonicalize_edges(
+        spark.read.parquet(f"{work_dir}/linked").drop("part_id"), ctx
+    )[1]
+    viol = viol.unionByName(validate_edges(edges, DOMAIN_RANGE))
+    viol = viol.unionByName(validate_cardinality(edges, MAX_COUNTS))
+    viol = viol.unionByName(validate_node_iris(edges))
+    return {"edges": edges, "violations": viol, "ledger": ledger}

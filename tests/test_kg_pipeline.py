@@ -237,3 +237,35 @@ def test_kg_stream_equals_batch(spark, pages, tmp_path):
     batch = {tuple(r) for r in build_kg(spark, spark.read.parquet(d))["edges"].collect()}
     streamed = {tuple(r) for r in kg_edges_stream(spark, d).collect()}
     assert streamed == batch and len(batch) > 0
+
+
+def test_resumable_pipeline_equals_batch(spark, pages, tmp_path):
+    """Full-pipeline resume: kill the chained run mid-stage-2, resume
+    with the same work_dir, and require the exact batch edge set. The
+    ledger must show all three stages complete only after the resume."""
+    from csv_to_jsonld_processor_spark.kg.lineage import completed_parts
+    from csv_to_jsonld_processor_spark.kg.pipeline import build_kg, build_kg_resumable
+
+    work = str(tmp_path / "kg_resume")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        build_kg_resumable(spark, pages, work, n_parts=8, fail_at=("linked", 3))
+    ledger = f"{work}/ledger"
+    assert len(completed_parts(spark, ledger, "mentions")) == 8
+    assert len(completed_parts(spark, ledger, "linked")) == 3
+    assert len(completed_parts(spark, ledger, "edges")) == 0
+
+    resumed = build_kg_resumable(spark, pages, work, n_parts=8)
+    assert len(completed_parts(spark, ledger, "edges")) == 8
+
+    batch = build_kg(spark, pages, link_strategy="broadcast")["edges"]
+    cols = ["url", "sent_idx", "subj", "pred", "obj"]
+    a = {tuple(r) for r in resumed["edges"].select(*cols).collect()}
+    b = {tuple(r) for r in batch.select(*cols).collect()}
+    assert a == b and len(a) > 0
+
+    # violations recomputed post-hoc must cover the same rule families
+    rules = {r.rule for r in resumed["violations"].select("rule").distinct().collect()}
+    batch_rules = {
+        r.rule for r in build_kg(spark, pages)["violations"].select("rule").distinct().collect()
+    }
+    assert rules == batch_rules
