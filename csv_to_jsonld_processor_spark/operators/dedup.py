@@ -453,6 +453,7 @@ def _cc_star(edges: DataFrame) -> tuple[DataFrame, int]:
         .distinct()
         .localCheckpoint()
     )
+    n_canon = canon.count()
     rounds = 0
     while True:
         rounds += 1
@@ -481,12 +482,14 @@ def _cc_star(edges: DataFrame) -> tuple[DataFrame, int]:
             .localCheckpoint()
         )
         # set equality via |new| == |old| plus new ⊆ old (one count + one
-        # broadcast-able anti-join — cheaper than two full subtracts)
+        # broadcast-able anti-join — cheaper than two full subtracts;
+        # |old| carried over from the previous round, no recount)
+        n_new = new_canon.count()
         stable = (
-            new_canon.count() == canon.count()
+            n_new == n_canon
             and new_canon.join(canon, ["src", "dst"], "left_anti").count() == 0
         )
-        canon = new_canon
+        canon, n_canon = new_canon, n_new
         if stable:
             break
     # at fixpoint the graph is a forest of stars: every non-root points
