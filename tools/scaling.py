@@ -76,7 +76,11 @@ def main() -> None:
     secondary = None if args.skip_secondary else measure_pair(8, args.pages, pages_dir, repeat=1)
 
     edges = primary["hi"]["kg_edges"]
-    md = f"""# BENCH/BASELINE — scaling evidence
+    md = f"""
+
+---
+
+# Scaling protocol run ({time.strftime('%Y-%m-%d %H:%M:%S')})
 
 KG construction pipeline (pages parquet → fused HTML-extract + mention
 detection + entity linking (broadcast KB) → predicate canonicalization →
@@ -119,8 +123,10 @@ Notes:
   splits (4 MB splits → {args.pages:,}-page corpus ≈ hundreds of tasks).
 - Measured {time.strftime('%Y-%m-%d %H:%M:%S')}; zstd parquet, AQE on.
 """
+    # BENCH/BASELINE.md accumulates evidence (optimization history, skew
+    # benches, prior protocol runs) — append a dated section, never clobber
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
         f.write(md)
     print(md)
     print(json.dumps({"efficiency": round(primary["eff"], 3),
