@@ -442,9 +442,75 @@ SELECT vec_id, table_id, bucket FROM ({union}) ORDER BY vec_id, table_id
 ANN_LSH_BUCKETS_SQL = _lsh_buckets_sql()
 
 
+def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible RECALL GATE for the LSH near-dup scale path: one
+    row (n_truth, n_found, recall, meets_floor) comparing the bucketed
+    operator against exact all-pairs truth.
+
+    The truth side is quadratic BY DEFINITION (it measures against
+    exhaustive ground truth) — this query runs at gate scale (the
+    sampled test corpus), never on the full corpus; the operator it
+    audits (embedding_neardup_cosine) is the production path. Precision
+    is 1.0 by construction (candidates are exact-rescored against the
+    same tau), so recall is the only free quality axis. The DuckDB
+    oracle COMPUTES both sides (no pinned VALUES): the identical
+    ±1-plane buckets and the identical brute-force, so a recall
+    regression from bucket-logic drift on either engine turns the row
+    red. meets_floor wires the pytest floor (expected ≈ 99.7% from the
+    rho-curve: per-table hit prob 0.984^16, 4 tables)."""
+    truth = embedding_neardup_bruteforce(spark, sf_dir).select("id_a", "id_b")
+    pred = (
+        embedding_neardup_cosine(spark, sf_dir)
+        .select("id_a", "id_b")
+        .withColumn("in_pred", F.lit(1))
+    )
+    j = truth.join(pred, ["id_a", "id_b"], "left")
+    return (
+        j.agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            F.coalesce(F.sum("in_pred"), F.lit(0)).alias("n_found"),
+        )
+        .select(
+            "n_truth",
+            "n_found",
+            F.round(F.col("n_found") / F.col("n_truth"), 6).alias("recall"),
+            (F.col("n_found") / F.col("n_truth") >= 0.95).alias("meets_floor"),
+        )
+    )
+
+
+ANN_LSH_RECALL_SQL = f"""
+WITH pred_full AS ({NEARDUP_LSH_SQL.replace("ORDER BY id_a, id_b", "")}),
+base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), e AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + {ND_ID_OFFSET},
+         list_transform(list_zip(v, v[2:] || v[1:1]),
+                        x -> x[1] + {ND_EPS} * x[2]) AS v
+  FROM base
+), truth AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= {NEARDUP_TAU}
+), joined AS (
+  SELECT t.id_a, t.id_b,
+         CASE WHEN p.id_a IS NOT NULL THEN 1 END AS in_pred
+  FROM truth t LEFT JOIN pred_full p ON p.id_a = t.id_a AND p.id_b = t.id_b
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
+       CAST(COALESCE(SUM(in_pred), 0) AS BIGINT) AS n_found,
+       ROUND(COALESCE(SUM(in_pred), 0) * 1.0 / COUNT(*), 6) AS recall,
+       (COALESCE(SUM(in_pred), 0) * 1.0 / COUNT(*)) >= 0.95 AS meets_floor
+FROM joined
+"""
+
+
 SIMILARITY_QUERIES: dict[str, tuple] = {
     "ann_topk_bruteforce": (ann_topk_bruteforce, ANN_TOPK_SQL),
     "embedding_neardup_cosine": (embedding_neardup_cosine, NEARDUP_LSH_SQL),
     "ann_lsh_buckets": (ann_lsh_bucketed, ANN_LSH_BUCKETS_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
+    "ann_lsh_recall": (ann_lsh_recall, ANN_LSH_RECALL_SQL),
 }
