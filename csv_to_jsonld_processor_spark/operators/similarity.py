@@ -507,10 +507,58 @@ FROM joined
 """
 
 
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible recall@{TOP_K} gate for the IVF scale path: one
+    row (n_truth, n_found, recall, meets_floor) comparing IVF probe
+    top-k against exhaustive brute-force top-k over the same
+    {N_QUERIES} queries. Like ann_lsh_recall, the truth side is
+    quadratic by definition and runs at gate scale only; the DuckDB
+    oracle COMPUTES both sides (no pinned VALUES). The {IVF_PROBES}/
+    {N_CENTROIDS} probe ratio puts expected recall well above the 0.8
+    floor asserted by meets_floor (pytest pins the same floor)."""
+    truth = ann_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    pred = (
+        ann_ivf_topk(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("in_pred", F.lit(1))
+    )
+    j = truth.join(pred, ["query_id", "neighbor_id"], "left")
+    return (
+        j.agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            F.coalesce(F.sum("in_pred"), F.lit(0)).alias("n_found"),
+        )
+        .select(
+            "n_truth",
+            "n_found",
+            F.round(F.col("n_found") / F.col("n_truth"), 6).alias("recall"),
+            (F.col("n_found") / F.col("n_truth") >= 0.8).alias("meets_floor"),
+        )
+    )
+
+
+ANN_IVF_RECALL_SQL = f"""
+WITH truth AS ({ANN_TOPK_SQL.replace("ORDER BY query_id, rank", "")}),
+pred AS ({ANN_IVF_SQL.replace("ORDER BY query_id, rank", "")}),
+joined AS (
+  SELECT t.query_id, t.neighbor_id,
+         CASE WHEN p.query_id IS NOT NULL THEN 1 END AS in_pred
+  FROM truth t LEFT JOIN pred p
+    ON p.query_id = t.query_id AND p.neighbor_id = t.neighbor_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
+       CAST(COALESCE(SUM(in_pred), 0) AS BIGINT) AS n_found,
+       ROUND(COALESCE(SUM(in_pred), 0) * 1.0 / COUNT(*), 6) AS recall,
+       (COALESCE(SUM(in_pred), 0) * 1.0 / COUNT(*)) >= 0.8 AS meets_floor
+FROM joined
+"""
+
+
 SIMILARITY_QUERIES: dict[str, tuple] = {
     "ann_topk_bruteforce": (ann_topk_bruteforce, ANN_TOPK_SQL),
     "embedding_neardup_cosine": (embedding_neardup_cosine, NEARDUP_LSH_SQL),
     "ann_lsh_buckets": (ann_lsh_bucketed, ANN_LSH_BUCKETS_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
     "ann_lsh_recall": (ann_lsh_recall, ANN_LSH_RECALL_SQL),
+    "ann_ivf_recall": (ann_ivf_recall, ANN_IVF_RECALL_SQL),
 }
