@@ -362,6 +362,45 @@ FROM (VALUES (2763, 2763, 2763, 1.0, 1.0, TRUE)) AS golden(n_truth, n_pred, n_co
 """
 
 
+def kg_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain graph statistics over the flagship pipeline's edges —
+    the MEGA-DOMAIN axis of the north_rule's skew clause (hosts are
+    Zipf-distributed: site1 alone holds ~7% of pages). The aggregation
+    shape is the skew-safe one: COUNT(DISTINCT) per host plans as
+    Spark's two-phase distinct expansion (partial aggregate per input
+    partition, then a final merge keyed by host), so the head domain's
+    rows are combined map-side and no single reducer sees its raw edge
+    list. Oracle: DuckDB computes the same stats from the
+    generator-derived golden edge table (tests/golden/
+    kg_webtext_edges.csv) — no pinned values, truth-anchored."""
+    edges = kg_webtext_edges(spark, sf_dir)
+    host = F.regexp_extract(F.col("url"), r"https://([^/]+)/", 1)
+    return (
+        edges.withColumn("host", host)
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.countDistinct("url").alias("n_pages"),
+            F.countDistinct("subj").alias("n_subjects"),
+            F.countDistinct("pred").alias("n_predicates"),
+        )
+        .orderBy(F.desc("n_edges"), F.asc("host"))
+    )
+
+
+KG_DOMAIN_SQL = """
+SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+       CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(COUNT(DISTINCT url) AS BIGINT) AS n_pages,
+       CAST(COUNT(DISTINCT subj) AS BIGINT) AS n_subjects,
+       CAST(COUNT(DISTINCT pred) AS BIGINT) AS n_predicates
+FROM read_csv('/root/repo/tests/golden/kg_webtext_edges.csv',
+              header=true, all_varchar=true)
+GROUP BY 1
+ORDER BY n_edges DESC, host ASC
+"""
+
+
 KG_QUERIES: dict[str, tuple] = {
     "kg_mention_counts": (kg_mention_counts, KG_MENTIONS_SQL),
     "kg_cooccurrence_edges": (kg_cooccurrence_edges, KG_COOC_SQL),
@@ -370,4 +409,5 @@ KG_QUERIES: dict[str, tuple] = {
     "kg_webtext_edges": (kg_webtext_edges, KG_EDGES_SQL),
     "kg_webtext_edge_stats": (kg_webtext_edge_stats, KG_EDGE_STATS_SQL),
     "kg_webtext_pr": (kg_webtext_pr, KG_PR_SQL),
+    "kg_domain_stats": (kg_domain_stats, KG_DOMAIN_SQL),
 }
