@@ -121,6 +121,58 @@ SELECT term, CAST(SUM(weight) AS BIGINT) AS degree FROM deg GROUP BY term ORDER 
 """
 
 
+def kg_two_hop_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop path aggregation over the co-occurrence graph: for every
+    (src, dst) pair connected through an intermediate node, the number
+    of distinct 2-paths and their total weight (product of hop weights)
+    — the basic graph-traversal join behind neighborhood features and
+    link prediction.
+
+    Plan: edges ⋈ edges on mid node — ONE shuffle keyed by the join
+    column, then a partial-aggregated groupBy. At web scale the mid-node
+    key is hub-skewed (celebrity entities), the same hazard profile as
+    entity linking; the mitigations benched in BENCH/BASELINE.md
+    (salting, AQE skew-join) apply to this join identically. Round-trip
+    paths (src == dst through a mid) are kept — the usual convention
+    for path-count features."""
+    edges = kg_cooccurrence_edges(spark, sf_dir)
+    a = edges.select(
+        F.col("subj").alias("src"), F.col("obj").alias("mid"), F.col("weight").alias("w1")
+    )
+    b = edges.select(
+        F.col("subj").alias("mid"), F.col("obj").alias("dst"), F.col("weight").alias("w2")
+    )
+    return (
+        a.join(b, "mid")
+        .groupBy("src", "dst")
+        .agg(
+            F.count(F.lit(1)).alias("n_paths"),
+            F.sum(F.col("w1") * F.col("w2")).alias("path_weight"),
+        )
+        .orderBy("src", "dst")
+    )
+
+
+KG_TWO_HOP_SQL = f"""
+WITH toks AS (SELECT string_split(text,' ') AS tokens FROM documents),
+bg AS (
+  SELECT unnest(list_transform(generate_series(1, greatest(len(tokens)-1, 0)),
+                i -> struct_pack(subj := tokens[i], obj := tokens[i+1]))) AS p
+  FROM toks
+), edges AS (
+  SELECT p.subj AS subj, p.obj AS obj, COUNT(*) AS weight
+  FROM bg
+  WHERE list_contains({LEXICON!r}, p.subj) AND list_contains({LEXICON!r}, p.obj)
+  GROUP BY 1, 2
+)
+SELECT a.subj AS src, b.obj AS dst,
+       CAST(COUNT(*) AS BIGINT) AS n_paths,
+       CAST(SUM(a.weight * b.weight) AS BIGINT) AS path_weight
+FROM edges a JOIN edges b ON a.obj = b.subj
+GROUP BY 1, 2 ORDER BY src, dst
+"""
+
+
 PR_ITERS = 10
 PR_DAMP = 0.85
 
@@ -405,6 +457,7 @@ KG_QUERIES: dict[str, tuple] = {
     "kg_mention_counts": (kg_mention_counts, KG_MENTIONS_SQL),
     "kg_cooccurrence_edges": (kg_cooccurrence_edges, KG_COOC_SQL),
     "kg_entity_degree": (kg_entity_degree, KG_DEGREE_SQL),
+    "kg_two_hop_paths": (kg_two_hop_paths, KG_TWO_HOP_SQL),
     "kg_pagerank": (kg_pagerank, KG_PAGERANK_SQL),
     "kg_webtext_edges": (kg_webtext_edges, KG_EDGES_SQL),
     "kg_webtext_edge_stats": (kg_webtext_edge_stats, KG_EDGE_STATS_SQL),
