@@ -118,6 +118,7 @@ def extract_link_from_html(
     gazetteer: list[str],
     idx: dict,
     lang_filter: str | None = "en",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Fully fused HTML→text→mentions→LINK in one mapInPandas stage.
 
@@ -126,6 +127,11 @@ def extract_link_from_html(
     single shuffle-free scan (the 100 TB fast path; hub-entity skew is
     moot because every partition resolves its own mentions locally).
     The output matches link_mentions(broadcast|salted_shuffle) exactly.
+
+    ``passthrough`` names page columns to replicate onto each emitted
+    row (e.g. ``("warc_ts",)`` so streaming aggregations can watermark
+    on crawl time). Empty by default — the hot path is byte-identical
+    to the benchmarked round-2 stage when unused.
     """
     import pandas as pd
 
@@ -137,14 +143,18 @@ def extract_link_from_html(
     src = pages
     if lang_filter is not None and "lang" in pages.columns:
         src = src.where(F.col("lang") == lang_filter)
-    src = src.select("url", "html")
+    src = src.select("url", "html", *passthrough)
     bidx = src.sparkSession.sparkContext.broadcast(idx)
 
     cols = [
         "url", "sent_idx", "subj_mention", "pred_surface", "obj_mention",
         "subj_mention_entity", "subj_mention_class", "subj_mention_score",
         "obj_mention_entity", "obj_mention_class", "obj_mention_score",
-    ]
+    ] + list(passthrough)
+    schema = LINKED_SCHEMA
+    if passthrough:
+        extra = {f.name: f.dataType.simpleString() for f in pages.schema.fields}
+        schema += ", " + ", ".join(f"{c} {extra[c]}" for c in passthrough)
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         local_idx = bidx.value
@@ -159,17 +169,18 @@ def extract_link_from_html(
 
         for pdf in batches:
             rows: list[tuple] = []
-            for url, html in zip(pdf["url"], pdf["html"]):
+            extras_cols = [pdf[c] for c in passthrough]
+            for url, html, *extras in zip(pdf["url"], pdf["html"], *extras_cols):
                 if html is None:
                     continue
                 text = extract_text(bytes(html))
                 for u, si, subj, surf, obj in _extract_from_text(url, text, ordered, gaz):
                     se, sc, ss = link(subj)
                     oe, oc, os_ = link(obj)
-                    rows.append((u, si, subj, surf, obj, se, sc, ss, oe, oc, os_))
+                    rows.append((u, si, subj, surf, obj, se, sc, ss, oe, oc, os_, *extras))
             yield pd.DataFrame(rows, columns=cols)
 
-    return src.mapInPandas(run, schema=LINKED_SCHEMA)
+    return src.mapInPandas(run, schema=schema)
 
 
 def extract_mentions_from_html(

@@ -269,3 +269,37 @@ def test_resumable_pipeline_equals_batch(spark, pages, tmp_path):
         r.rule for r in build_kg(spark, pages)["violations"].select("rule").distinct().collect()
     }
     assert rules == batch_rules
+
+
+def test_kg_windowed_stream_agg_equals_batch(spark, pages, tmp_path):
+    """Stateful streaming KG aggregation: watermarked per-(day window,
+    pred) edge counts drained over a file stream must equal the batch
+    counts computed independently (build_kg edges joined back to pages
+    for crawl time)."""
+    from pyspark.sql import functions as F
+
+    from csv_to_jsonld_processor_spark.kg.pipeline import build_kg
+    from csv_to_jsonld_processor_spark.streaming.kg_stream import (
+        kg_edge_window_counts_stream,
+    )
+
+    d = str(tmp_path / "pages_winstream")
+    pages.repartition(4).write.mode("overwrite").parquet(d)
+
+    streamed = {
+        (r.window_start, r.pred, r.n_edges)
+        for r in kg_edge_window_counts_stream(spark, d).collect()
+    }
+
+    pages_ts = spark.read.parquet(d).select("url", "warc_ts")
+    batch = {
+        (r.window_start, r.pred, r.n_edges)
+        for r in (
+            build_kg(spark, spark.read.parquet(d))["edges"]
+            .join(pages_ts, "url")
+            .groupBy(F.window("warc_ts", "1 day").alias("w"), "pred")
+            .agg(F.count(F.lit(1)).alias("n_edges"))
+            .select(F.col("w.start").alias("window_start"), "pred", "n_edges")
+        ).collect()
+    }
+    assert streamed == batch and len(batch) > 5
