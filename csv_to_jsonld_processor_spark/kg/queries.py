@@ -453,6 +453,48 @@ ORDER BY n_edges DESC, host ASC
 """
 
 
+def kg_shacl_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible SHACL gate: the sh:maxCount violations the
+    flagship pipeline raises on the seed-42 corpus (functional
+    predicates birthPlace/headquarters with >1 distinct object — the
+    generator draws objects independently, so these are genuine
+    data-quality findings, pytest-pinned to be non-empty). The DuckDB
+    oracle DERIVES the same violations from the generator-anchored
+    golden edge table — validation logic exercised end-to-end on both
+    engines, nothing pinned."""
+    from .graph import validate_cardinality
+    from .pipeline import MAX_COUNTS
+
+    edges = kg_webtext_edges(spark, sf_dir)
+    return (
+        validate_cardinality(edges, MAX_COUNTS)
+        .select("stage", "rule", "subj", "pred", "value", "severity")
+        .orderBy("subj", "pred")
+    )
+
+
+KG_SHACL_SQL = """
+WITH counts AS (
+  SELECT subj, pred, COUNT(DISTINCT obj) AS n_obj
+  FROM read_csv('/root/repo/tests/golden/kg_webtext_edges.csv',
+                header=true, all_varchar=true)
+  GROUP BY 1, 2
+), mc AS (
+  SELECT * FROM (VALUES
+    ('http://example.org/kg/terms/birthPlace', 1),
+    ('http://example.org/kg/terms/headquarters', 1)
+  ) AS t(_pred, _max_count)
+)
+SELECT 'shacl_cardinality' AS stage, 'max_count_exceeded' AS rule,
+       subj, pred,
+       CAST(n_obj AS VARCHAR) || ' > ' || CAST(_max_count AS VARCHAR) AS value,
+       'warning' AS severity
+FROM counts JOIN mc ON pred = _pred
+WHERE n_obj > _max_count
+ORDER BY subj, pred
+"""
+
+
 KG_QUERIES: dict[str, tuple] = {
     "kg_mention_counts": (kg_mention_counts, KG_MENTIONS_SQL),
     "kg_cooccurrence_edges": (kg_cooccurrence_edges, KG_COOC_SQL),
@@ -463,4 +505,5 @@ KG_QUERIES: dict[str, tuple] = {
     "kg_webtext_edge_stats": (kg_webtext_edge_stats, KG_EDGE_STATS_SQL),
     "kg_webtext_pr": (kg_webtext_pr, KG_PR_SQL),
     "kg_domain_stats": (kg_domain_stats, KG_DOMAIN_SQL),
+    "kg_shacl_cardinality": (kg_shacl_cardinality, KG_SHACL_SQL),
 }
