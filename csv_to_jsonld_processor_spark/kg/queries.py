@@ -495,6 +495,70 @@ ORDER BY subj, pred
 """
 
 
+def kg_entity_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized ENTITY table of the flagship run: endpoints of
+    every edge deduped by IRI with their canonical label + class (the
+    reference's merge-by-@id A1 applied to the graph — same union +
+    dropDuplicates shape as kg/graph.py materialize_graph). Oracle: the
+    table is fully determined by the public KB (sources/pages.py
+    ENTITIES) and the F10 namespacing rule, so the SQL is generated
+    from those constants at import time — truth-anchored, no run pin.
+    All 19 KB entities appear in edges on the seed-42 corpus."""
+    from ..sources.pages import generate_pages
+    from .pipeline import build_kg
+
+    pages = generate_pages(spark, 1000, seed=42, partitions=8)
+    edges = build_kg(spark, pages)["edges"]
+    subj_side = edges.select(
+        F.col("subj").alias("iri"), F.col("subj_name").alias("label"),
+        F.col("subj_class").alias("entity_class"),
+    )
+    obj_side = edges.select(
+        F.col("obj").alias("iri"), F.col("obj_name").alias("label"),
+        F.col("obj_class").alias("entity_class"),
+    )
+    return subj_side.unionByName(obj_side).dropDuplicates(["iri"]).orderBy("iri")
+
+
+def _entity_table_sql() -> str:
+    from ..iri import to_kebab_case
+    from ..sources.pages import ENTITIES
+
+    rows = []
+    for canonical, _aliases, cls in ENTITIES:
+        iri = f"http://example.org/kg/ids/{to_kebab_case(cls)}/{to_kebab_case(canonical)}"
+        rows.append(f"('{iri}', '{canonical}', '{cls}')")
+    return (
+        "SELECT iri, label, entity_class FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS kb(iri, label, entity_class) ORDER BY iri"
+    )
+
+
+KG_ENTITY_TABLE_SQL = _entity_table_sql()
+
+
+def kg_predicate_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized PREDICATE table (iri, n_edges) of the flagship
+    run — same aggregation as materialize_graph. Oracle derives the
+    counts from the generator-anchored golden edge table."""
+    edges = kg_webtext_edges(spark, sf_dir)
+    return (
+        edges.groupBy("pred")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+        .withColumnRenamed("pred", "iri")
+        .orderBy("iri")
+    )
+
+
+KG_PREDICATE_TABLE_SQL = """
+SELECT pred AS iri, CAST(COUNT(*) AS BIGINT) AS n_edges
+FROM read_csv('/root/repo/tests/golden/kg_webtext_edges.csv',
+              header=true, all_varchar=true)
+GROUP BY 1 ORDER BY iri
+"""
+
+
 KG_QUERIES: dict[str, tuple] = {
     "kg_mention_counts": (kg_mention_counts, KG_MENTIONS_SQL),
     "kg_cooccurrence_edges": (kg_cooccurrence_edges, KG_COOC_SQL),
@@ -506,4 +570,6 @@ KG_QUERIES: dict[str, tuple] = {
     "kg_webtext_pr": (kg_webtext_pr, KG_PR_SQL),
     "kg_domain_stats": (kg_domain_stats, KG_DOMAIN_SQL),
     "kg_shacl_cardinality": (kg_shacl_cardinality, KG_SHACL_SQL),
+    "kg_entity_table": (kg_entity_table, KG_ENTITY_TABLE_SQL),
+    "kg_predicate_table": (kg_predicate_table, KG_PREDICATE_TABLE_SQL),
 }
