@@ -13,11 +13,17 @@ is pytest-gated).
   (entity materialization A1 analog).
 - ``kg_pagerank``: weighted PageRank, 10 fixed iterations, vs a DuckDB
   oracle that unrolls the same iterations as chained CTEs.
+- ``kg_two_hop_paths``: path-counting self-join over the edge table.
 - ``kg_webtext_edges`` / ``kg_webtext_edge_stats`` / ``kg_webtext_pr``:
   the flagship HTML→triples pipeline on the deterministic synthetic
   corpus — full-table hash check vs a generator-derived golden, a
   per-predicate regression pin, and a truth-anchored precision/recall
   row (the primary gate).
+- ``kg_domain_stats`` / ``kg_shacl_cardinality`` / ``kg_entity_table``
+  / ``kg_predicate_table``: mega-domain skew stats, SHACL maxCount
+  findings, and the materialized entity/predicate tables — every
+  oracle computed from the generator-anchored golden or the public KB
+  constants, nothing pinned to a run.
 """
 
 from __future__ import annotations
