@@ -25,9 +25,15 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 
 _SKIP_TAGS = ("script", "style")
-# first chars that force the full tag-name parse: s/S (script/style),
-# '/' (closers), whitespace (padded names like "< script")
-_SLOW_FIRST = frozenset("sS/ \t\n\r\f\v")
+# first chars that force the full tag-name parse: s/S (script/style) and
+# whitespace (padded names like "< script"). Closers ('/') take the fast
+# path: it is only reachable when skip_until is None, and a closing tag
+# can never START a skip — while a skip IS active every tag goes through
+# the slow parse (the fast-path guard requires skip_until is None), so
+# </script>/</style> still terminate skips correctly. Byte-identical
+# output (golden hashes + 3000-case fuzz vs a reference impl); measured
+# 1.14x on extract_text, interleaved A/B (closers ≈ half of all tags).
+_SLOW_FIRST = frozenset("sS \t\n\r\f\v")
 
 
 def extract_text(html_bytes: bytes) -> str:
@@ -60,8 +66,9 @@ def extract_text(html_bytes: bytes) -> str:
         if end == -1:
             break
         if skip_until is None and s[lt + 1] not in _SLOW_FIRST:
-            # fast path: a tag whose first char can't begin script/style
-            # (or a closer / padded name) never changes skip state — same
+            # fast path: outside a skip, a tag whose first char can't
+            # begin script/style (or a padded name) never changes skip
+            # state — closers included, see _SLOW_FIRST note. Same
             # contract, no per-tag strip/lower/split (hot-path: ~60% of
             # extraction time was tag-name normalization)
             out.append(" ")
