@@ -188,34 +188,54 @@ ORDER BY doc_a, doc_b
 """
 
 
-def _minhash_signature(docs: DataFrame) -> DataFrame:
-    """k md5-derived min-hashes per doc. md5 is available and identical
-    in both engines, so the signature is oracle-checkable; at pure-Spark
-    scale you'd swap in xxhash64 seeds for speed (same plan shape)."""
+def _minhash_signature(docs: DataFrame, hash_impl: str = "md5") -> DataFrame:
+    """k min-hashes per doc. Two hash backends, same plan shape:
+
+    - ``md5`` (default): 16-hex-char string min-hashes — available and
+      identical in both engines, so the signature is oracle-checkable.
+    - ``xxhash64``: the JVM-native seeded 64-bit hash — 8-byte long
+      min-hashes instead of 16-char strings, no hex formatting, ~half
+      the shuffle width. The 100 TB path; oracle-incompatible (DuckDB
+      has no xxhash64), so it's pytest-gated instead: the VERIFIED
+      pair set (post exact-Jaccard) must match the md5 path
+      (tests/test_dedup.py), and the speedup is recorded in
+      BENCH/BASELINE.md.
+    """
     sh = _doc_shingles(docs)
-    minhashes = [
-        F.min(F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))), 1, 16)).alias(
-            f"mh{i}"
-        )
-        for i in range(MINHASH_K)
-    ]
+    if hash_impl == "xxhash64":
+        minhashes = [
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh{i}")
+            for i in range(MINHASH_K)
+        ]
+    else:
+        minhashes = [
+            F.min(F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))), 1, 16)).alias(
+                f"mh{i}"
+            )
+            for i in range(MINHASH_K)
+        ]
     return sh.groupBy("doc_id").agg(*minhashes)
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str, hash_impl: str = "md5") -> DataFrame:
     """MinHash/LSH candidate pairs: docs sharing any LSH band.
 
     Bands of {LSH_ROWS} min-hashes hash to a band key; an equi-join on
     (band_idx, band_key) yields candidates — the 100 TB-safe plan since
-    only same-bucket docs ever meet."""
+    only same-bucket docs ever meet. ``hash_impl="xxhash64"`` switches
+    the signature AND band keys to 64-bit longs (see
+    _minhash_signature)."""
     t = load_tables(spark, sf_dir)
-    sig = _minhash_signature(t["documents"])
+    sig = _minhash_signature(t["documents"], hash_impl)
 
     bands = []
     for b in range(LSH_BANDS):
         cols = [F.col(f"mh{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+        band_key = (
+            F.xxhash64(*cols) if hash_impl == "xxhash64" else F.md5(F.concat_ws("|", *cols))
+        )
         bands.append(
-            F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat_ws("|", *cols)).alias("band_key"))
+            F.struct(F.lit(b).alias("band_idx"), band_key.alias("band_key"))
         )
     banded = sig.select("doc_id", F.explode(F.array(*bands)).alias("band")).select(
         "doc_id", "band.band_idx", "band.band_key"
@@ -608,7 +628,9 @@ ORDER BY doc_a, doc_b
 
 
 
-def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_verified(
+    spark: SparkSession, sf_dir: str, hash_impl: str = "md5"
+) -> DataFrame:
     """The COMPLETE MinHash dedup chain: LSH candidates → exact Jaccard
     verification on candidates only → confirmed near-dups at tau.
 
@@ -616,9 +638,11 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the candidate set joins back to the shingle table on doc id, then
     equi-joins the other side on (doc, shingle)) — never the all-pairs
     shingle self-join. This is the production shape: LSH prunes, exact
-    Jaccard decides."""
+    Jaccard decides. ``hash_impl`` selects the candidate-gen hash
+    backend; the verified output is hash-independent up to LSH recall
+    (pytest pins md5/xxhash64 set equality on the test corpora)."""
     t = load_tables(spark, sf_dir)
-    cand = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    cand = dedup_minhash_lsh(spark, sf_dir, hash_impl).select("doc_a", "doc_b")
     sh = _doc_shingles(t["documents"])
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
 

@@ -370,6 +370,281 @@ FROM ranked GROUP BY lang ORDER BY lang
 """
 
 
+REP_TOP_WORD_MAX = 0.2
+REP_DUP_BIGRAM_MAX = 0.2
+
+
+def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, "Scaling
+    Language Models", Table A1 — adapted to token counts): per doc the
+    most-common-word fraction and the duplicate-bigram fraction, plus
+    the keep decision at the {REP_TOP_WORD_MAX}/{REP_DUP_BIGRAM_MAX}
+    thresholds. Repetition is the canonical web-text quality signal the
+    length/punct/stopword scores (doc_quality_scores) don't catch.
+
+    Scale shape: everything is per-row array algebra (higher-order
+    transform/filter/array_distinct) — ZERO shuffles, the whole operator
+    rides the scan. The per-row cost is O(distinct_words × tokens),
+    bounded by document length, embarrassingly parallel; an explode +
+    groupBy formulation would shuffle the token stream twice for the
+    same answer."""
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].withColumn(
+        "_tokens", F.split(F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))), " ")
+    )
+    top_count = F.expr(
+        "array_max(transform(array_distinct(_tokens),"
+        " t -> size(filter(_tokens, x -> x = t))))"
+    )
+    bigrams = F.expr(
+        "CASE WHEN size(_tokens) >= 2 THEN transform(sequence(1, size(_tokens) - 1),"
+        " i -> concat(_tokens[i-1], ' ', _tokens[i])) ELSE array() END"
+    )
+    d = (
+        d.withColumn("n_tokens", F.size("_tokens"))
+        .withColumn("_top", top_count)
+        .withColumn("_bg", bigrams)
+        .withColumn("_nbg", F.size("_bg"))
+        .withColumn("_ndbg", F.size(F.array_distinct("_bg")))
+    )
+    top_frac = F.round(F.col("_top").cast("double") / F.col("n_tokens"), 6)
+    dup_frac = F.round(
+        F.when(F.col("_nbg") > 0, (F.col("_nbg") - F.col("_ndbg")).cast("double") / F.col("_nbg"))
+        .otherwise(F.lit(0.0)),
+        6,
+    )
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        top_frac.alias("top_word_frac"),
+        dup_frac.alias("dup_bigram_frac"),
+        (
+            (top_frac <= REP_TOP_WORD_MAX) & (dup_frac <= REP_DUP_BIGRAM_MAX)
+        ).alias("keep"),
+    ).orderBy("doc_id")
+
+
+DOC_REPETITION_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS tokens
+  FROM documents
+), m AS (
+  SELECT doc_id, len(tokens) AS n_tokens,
+         list_max(list_transform(list_distinct(tokens),
+                  t -> len(list_filter(tokens, x -> x = t)))) AS top_cnt,
+         CASE WHEN len(tokens) >= 2 THEN
+           list_transform(generate_series(1, len(tokens) - 1),
+                          i -> tokens[i] || ' ' || tokens[i+1])
+         ELSE [] END AS bg
+  FROM d
+), f AS (
+  SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+         ROUND(CAST(top_cnt AS DOUBLE) / n_tokens, 6) AS top_word_frac,
+         ROUND(CASE WHEN len(bg) > 0
+               THEN CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg)
+               ELSE 0.0 END, 6) AS dup_bigram_frac
+  FROM m
+)
+SELECT doc_id, n_tokens, top_word_frac, dup_bigram_frac,
+       (top_word_frac <= {REP_TOP_WORD_MAX} AND dup_bigram_frac <= {REP_DUP_BIGRAM_MAX}) AS keep
+FROM f ORDER BY doc_id
+"""
+
+
+DUP_NGRAM_K = 5  # production: 50-gram spans (Lee et al. 2022); 5 keeps the synthetic corpus non-degenerate
+
+
+def doc_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated n-gram spans (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): per doc
+    the count and fraction of {DUP_NGRAM_K}-gram positions whose shingle
+    also appears in at least one OTHER document. This is the span-level
+    complement to the whole-doc dedup family in operators/dedup.py —
+    it finds boilerplate shared across otherwise-distinct pages.
+
+    Scale shape: explode shingles → one groupBy to find cross-doc
+    shingles → equi-join back → one groupBy per doc. Two shuffles, both
+    partial-aggregated; the duplicated-shingle set is NOT broadcast
+    (it scales with the corpus, unlike the benchmark set in
+    doc_decontaminate). At 100 TB the join key becomes xxhash64(shingle)
+    (8-byte shuffle rows, same swap documented for MinHash); the string
+    key here keeps DuckDB oracle parity."""
+    t = load_tables(spark, sf_dir)
+    toks = F.split(F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))), " ")
+    sh = F.expr(
+        f"CASE WHEN size(_tokens) >= {DUP_NGRAM_K} THEN "
+        f"transform(sequence(1, size(_tokens) - {DUP_NGRAM_K - 1}),"
+        f" i -> array_join(slice(_tokens, i, {DUP_NGRAM_K}), ' ')) "
+        "ELSE array() END"
+    )
+    spans = (
+        t["documents"]
+        .withColumn("_tokens", toks)
+        .select("doc_id", F.explode_outer(sh).alias("shingle"))
+    )
+    cross_doc = (
+        spans.dropDuplicates(["doc_id", "shingle"])
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .where(F.col("_nd") >= 2)
+        .select("shingle")
+    )
+    flagged = spans.join(cross_doc.withColumn("_dup", F.lit(1)), "shingle", "left")
+    n_sh = F.sum(F.when(F.col("shingle").isNotNull(), 1).otherwise(0))
+    n_dup = F.sum(F.when(F.col("_dup").isNotNull(), 1).otherwise(0))
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            n_sh.cast("int").alias("n_shingles"),
+            n_dup.cast("int").alias("n_dup_shingles"),
+            F.round(
+                F.when(n_sh > 0, n_dup.cast("double") / n_sh).otherwise(F.lit(0.0)), 6
+            ).alias("dup_span_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOC_DUP_NGRAM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS tokens
+  FROM documents
+), spans AS (
+  SELECT doc_id, unnest(CASE WHEN len(tokens) >= {DUP_NGRAM_K} THEN
+           list_transform(generate_series(1, len(tokens) - {DUP_NGRAM_K - 1}),
+                          i -> array_to_string(tokens[i:i+{DUP_NGRAM_K - 1}], ' '))
+         ELSE [NULL] END) AS shingle
+  FROM toks
+), cross_doc AS (
+  SELECT shingle FROM (SELECT DISTINCT doc_id, shingle FROM spans WHERE shingle IS NOT NULL)
+  GROUP BY shingle HAVING COUNT(*) >= 2
+), flagged AS (
+  SELECT s.doc_id, s.shingle, c.shingle IS NOT NULL AS is_dup
+  FROM spans s LEFT JOIN cross_doc c USING (shingle)
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN shingle IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS n_shingles,
+       CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS INT) AS n_dup_shingles,
+       ROUND(CASE WHEN SUM(CASE WHEN shingle IS NOT NULL THEN 1 ELSE 0 END) > 0
+             THEN CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE)
+                  / SUM(CASE WHEN shingle IS NOT NULL THEN 1 ELSE 0 END)
+             ELSE 0.0 END, 6) AS dup_span_frac
+FROM flagged GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# PII regexes — deliberately lookaround-free so Java (Spark) and RE2
+# (DuckDB) agree byte-for-byte.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\b\d{3}-\d{4}\b"
+
+
+def _pii_planted_text():
+    """Deterministic PII planting expression (Spark side). The synthetic
+    corpus contains no PII by construction, so the driver query plants
+    emails / IPv4s / phone-likes into deterministic doc_id buckets using
+    ONLY engine-portable string algebra — the DuckDB oracle applies the
+    identical augmentation, so the hash check exercises the extraction
+    and redaction regexes on non-trivial text rather than vacuous zeros.
+    The operator itself (_pii_columns) takes any text column."""
+    did = F.col("doc_id")
+    email = F.when(
+        did % 5 == 0,
+        F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        did % 11 == 0,
+        F.concat(
+            F.lit(" host 192.168."),
+            (did % 256).cast("string"),
+            F.lit("."),
+            ((did * 7) % 256).cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        did % 7 == 0,
+        F.concat(F.lit(" call 555-"), F.lpad((did % 10000).cast("string"), 4, "0")),
+    ).otherwise(F.lit(""))
+    return F.concat(F.col("text"), email, ip, phone)
+
+
+def _pii_columns(text_col):
+    """PII scan over an arbitrary text column: match counts per category
+    plus the redacted text (email → [EMAIL] first so the IP/phone rules
+    never fire inside a redacted address, then IP, then phone). Pure JVM
+    regex column algebra — zero shuffles, rides the scan."""
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text_col, F.lit(PII_EMAIL_RE), F.lit("[EMAIL]")),
+            F.lit(PII_IPV4_RE),
+            F.lit("[IP]"),
+        ),
+        F.lit(PII_PHONE_RE),
+        F.lit("[PHONE]"),
+    )
+    return {
+        "n_emails": F.size(F.regexp_extract_all(text_col, F.lit(PII_EMAIL_RE), F.lit(0))),
+        "n_ips": F.size(F.regexp_extract_all(text_col, F.lit(PII_IPV4_RE), F.lit(0))),
+        "n_phones": F.size(F.regexp_extract_all(text_col, F.lit(PII_PHONE_RE), F.lit(0))),
+        "redacted_md5": F.md5(redacted),
+    }
+
+
+def doc_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over the documents table (planted
+    fixture — see _pii_planted_text). Emits per-doc category counts, a
+    has_pii flag, and the md5 of the redacted text (which pins the full
+    regexp_replace semantics cross-engine, not just the counts)."""
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].withColumn("_ptext", _pii_planted_text())
+    cols = _pii_columns(F.col("_ptext"))
+    return d.select(
+        "doc_id",
+        cols["n_emails"].alias("n_emails"),
+        cols["n_ips"].alias("n_ips"),
+        cols["n_phones"].alias("n_phones"),
+        (
+            (cols["n_emails"] + cols["n_ips"] + cols["n_phones"]) > 0
+        ).alias("has_pii"),
+        cols["redacted_md5"].alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+DOC_PII_SQL = rf"""
+WITH planted AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 5 = 0
+              THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+              ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+              THEN ' host 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                   || CAST((doc_id * 7) % 256 AS VARCHAR)
+              ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+              THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE '' END AS ptext
+  FROM documents
+), scanned AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(ptext, '{PII_EMAIL_RE}')) AS INT) AS n_emails,
+         CAST(len(regexp_extract_all(ptext, '{PII_IPV4_RE}')) AS INT) AS n_ips,
+         CAST(len(regexp_extract_all(ptext, '{PII_PHONE_RE}')) AS INT) AS n_phones,
+         md5(regexp_replace(regexp_replace(regexp_replace(ptext,
+             '{PII_EMAIL_RE}', '[EMAIL]', 'g'),
+             '{PII_IPV4_RE}', '[IP]', 'g'),
+             '{PII_PHONE_RE}', '[PHONE]', 'g')) AS redacted_md5
+  FROM planted
+)
+SELECT doc_id, n_emails, n_ips, n_phones,
+       (n_emails + n_ips + n_phones) > 0 AS has_pii, redacted_md5
+FROM scanned ORDER BY doc_id
+"""
+
+
 TEXT_QUERIES: dict[str, tuple] = {
     "doc_token_stats": (doc_token_stats, DOC_TOKEN_STATS_SQL),
     "doc_bpe_token_count": (doc_bpe_token_count, DOC_BPE_SQL),
@@ -380,4 +655,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "doc_pack_sequences": (doc_pack_sequences, DOC_PACK_SQL),
     "doc_decontaminate": (doc_decontaminate, DOC_DECONTAM_SQL),
     "doc_length_quantiles": (doc_length_quantiles, DOC_QUANTILES_SQL),
+    "doc_repetition_signals": (doc_repetition_signals, DOC_REPETITION_SQL),
+    "doc_dup_ngram_spans": (doc_dup_ngram_spans, DOC_DUP_NGRAM_SQL),
+    "doc_pii_scan": (doc_pii_scan, DOC_PII_SQL),
 }

@@ -45,3 +45,25 @@ def test_simhash_pairs_exact_vs_allpairs(spark):
         f"missing={sorted(expected - got)[:5]} extra={sorted(got - expected)[:5]}"
     )
     assert len(got) > 0, "degenerate: no hamming-close pairs at sf0.01"
+
+
+def test_minhash_xxhash64_path_matches_md5_after_verification(spark):
+    """The xxhash64 candidate-gen backend (the 100 TB shuffle-width
+    optimization, oracle-incompatible by design) must converge to the
+    SAME verified near-dup set as the md5 path once exact Jaccard
+    decides — LSH recall may differ per hash, the confirmed dups must
+    not."""
+    from csv_to_jsonld_processor_spark.operators.dedup import dedup_minhash_verified
+
+    def dups(hash_impl):
+        df = dedup_minhash_verified(spark, SF_DIR, hash_impl=hash_impl)
+        return {
+            (r.doc_a, r.doc_b, r.jaccard) for r in df.where("is_dup").collect()
+        }
+
+    md5_dups = dups("md5")
+    xx_dups = dups("xxhash64")
+    assert len(md5_dups) > 0, "degenerate: no verified dups at sf0.01"
+    assert xx_dups == md5_dups, (
+        f"missing={sorted(md5_dups - xx_dups)[:5]} extra={sorted(xx_dups - md5_dups)[:5]}"
+    )
