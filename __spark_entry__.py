@@ -40,6 +40,12 @@ def _registry() -> dict[str, tuple]:
     except ImportError:
         pass
     try:
+        from csv_to_jsonld_processor_spark.operators.curation import CURATION_QUERIES
+
+        reg.update(CURATION_QUERIES)
+    except ImportError:
+        pass
+    try:
         from csv_to_jsonld_processor_spark.operators.similarity import SIMILARITY_QUERIES
 
         reg.update(SIMILARITY_QUERIES)
