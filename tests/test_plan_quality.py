@@ -101,6 +101,39 @@ def test_ivf_assignment_shuffle_free_and_no_cartesian(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
 
 
+def test_per_doc_text_ops_ride_the_scan(spark):
+    """doc_repetition_signals and doc_pii_scan are pure per-row column
+    algebra: the ONLY exchange allowed is the presentation sort
+    (rangepartitioning for orderBy doc_id) — no hash shuffle, no join.
+    A regression here means someone rewrote them as explode+groupBy,
+    which shuffles the token stream for the same answer."""
+    from csv_to_jsonld_processor_spark.operators.textops import (
+        doc_pii_scan,
+        doc_repetition_signals,
+    )
+
+    for fn in (doc_repetition_signals, doc_pii_scan):
+        plan = plan_of(fn(spark, SF))
+        assert "hashpartitioning" not in plan, fn.__name__
+        assert "Join" not in plan, fn.__name__
+        assert plan.count("Exchange") <= 1  # rangepartitioning sort only
+
+
+def test_dup_ngram_and_curation_no_cartesian(spark):
+    """The duplicated-span and curation-funnel plans must stay equi-join
+    blocked: no cartesian/broadcast-nested-loop anywhere, and the
+    decontamination side of the funnel broadcasts (benchmark set is
+    dimension-sized by nature)."""
+    from csv_to_jsonld_processor_spark.operators.curation import corpus_curation_funnel
+    from csv_to_jsonld_processor_spark.operators.textops import doc_dup_ngram_spans
+
+    for fn in (doc_dup_ngram_spans, corpus_curation_funnel):
+        plan = plan_of(fn(spark, SF))
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+    assert "BroadcastHashJoin" in plan_of(corpus_curation_funnel(spark, SF))
+
+
 def test_neardup_lsh_no_cartesian(spark):
     """The near-dup scale path must be a bucket equi-join, never a
     cross join (the round-1 brute-force shape)."""
