@@ -46,22 +46,36 @@ def run_bench(cpus: int, pages: int, pages_dir: str) -> dict:
 def measure_pair(n: int, pages: int, pages_dir: str, repeat: int = 2) -> dict:
     """Alternate configs and keep the best run of each: this VM shows
     large external variance (identical local[32] runs ranged 26–62 s),
-    so best-of-N alternating is the steady-state estimator."""
+    so best-of-N alternating is the steady-state estimator.
+
+    Also computes the SAME-REP efficiency median: best-of-across-configs
+    can pair a lucky-fast narrow run with a typical wide run from a
+    different rep and deflate (or inflate) the ratio; pairing each rep's
+    own measurements and taking the median is robust to asymmetric
+    noise (both estimators are reported)."""
     lo = hi = None
+    rep_effs = []
     for r in range(repeat):
         h = run_bench(4 * n, pages, pages_dir)
         l = run_bench(n, pages, pages_dir)
-        print(f"  rep {r}: local[{4*n}] {h['kg_seconds']}s  local[{n}] {l['kg_seconds']}s", flush=True)
+        rep_eff = (l["kg_seconds"] / h["kg_seconds"]) / 4.0
+        rep_effs.append(rep_eff)
+        print(
+            f"  rep {r}: local[{4*n}] {h['kg_seconds']}s  local[{n}] {l['kg_seconds']}s"
+            f"  same-rep eff={rep_eff:.3f}",
+            flush=True,
+        )
         hi = h if hi is None or h["kg_seconds"] < hi["kg_seconds"] else hi
         lo = l if lo is None or l["kg_seconds"] < lo["kg_seconds"] else lo
     eff = (lo["kg_seconds"] / hi["kg_seconds"]) / 4.0
+    med = sorted(rep_effs)[len(rep_effs) // 2]
     print(
         f"local[{n}] {lo['kg_seconds']}s ({lo['kg_triples_per_sec']:,.0f} t/s)  "
         f"local[{4*n}] {hi['kg_seconds']}s ({hi['kg_triples_per_sec']:,.0f} t/s)  "
-        f"eff={eff:.3f}",
+        f"best-of eff={eff:.3f}  same-rep median eff={med:.3f}",
         flush=True,
     )
-    return {"n": n, "lo": lo, "hi": hi, "eff": eff}
+    return {"n": n, "lo": lo, "hi": hi, "eff": eff, "rep_effs": rep_effs, "median_eff": med}
 
 
 def main() -> None:
@@ -96,7 +110,10 @@ for the north_rule's N vs 4N executor clusters.
 | local[4]  (N)  | {primary['lo']['kg_seconds']:.2f} | {primary['lo']['kg_triples_per_sec']:,.0f} |
 | local[16] (4N) | {primary['hi']['kg_seconds']:.2f} | {primary['hi']['kg_triples_per_sec']:,.0f} |
 
-**Scaling efficiency (T_N/T_4N)/4 = {primary['eff']:.3f}** (target >= 0.8)
+**Scaling efficiency (T_N/T_4N)/4 = {primary['eff']:.3f}** (best-of pairing; target >= 0.8)
+**Same-rep efficiencies: {", ".join(f"{e:.3f}" for e in primary['rep_effs'])} → median {primary['median_eff']:.3f}**
+(robust to asymmetric noise — best-of can pair a lucky narrow run with
+a typical wide run from a different rep)
 """
     if secondary:
         md += f"""
@@ -130,6 +147,8 @@ Notes:
         f.write(md)
     print(md)
     print(json.dumps({"efficiency": round(primary["eff"], 3),
+                      "median_efficiency": round(primary["median_eff"], 3),
+                      "rep_efficiencies": [round(e, 3) for e in primary["rep_effs"]],
                       "secondary_efficiency": round(secondary["eff"], 3) if secondary else None}))
 
 
