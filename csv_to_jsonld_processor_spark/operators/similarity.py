@@ -554,7 +554,135 @@ FROM joined
 """
 
 
+KMEANS_K = 8
+KMEANS_ITERS = 3
+KMEANS_SCALE = 1_000_000  # fixed-point micro-units for order-independent exact sums
+
+
+def ann_kmeans_train(
+    spark: SparkSession, sf_dir: str, iters: int | None = None
+) -> DataFrame:
+    """Distributed Lloyd k-means over the embeddings table (cosine
+    assignment, mean update, {KMEANS_ITERS} iterations, first-{KMEANS_K}
+    init) — the TRAINER that produces a real IVF coarse quantizer
+    (ann_ivf_topk's "first-K training sample" is what this replaces at
+    scale). Emits the final per-(cell, dimension) fixed-point component
+    sums and member counts.
+
+    Scale shape per iteration: assignment is SHUFFLE-FREE — the K×D
+    centroid matrix is driver-bounded state (the canonical Lloyd shape
+    on a cluster) inlined as one parsed literal expression, and the
+    argmax rides the scan; the update is ONE shuffle of (cell, dim)
+    partial sums with map-side combine (K·D result rows). Nothing
+    corpus-sized ever reaches the driver.
+
+    Cross-engine exactness (why fixed-point): float mean updates are
+    partitioning-order-dependent, so member components are quantized
+    in-engine to micro-units (round(x·1e6) — never exactly half-integer
+    for float32-derived inputs, so Java HALF_UP and C away-from-zero
+    agree) and summed as BIGINTs, exact in any order; the next-round
+    centroid double qsum/(n·1e6) is then bit-identical in Spark and
+    DuckDB, keeping every later assignment identical too. The OUTPUT is
+    the integer (qsum, n_members) pair itself — no terminal double
+    rounding to go cross-engine-unstable on. Empty cells keep their
+    previous centroid and drop out of the final sums."""
+    if iters is None:
+        iters = KMEANS_ITERS
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"].select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cents = {
+        int(r.vec_id): [float(x) for x in r.v]
+        for r in emb.where(F.col("vec_id") < KMEANS_K).collect()
+    }
+
+    def norm2(vec: list[float]) -> float:
+        acc = 0.0
+        for x in vec:
+            acc += x * x
+        return acc
+
+    last_sums: list = []
+    for _ in range(iters):
+        parts = [
+            f"struct(round({_dot_sql(vec)} / sqrt(_n2v * {norm2(vec)!r}D), 6) as s, "
+            f"{-cell} as nc)"
+            for cell, vec in sorted(cents.items())
+        ]
+        assigned = emb.withColumn(
+            "_n2v",
+            F.expr("aggregate(transform(v, x -> x * x), cast(0 as double), (acc, x) -> acc + x)"),
+        ).withColumn(
+            "cell", (-F.expr("array_max(array(" + ",".join(parts) + ")).nc")).cast("int")
+        )
+        last_sums = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(
+                F.sum(F.round(F.col("x") * KMEANS_SCALE, 0).cast("long")).alias("qs"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()  # bounded: K*D rows
+        )
+        new = {c: list(v) for c, v in cents.items()}
+        for r in last_sums:
+            new[int(r.cell)][int(r.pos)] = int(r.qs) / (int(r.n) * KMEANS_SCALE)
+        cents = new
+
+    rows = sorted(
+        (int(r.cell), int(r.pos), int(r.qs), int(r.n)) for r in last_sums
+    )
+    return spark.createDataFrame(
+        rows, schema="cell int, dim_idx int, qsum long, n_members long"
+    )
+
+
+def _kmeans_sql() -> str:
+    """DuckDB oracle: the identical Lloyd loop unrolled as chained CTEs
+    (assignment via cross join + row_number, update via zipped unnest +
+    exact BIGINT sums), producing the same final (cell, dim) sums."""
+    K, iters, S = KMEANS_K, KMEANS_ITERS, KMEANS_SCALE
+    sql = f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), cent0 AS (
+  SELECT CAST(vec_id AS INT) AS cell,
+         unnest(CAST(embedding AS DOUBLE[])) AS val,
+         CAST(unnest(generate_series(1, len(embedding))) - 1 AS INT) AS pos
+  FROM embeddings WHERE vec_id < {K}
+)"""
+    for i in range(iters):
+        sql += f""", centl{i} AS (
+  SELECT cell, list(val ORDER BY pos) AS cv FROM cent{i} GROUP BY cell
+), asg{i} AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cell ASC) AS rn
+    FROM emb e CROSS JOIN centl{i} c)
+  WHERE rn = 1
+), sums{i} AS (
+  SELECT cell, pos, SUM(CAST(ROUND(x * {S}.0) AS BIGINT)) AS qs, COUNT(*) AS n
+  FROM (SELECT cell, unnest(v) AS x,
+               CAST(unnest(generate_series(1, len(v))) - 1 AS INT) AS pos
+        FROM asg{i})
+  GROUP BY cell, pos
+), cent{i + 1} AS (
+  SELECT p.cell, p.pos,
+         COALESCE(CAST(s.qs AS DOUBLE) / (s.n * {S}.0), p.val) AS val
+  FROM cent{i} p LEFT JOIN sums{i} s ON s.cell = p.cell AND s.pos = p.pos
+)"""
+    sql += f"""
+SELECT cell, pos AS dim_idx, qs AS qsum, CAST(n AS BIGINT) AS n_members
+FROM sums{iters - 1} ORDER BY cell, dim_idx
+"""
+    return sql
+
+
+ANN_KMEANS_SQL = _kmeans_sql()
+
+
 SIMILARITY_QUERIES: dict[str, tuple] = {
+    "ann_kmeans_train": (ann_kmeans_train, ANN_KMEANS_SQL),
     "ann_topk_bruteforce": (ann_topk_bruteforce, ANN_TOPK_SQL),
     "embedding_neardup_cosine": (embedding_neardup_cosine, NEARDUP_LSH_SQL),
     "ann_lsh_buckets": (ann_lsh_bucketed, ANN_LSH_BUCKETS_SQL),

@@ -91,3 +91,25 @@ def test_ivf_recall_vs_bruteforce(spark):
     ivf = {(r.query_id, r.neighbor_id) for r in ann_ivf_topk(spark, SF_DIR).collect()}
     recall = len(truth & ivf) / len(truth)
     assert recall >= 0.75, f"IVF recall@10 {recall}"
+
+
+def test_kmeans_trains_and_covers_corpus(spark):
+    """Lloyd iterations must actually move the centroids (iter-3 sums
+    differ from iter-1), keep every cell populated, and partition the
+    whole corpus (member counts sum to the table size)."""
+    from csv_to_jsonld_processor_spark.operators.similarity import (
+        KMEANS_K,
+        ann_kmeans_train,
+    )
+    from csv_to_jsonld_processor_spark.session import load_tables
+
+    r1 = {tuple(r) for r in ann_kmeans_train(spark, SF_DIR, iters=1).collect()}
+    r3 = {tuple(r) for r in ann_kmeans_train(spark, SF_DIR, iters=3).collect()}
+    assert r1 != r3, "3 iterations produced the iteration-1 centroids: training is a no-op"
+
+    cells = {}
+    for cell, _pos, _qs, n in r3:
+        cells[cell] = n
+    assert len(cells) == KMEANS_K, f"empty cells: {set(range(KMEANS_K)) - set(cells)}"
+    n_vecs = load_tables(spark, SF_DIR)["embeddings"].count()
+    assert sum(cells.values()) == n_vecs
