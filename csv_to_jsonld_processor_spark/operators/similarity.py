@@ -590,29 +590,53 @@ def ann_kmeans_train(
         iters = KMEANS_ITERS
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"].select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    _cents, last_sums = _kmeans_centroids(emb, iters)
+    rows = sorted(
+        (int(r.cell), int(r.pos), int(r.qs), int(r.n)) for r in last_sums
+    )
+    return spark.createDataFrame(
+        rows, schema="cell int, dim_idx int, qsum long, n_members long"
+    )
+
+
+def _py_norm2(vec: list[float]) -> float:
+    # same left-to-right fold as the engines' list folds — bit-identical
+    acc = 0.0
+    for x in vec:
+        acc += x * x
+    return acc
+
+
+def _cell_scores_expr(cents: dict[int, list[float]]) -> str:
+    """array of struct(round(cos, 6) AS s, -cell AS nc) vs every
+    centroid, as ONE parsed SQL string (see _dot_sql on driver cost).
+    Requires a `_n2v` column with the vector's own squared norm."""
+    parts = [
+        f"struct(round({_dot_sql(vec)} / sqrt(_n2v * {_py_norm2(vec)!r}D), 6) as s, "
+        f"{-cell} as nc)"
+        for cell, vec in sorted(cents.items())
+    ]
+    return "array(" + ",".join(parts) + ")"
+
+
+def _with_n2v(emb: DataFrame) -> DataFrame:
+    return emb.withColumn(
+        "_n2v",
+        F.expr("aggregate(transform(v, x -> x * x), cast(0 as double), (acc, x) -> acc + x)"),
+    )
+
+
+def _kmeans_centroids(emb: DataFrame, iters: int) -> tuple[dict, list]:
+    """The Lloyd loop (see ann_kmeans_train for the full design notes).
+    Returns (final centroid dict, last iteration's collected sums)."""
     cents = {
         int(r.vec_id): [float(x) for x in r.v]
         for r in emb.where(F.col("vec_id") < KMEANS_K).collect()
     }
-
-    def norm2(vec: list[float]) -> float:
-        acc = 0.0
-        for x in vec:
-            acc += x * x
-        return acc
-
     last_sums: list = []
     for _ in range(iters):
-        parts = [
-            f"struct(round({_dot_sql(vec)} / sqrt(_n2v * {norm2(vec)!r}D), 6) as s, "
-            f"{-cell} as nc)"
-            for cell, vec in sorted(cents.items())
-        ]
-        assigned = emb.withColumn(
-            "_n2v",
-            F.expr("aggregate(transform(v, x -> x * x), cast(0 as double), (acc, x) -> acc + x)"),
-        ).withColumn(
-            "cell", (-F.expr("array_max(array(" + ",".join(parts) + ")).nc")).cast("int")
+        assigned = _with_n2v(emb).withColumn(
+            "cell", (-F.expr(f"array_max({_cell_scores_expr(cents)}).nc")).cast("int")
         )
         last_sums = (
             assigned.select("cell", F.posexplode("v").alias("pos", "x"))
@@ -627,19 +651,26 @@ def ann_kmeans_train(
         for r in last_sums:
             new[int(r.cell)][int(r.pos)] = int(r.qs) / (int(r.n) * KMEANS_SCALE)
         cents = new
-
-    rows = sorted(
-        (int(r.cell), int(r.pos), int(r.qs), int(r.n)) for r in last_sums
-    )
-    return spark.createDataFrame(
-        rows, schema="cell int, dim_idx int, qsum long, n_members long"
-    )
+    return cents, last_sums
 
 
 def _kmeans_sql() -> str:
     """DuckDB oracle: the identical Lloyd loop unrolled as chained CTEs
     (assignment via cross join + row_number, update via zipped unnest +
     exact BIGINT sums), producing the same final (cell, dim) sums."""
+    iters = KMEANS_ITERS
+    sql = _kmeans_cte_chain()
+    sql += f"""
+SELECT cell, pos AS dim_idx, qs AS qsum, CAST(n AS BIGINT) AS n_members
+FROM sums{iters - 1} ORDER BY cell, dim_idx
+"""
+    return sql
+
+
+def _kmeans_cte_chain() -> str:
+    """The WITH-chain shared by the k-means oracle and the IVF-recall
+    oracle: emb, cent0..cent{ITERS} (long format) and centl0..centl{ITERS-1}
+    (list format), ending ready for more CTEs to be appended."""
     K, iters, S = KMEANS_K, KMEANS_ITERS, KMEANS_SCALE
     sql = f"""
 WITH emb AS (
@@ -671,14 +702,176 @@ WITH emb AS (
          COALESCE(CAST(s.qs AS DOUBLE) / (s.n * {S}.0), p.val) AS val
   FROM cent{i} p LEFT JOIN sums{i} s ON s.cell = p.cell AND s.pos = p.pos
 )"""
-    sql += f"""
-SELECT cell, pos AS dim_idx, qs AS qsum, CAST(n AS BIGINT) AS n_members
-FROM sums{iters - 1} ORDER BY cell, dim_idx
-"""
     return sql
 
 
 ANN_KMEANS_SQL = _kmeans_sql()
+
+
+IVF_KM_PROBES = 2  # 2-of-8 cells, same probe fraction as the 8-of-32 IVF
+
+
+def _ivf_topk_from(emb: DataFrame, cents: dict[int, list[float]], probes: int) -> DataFrame:
+    """IVF search against an arbitrary (driver-bounded) centroid dict:
+    shuffle-free cell assignment, probe the top-`probes` cells per
+    query, exact re-score inside probed cells, top-{TOP_K} per query.
+    Same plan shape as ann_ivf_topk (which keeps its own inline form
+    for the 32-centroid literal-constant documentation)."""
+    scores = _cell_scores_expr(cents)
+    withscores = _with_n2v(emb).withColumn("scores", F.expr(scores)).drop("_n2v")
+    assigned = withscores.withColumn(
+        "cell", (-F.array_max(F.col("scores")).nc).cast("int")
+    ).drop("scores")
+    probes_df = (
+        withscores.where(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.explode(F.slice(F.sort_array("scores", asc=False), 1, probes)).alias("p"),
+        )
+        .select("query_id", "qv", (-F.col("p.nc")).cast("int").alias("cell"))
+    )
+    scored = (
+        assigned.join(F.broadcast(probes_df), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine("v", "qv"), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+
+
+def ann_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF quantizer comparison harness: one row with recall@{TOP_K}
+    (vs brute-force truth) for two coarse quantizers at the same
+    K={KMEANS_K} and probes={IVF_KM_PROBES} — the untrained first-K
+    sample vs the {KMEANS_ITERS}-iteration k-means centroids. The DuckDB
+    oracle COMPUTES both sides end-to-end (the unrolled Lloyd chain +
+    both IVF searches + brute-force truth) — nothing is pinned, so a
+    trainer regression is a driver-visible hash mismatch.
+
+    Honest expectation on THIS corpus: the synthetic embeddings are
+    isotropic (measured same-label vs cross-label mean cosine both
+    ≈ 0.001), so trained and untrained recalls land within a few hits
+    of each other — on clustered real-world embeddings the trained
+    quantizer is the one you'd ship. The property Lloyd guarantees
+    regardless of structure (quantization objective improves over the
+    first-K init) is pytest-gated in tests/test_similarity.py.
+
+    Scale: truth is quadratic BY DEFINITION (recall gates run at gate
+    scale, not corpus scale — same stance as ann_lsh_recall); both IVF
+    searches are the production shape."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"].select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+
+    first_cents = {
+        int(r.vec_id): [float(x) for x in r.v]
+        for r in emb.where(F.col("vec_id") < KMEANS_K).collect()
+    }
+    trained_cents, _sums = _kmeans_centroids(emb, KMEANS_ITERS)
+
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    truth = (
+        emb.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine("v", "qv"), 6).alias("score"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+
+    n_truth = truth.count()
+    n_first = _ivf_topk_from(emb, first_cents, IVF_KM_PROBES).join(
+        truth, ["query_id", "neighbor_id"]
+    ).count()
+    n_trained = _ivf_topk_from(emb, trained_cents, IVF_KM_PROBES).join(
+        truth, ["query_id", "neighbor_id"]
+    ).count()
+    return spark.createDataFrame(
+        [
+            (
+                n_truth,
+                n_first,
+                n_trained,
+                round(n_first / n_truth, 6),
+                round(n_trained / n_truth, 6),
+            )
+        ],
+        schema="n_truth long, n_hit_first long, n_hit_kmeans long, "
+        "recall_first double, recall_kmeans double",
+    )
+
+
+def _ivf_recall_fragment(cent_cte: str, sfx: str) -> str:
+    return f""", asg_{sfx} AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cell ASC) AS rn
+    FROM emb e CROSS JOIN {cent_cte} c)
+  WHERE rn = 1
+), probes_{sfx} AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.vec_id AS query_id, q.v AS qv, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY ROUND(list_cosine_similarity(q.v, c.cv), 6) DESC, c.cell ASC) AS rn
+    FROM emb q CROSS JOIN {cent_cte} c WHERE q.vec_id < {N_QUERIES})
+  WHERE rn <= {IVF_KM_PROBES}
+), topk_{sfx} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.query_id, a.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY p.query_id
+             ORDER BY ROUND(list_cosine_similarity(a.v, p.qv), 6) DESC, a.vec_id ASC) AS rank
+    FROM asg_{sfx} a JOIN probes_{sfx} p ON a.cell = p.cell
+    WHERE a.vec_id <> p.query_id)
+  WHERE rank <= {TOP_K}
+), hits_{sfx} AS (
+  SELECT COUNT(*) AS n FROM topk_{sfx} t JOIN truth USING (query_id, neighbor_id)
+)"""
+
+
+def _ivf_kmeans_recall_sql() -> str:
+    sql = _kmeans_cte_chain()
+    sql += f""", centk AS (
+  SELECT cell, list(val ORDER BY pos) AS cv FROM cent{KMEANS_ITERS} GROUP BY cell
+), truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY ROUND(list_cosine_similarity(e.v, q.v), 6) DESC, e.vec_id ASC) AS rank
+    FROM emb q CROSS JOIN emb e
+    WHERE q.vec_id < {N_QUERIES} AND e.vec_id <> q.vec_id)
+  WHERE rank <= {TOP_K}
+)"""
+    sql += _ivf_recall_fragment("centl0", "first")
+    sql += _ivf_recall_fragment("centk", "kmeans")
+    sql += """
+SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+       (SELECT n FROM hits_first) AS n_hit_first,
+       (SELECT n FROM hits_kmeans) AS n_hit_kmeans,
+       ROUND(CAST((SELECT n FROM hits_first) AS DOUBLE)
+             / (SELECT COUNT(*) FROM truth), 6) AS recall_first,
+       ROUND(CAST((SELECT n FROM hits_kmeans) AS DOUBLE)
+             / (SELECT COUNT(*) FROM truth), 6) AS recall_kmeans
+"""
+    return sql
+
+
+ANN_IVF_KMEANS_RECALL_SQL = _ivf_kmeans_recall_sql()
 
 
 SIMILARITY_QUERIES: dict[str, tuple] = {
@@ -689,4 +882,5 @@ SIMILARITY_QUERIES: dict[str, tuple] = {
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
     "ann_lsh_recall": (ann_lsh_recall, ANN_LSH_RECALL_SQL),
     "ann_ivf_recall": (ann_ivf_recall, ANN_IVF_RECALL_SQL),
+    "ann_ivf_kmeans_recall": (ann_ivf_kmeans_recall, ANN_IVF_KMEANS_RECALL_SQL),
 }

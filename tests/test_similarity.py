@@ -113,3 +113,42 @@ def test_kmeans_trains_and_covers_corpus(spark):
     assert len(cells) == KMEANS_K, f"empty cells: {set(range(KMEANS_K)) - set(cells)}"
     n_vecs = load_tables(spark, SF_DIR)["embeddings"].count()
     assert sum(cells.values()) == n_vecs
+
+
+def test_kmeans_improves_quantization_objective(spark):
+    """The property Lloyd guarantees on ANY corpus (even this isotropic
+    one, where IVF recall parity is the honest expectation): the mean
+    cosine of each vector to its assigned centroid strictly improves
+    from the first-K init to the trained centroids."""
+    from pyspark.sql import functions as F
+
+    from csv_to_jsonld_processor_spark.operators.similarity import (
+        KMEANS_ITERS,
+        KMEANS_K,
+        _cell_scores_expr,
+        _kmeans_centroids,
+        _with_n2v,
+    )
+    from csv_to_jsonld_processor_spark.session import load_tables
+
+    emb = load_tables(spark, SF_DIR)["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    first = {
+        int(r.vec_id): [float(x) for x in r.v]
+        for r in emb.where(F.col("vec_id") < KMEANS_K).collect()
+    }
+    trained, _ = _kmeans_centroids(emb, KMEANS_ITERS)
+
+    def objective(cents):
+        return (
+            _with_n2v(emb)
+            .select(F.expr(f"array_max({_cell_scores_expr(cents)}).s").alias("s"))
+            .agg(F.avg("s"))
+            .collect()[0][0]
+        )
+
+    obj_first, obj_trained = objective(first), objective(trained)
+    assert obj_trained > obj_first, (
+        f"training worsened quantization: {obj_first:.4f} -> {obj_trained:.4f}"
+    )
