@@ -250,7 +250,92 @@ GROUP BY user_id ORDER BY user_id
 """
 
 
+# --- streaming exact dedup (at-least-once replay absorption) ---------------
+
+DEDUP_HORIZON = "744 hours"  # 31 days >= the events table's span; prod: the replay window
+
+
+def dedup_stream(stream: DataFrame, watermark: str = DEDUP_HORIZON) -> DataFrame:
+    """Streaming exact dedup keyed on event_id via
+    ``dropDuplicatesWithinWatermark`` — the absorber for at-least-once
+    sources (Kafka replays, file re-delivery). State holds one entry per
+    key and is EVICTED once the event-time watermark passes the key's
+    ts + horizon, so state size is bounded by the replay window × key
+    rate, never the stream's lifetime (plain dropDuplicates on a stream
+    would grow state forever). Emits each event exactly once (append
+    mode: first arrival wins). Parquet TIMESTAMP_NTZ is cast to
+    TIMESTAMP (session-UTC, value-preserving) — watermarks require the
+    instant type."""
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated: plant replays (every event_id % 10 == 0 event is
+    delivered TWICE — the at-least-once pattern), run a real bounded
+    stream through dropDuplicatesWithinWatermark, and report per-user
+    (n_in, n_out, dups_removed, total_value) of the deduped stream.
+    The DuckDB oracle is the batch-distinct aggregate over the same
+    planted input — equal hash proves the stream dropped exactly the
+    replays and nothing else."""
+    import tempfile
+
+    from ..session import load_tables
+
+    t = load_tables(spark, sf_dir)
+    src = t["events"].where(F.col("user_id") < 50)
+    replays = src.where(F.col("event_id") % 10 == 0)
+
+    d = tempfile.mkdtemp(prefix="events_dedup_stream_")
+    src.repartition(2).write.mode("overwrite").parquet(d)
+    replays.repartition(1).write.mode("append").parquet(d)  # replays in separate files
+
+    schema = src.schema.simpleString().replace("struct<", "").rstrip(">").replace(":", " ")
+    out = run_stream_over_dir(
+        spark, d, dedup_stream, schema, query_name="events_dedup_stream", output_mode="append"
+    )
+    n_out = out.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_out"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    n_in = (
+        src.unionAll(replays)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_in"))
+    )
+    return (
+        n_in.join(n_out, "user_id")
+        .select(
+            "user_id",
+            "n_in",
+            "n_out",
+            (F.col("n_in") - F.col("n_out")).cast("long").alias("dups_removed"),
+            "total_value",
+        )
+        .orderBy("user_id")
+    )
+
+
+EVENTS_STREAM_DEDUP_SQL = """
+WITH base AS (
+  SELECT * FROM events WHERE user_id < 50
+), d AS (
+  SELECT user_id, COUNT(*) AS n_base,
+         SUM(CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END) AS n_replayed,
+         ROUND(SUM(value), 4) AS total_value
+  FROM base GROUP BY user_id
+)
+SELECT user_id,
+       CAST(n_base + n_replayed AS BIGINT) AS n_in,
+       CAST(n_base AS BIGINT) AS n_out,
+       CAST(n_replayed AS BIGINT) AS dups_removed,
+       total_value
+FROM d ORDER BY user_id
+"""
+
+
 STREAMING_QUERIES: dict[str, tuple] = {
     "events_sessionization": (events_sessionization, EVENTS_SESSION_SQL),
     "events_user_profiles": (events_user_profiles, EVENTS_PROFILE_SQL),
+    "events_stream_dedup": (events_stream_dedup, EVENTS_STREAM_DEDUP_SQL),
 }

@@ -116,3 +116,40 @@ def test_stateful_profile_multibatch_equals_batch(spark, tmp_path):
     got = {tuple(r) for r in latest.collect()}
     want = {tuple(r) for r in batch.collect()}
     assert got == want
+
+
+def test_stream_dedup_absorbs_cross_batch_replays(spark, tmp_path):
+    """dropDuplicatesWithinWatermark state must survive across
+    micro-batches: replays land in separate files and
+    maxFilesPerTrigger=1 forces them into later batches than the
+    originals, so only carried state can drop them."""
+    from csv_to_jsonld_processor_spark.streaming.events import dedup_stream
+
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet").where(
+        "user_id < 20"
+    )
+    replays = src.where("event_id % 10 = 0")
+    assert replays.count() > 0, "degenerate: no replays planted"
+    d = str(tmp_path / "in")
+    src.repartition(2).write.parquet(d)
+    replays.repartition(1).write.mode("append").parquet(d)
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_xbatch")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(q.recentProgress) >= 3, "input did not span multiple micro-batches"
+
+    res = spark.table("dedup_xbatch")
+    assert res.count() == src.count(), "replays not fully absorbed"
+    assert res.select("event_id").distinct().count() == res.count()
