@@ -28,6 +28,12 @@ def _registry() -> dict[str, tuple]:
     except ImportError:
         pass
     try:
+        from csv_to_jsonld_processor_spark.plans.relational3 import RELATIONAL3_QUERIES
+
+        reg.update(RELATIONAL3_QUERIES)
+    except ImportError:
+        pass
+    try:
         from csv_to_jsonld_processor_spark.operators.textops import TEXT_QUERIES
 
         reg.update(TEXT_QUERIES)

@@ -1,0 +1,215 @@
+"""Third wave of relational coverage — four TPC-H-derived shapes that
+exercise optimizer features the earlier waves don't (reference parity:
+these go beyond the reference's fixed CSV pipeline, filling the §2.7
+added-operator-classes axis):
+
+- q13: LEFT OUTER join preserved through aggregation (customers with
+  zero orders must survive into the distribution).
+- q16: anti-join exclusion + COUNT(DISTINCT) over a derived
+  part-supplier relation.
+- q19: OR-of-conjunctions disjunctive predicate — Catalyst must keep
+  the common `p_partkey = l_partkey` equi-join condition out of the
+  disjunction and push the per-branch range filters into the scans.
+- q22: scalar aggregate subquery (decimal-exact average) + NOT EXISTS
+  anti-join with a correlated date filter.
+
+Same decimal-in/double-out discipline as plans/relational.py; schema
+deviations from stock TPC-H (no phone / shipmode / partsupp / comment
+columns in the synthetic tables) are adapted to the columns that exist
+and noted per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_tables
+
+DEC = "decimal(18,4)"
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style: how many customers placed k orders, for every k
+    INCLUDING ZERO — the left-outer-join-through-aggregation shape (an
+    inner join would silently drop the order-less bucket). The stock
+    query's `o_comment NOT LIKE` filter becomes an o_orderpriority
+    exclusion (no comment column in the synthetic schema).
+
+    Scale: customer ⋈ orders shuffles on custkey; both aggregations are
+    partial-agg friendly; the second groupBy is on |distinct k| rows."""
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"].where(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        t["customer"]
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))  # count skips nulls: 0 for order-less
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-style: distinct suppliers per (brand, type, size) for
+    selected sizes, excluding a brand and excluding "complaint"
+    suppliers (adapted: s_acctbal < 0 plays the complaints filter; the
+    part-supplier relation is derived as DISTINCT (l_partkey, l_suppkey)
+    from lineitem since the synthetic schema has no partsupp table).
+
+    Scale: the derived relation is one dropDuplicates shuffle; the
+    supplier exclusion is a broadcast anti-join (supplier is
+    dimension-sized); COUNT(DISTINCT) expands to a two-phase exact
+    aggregate."""
+    t = load_tables(spark, sf_dir)
+    rel = t["lineitem"].select("l_partkey", "l_suppkey").dropDuplicates()
+    part = t["part"].where(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(5, 10, 15, 20, 25)
+    )
+    complaints = t["supplier"].where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        rel.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(complaints),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) rel
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (5, 10, 15, 20, 25)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style: revenue under an OR of three brand/size/quantity
+    conjunctions. The plan test to eyeball: the `l_partkey = p_partkey`
+    equi-join must NOT degrade to a nested-loop under the disjunction
+    (Catalyst extracts the common join key), and per-branch ranges
+    should still prune."""
+    t = load_tables(spark, sf_dir)
+    j = t["lineitem"].join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+    b1 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#4")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    disc = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    return j.where(b1 | b2 | b3).agg(
+        F.sum(disc).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+Q19_SQL = """
+SELECT
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+           * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+DORMANT_CUTOFF = "2000-07-01 00:00:00"
+
+
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style: positive-balance customers richer than the
+    average positive balance who placed NO order since {DORMANT_CUTOFF}
+    (NOT EXISTS anti-join with a correlated date filter), grouped by
+    nation. The stock phone-prefix grouping becomes c_nationkey (no
+    phone column). The scalar average uses the decimal-sum / count
+    construction so it is one exact double in both engines (a plain
+    AVG(double) is partitioning-order-dependent).
+
+    Scale: the scalar aggregate is one partial-agg scan broadcast as a
+    literal-sized build side; the anti-join shuffles only the filtered
+    recent-orders keys."""
+    t = load_tables(spark, sf_dir)
+    pos = t["customer"].where(F.col("c_acctbal") > 0)
+    avg_bal = pos.agg(
+        (
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double") / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    recent = (
+        t["orders"]
+        .where(F.col("o_orderdate") >= F.lit(DORMANT_CUTOFF).cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        pos.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+Q22_SQL = f"""
+SELECT c_nationkey, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+FROM customer c
+WHERE c_acctbal > 0
+  AND c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+                   FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '{DORMANT_CUTOFF}')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+RELATIONAL3_QUERIES: dict[str, tuple] = {
+    "q13_customer_distribution": (q13_customer_distribution, Q13_SQL),
+    "q16_supplier_part_counts": (q16_supplier_part_counts, Q16_SQL),
+    "q19_disjunctive_revenue": (q19_disjunctive_revenue, Q19_SQL),
+    "q22_dormant_customers": (q22_dormant_customers, Q22_SQL),
+}

@@ -134,6 +134,19 @@ def test_dup_ngram_and_curation_no_cartesian(spark):
     assert "BroadcastHashJoin" in plan_of(corpus_curation_funnel(spark, SF))
 
 
+def test_q19_disjunction_keeps_equi_join(spark):
+    """The OR-of-conjunctions predicate must not swallow the
+    `l_partkey = p_partkey` equi-condition: the plan stays a hash/merge
+    equi-join (part side broadcast at this scale), never a nested-loop
+    with the disjunction as its residual."""
+    from csv_to_jsonld_processor_spark.plans.relational3 import q19_disjunctive_revenue
+
+    plan = plan_of(q19_disjunctive_revenue(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
 def test_neardup_lsh_no_cartesian(spark):
     """The near-dup scale path must be a bucket equi-join, never a
     cross join (the round-1 brute-force shape)."""
