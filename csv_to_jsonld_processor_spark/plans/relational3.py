@@ -207,7 +207,77 @@ ORDER BY c_nationkey
 """
 
 
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-style — the hardest subquery shape: per finished order,
+    a supplier whose line shipped late (> orderdate + 90 days; the
+    synthetic schema has no commit/receipt dates) counts as "waiting"
+    only if the order HAD other suppliers (EXISTS) and NONE of them were
+    also late (NOT EXISTS). Row semantics match stock Q21: one count per
+    late line, not per distinct order.
+
+    Spark shape: both correlated subqueries decorrelate to one
+    left-semi and one left-anti join against DISTINCT (order, supplier)
+    pair relations — equi on orderkey with the supplier inequality as
+    the hash-join residual, never a nested loop. Three shuffles total
+    (two pair dedups + the final group)."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].where(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate")
+    late = (
+        t["lineitem"]
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    pairs = (
+        t["lineitem"]
+        .select(F.col("l_orderkey").alias("p_ok"), F.col("l_suppkey").alias("p_sk"))
+        .dropDuplicates()
+    )
+    # NOT EXISTS side needs late lines of ANY order status — mirror the
+    # stock query, where only l1's order is status-filtered
+    late_any = (
+        t["lineitem"]
+        .join(t["orders"].select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select(F.col("l_orderkey").alias("lp_ok"), F.col("l_suppkey").alias("lp_sk"))
+        .dropDuplicates()
+    )
+    w = late.join(
+        pairs,
+        (F.col("l_orderkey") == F.col("p_ok")) & (F.col("l_suppkey") != F.col("p_sk")),
+        "left_semi",
+    ).join(
+        late_any,
+        (F.col("l_orderkey") == F.col("lp_ok")) & (F.col("l_suppkey") != F.col("lp_sk")),
+        "left_anti",
+    )
+    return (
+        w.join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
+Q21_SQL = """
+SELECT s_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN orders o ON l1.l_orderkey = o.o_orderkey AND o.o_orderstatus = 'F'
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+"""
+
+
 RELATIONAL3_QUERIES: dict[str, tuple] = {
+    "q21_waiting_suppliers": (q21_waiting_suppliers, Q21_SQL),
     "q13_customer_distribution": (q13_customer_distribution, Q13_SQL),
     "q16_supplier_part_counts": (q16_supplier_part_counts, Q16_SQL),
     "q19_disjunctive_revenue": (q19_disjunctive_revenue, Q19_SQL),

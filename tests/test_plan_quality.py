@@ -147,6 +147,18 @@ def test_q19_disjunction_keeps_equi_join(spark):
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
 
 
+def test_q21_decorrelates_to_semi_anti_hash_joins(spark):
+    """Q21's EXISTS/NOT EXISTS must decorrelate to hash-based left-semi
+    and left-anti joins (equi on orderkey, supplier inequality as
+    residual) — a nested-loop here is quadratic in order size."""
+    from csv_to_jsonld_processor_spark.plans.relational3 import q21_waiting_suppliers
+
+    plan = plan_of(q21_waiting_suppliers(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
 def test_neardup_lsh_no_cartesian(spark):
     """The near-dup scale path must be a bucket equi-join, never a
     cross join (the round-1 brute-force shape)."""
