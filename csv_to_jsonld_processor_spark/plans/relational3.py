@@ -276,7 +276,152 @@ ORDER BY numwait DESC, s_name
 """
 
 
+MKT_REGION = "ASIA"
+MKT_NATION = "NATION_7"  # an ASIA nation (regionkey 2)
+MKT_PTYPE = "STANDARD"
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style: {MKT_NATION}'s share of {MKT_PTYPE}-part revenue
+    sold to {MKT_REGION}-region customers, per order year — the
+    double-dimension-chain shape: nation⋈region on the CUSTOMER side
+    picks the market, nation on the SUPPLIER side labels the share
+    numerator, and the conditional ratio aggregates per year.
+
+    Scale: nation/region are true dimensions (broadcast hint);
+    customer/supplier/part scale with SF, so their joins carry NO
+    forced-broadcast hint (the plan-quality lint forbids it) — AQE
+    picks broadcast at test scale and shuffle at 100 TB."""
+    t = load_tables(spark, sf_dir)
+    nat = t["nation"].select("n_nationkey", "n_name", "n_regionkey")
+    region_nations = nat.join(
+        F.broadcast(t["region"].where(F.col("r_name") == MKT_REGION)),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    cust = t["customer"].join(
+        F.broadcast(region_nations), F.col("c_nationkey") == F.col("cn_key")
+    ).select("c_custkey")
+    supp = t["supplier"].join(
+        F.broadcast(nat.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+
+    li = t["lineitem"].join(
+        t["part"].where(F.col("p_type") == MKT_PTYPE).select("p_partkey"),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    vol = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    j = (
+        li.join(t["orders"].select("o_orderkey", "o_custkey", "o_orderdate"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(F.year("o_orderdate").alias("o_year"), vol.alias("vol"), "supp_nation")
+    )
+    return (
+        j.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == MKT_NATION, F.col("vol")).otherwise(F.lit(0).cast(DEC))).cast("double")
+                / F.sum("vol").cast("double"),
+                6,
+            ).alias("mkt_share"),
+            F.sum("vol").cast("double").alias("total_volume"),
+        )
+        .orderBy("o_year")
+    )
+
+
+Q8_SQL = f"""
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       ROUND(CAST(SUM(CASE WHEN sn.n_name = '{MKT_NATION}'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 6) AS mkt_share,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS total_volume
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_type = '{MKT_PTYPE}'
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region ON cn.n_regionkey = r_regionkey AND r_name = '{MKT_REGION}'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+EXCESS_BRAND = "Brand#5"
+EXCESS_MULT = 2.0  # flag a supplier shipping > 2x its fair share of a part
+
+
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-style nested-aggregate shape (adapted: no partsupp
+    table, so "supply share" is derived from shipped quantities): a
+    supplier is flagged per {EXCESS_BRAND} part where its shipped
+    quantity exceeds {EXCESS_MULT}× its FAIR share (part total ÷ number
+    of suppliers shipping that part) — the aggregate-vs-aggregate-of-
+    same-relation comparison that stock Q20 does with availqty vs half
+    the shipped sum. The fair-share form is scale-invariant: a fixed
+    fraction threshold goes degenerate as supplier count grows with SF
+    (measured: >0.2 of total matches zero rows at every SF). Output:
+    suppliers with the count of parts they dominate.
+
+    Scale: two partial aggregations over the same filtered scan (per
+    (part, supplier) and per part), equi-joined on partkey — |parts|-
+    sized join, no subquery re-scan of lineitem."""
+    t = load_tables(spark, sf_dir)
+    brand_parts = t["part"].where(F.col("p_brand") == EXCESS_BRAND).select("p_partkey")
+    li = t["lineitem"].join(brand_parts, F.col("l_partkey") == F.col("p_partkey"))
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("qty_ps")
+    )
+    per_p = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("qty_p"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+    )
+    flagged = (
+        per_ps.join(per_p, F.col("l_partkey") == F.col("pk"))
+        .where(F.col("qty_ps") > EXCESS_MULT * F.col("qty_p") / F.col("n_supp"))
+    )
+    return (
+        flagged.join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("n_dominated_parts"))
+        .orderBy(F.desc("n_dominated_parts"), "s_name")
+    )
+
+
+Q20_SQL = f"""
+WITH li AS (
+  SELECT l_partkey, l_suppkey, l_quantity
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = '{EXCESS_BRAND}'
+), per_ps AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty_ps
+  FROM li GROUP BY l_partkey, l_suppkey
+), per_p AS (
+  SELECT l_partkey AS pk,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty_p,
+         COUNT(DISTINCT l_suppkey) AS n_supp
+  FROM li GROUP BY l_partkey
+)
+SELECT s_name, COUNT(*) AS n_dominated_parts
+FROM per_ps JOIN per_p ON l_partkey = pk
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE qty_ps > {EXCESS_MULT} * qty_p / n_supp
+GROUP BY s_name
+ORDER BY n_dominated_parts DESC, s_name
+"""
+
+
 RELATIONAL3_QUERIES: dict[str, tuple] = {
+    "q8_market_share": (q8_market_share, Q8_SQL),
+    "q20_excess_suppliers": (q20_excess_suppliers, Q20_SQL),
     "q21_waiting_suppliers": (q21_waiting_suppliers, Q21_SQL),
     "q13_customer_distribution": (q13_customer_distribution, Q13_SQL),
     "q16_supplier_part_counts": (q16_supplier_part_counts, Q16_SQL),
