@@ -419,7 +419,67 @@ ORDER BY n_dominated_parts DESC, s_name
 """
 
 
+REV_LO = "1997-01-01 00:00:00"
+REV_HI = "1997-04-01 00:00:00"
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-style: the supplier(s) whose quarterly revenue equals
+    the MAXIMUM over all suppliers — the aggregate-of-aggregate scalar
+    shape (stock Q15's revenue view + MAX subquery). Revenue is
+    decimal-accumulated then compared as the identical double on both
+    engines, so the equality join against the max is exact.
+
+    Scale: one partial-agg pass builds the per-supplier revenue; the
+    max is a 1-row broadcast; ties all surface (no arbitrary LIMIT 1)."""
+    t = load_tables(spark, sf_dir)
+    lo = F.lit(REV_LO).cast("timestamp")
+    hi = F.lit(REV_HI).cast("timestamp")
+    rev = (
+        t["lineitem"]
+        .where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(DEC)
+                * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+            )
+            .cast("double")
+            .alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("max_rev"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            "s_name",
+            F.round("total_revenue", 4).alias("total_revenue"),
+        )
+        .orderBy("suppkey")
+    )
+
+
+Q15_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                  * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{REV_LO}' AND l_shipdate < TIMESTAMP '{REV_HI}'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey AS suppkey, s_name, ROUND(total_revenue, 4) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+ORDER BY suppkey
+"""
+
+
 RELATIONAL3_QUERIES: dict[str, tuple] = {
+    "q15_top_supplier": (q15_top_supplier, Q15_SQL),
     "q8_market_share": (q8_market_share, Q8_SQL),
     "q20_excess_suppliers": (q20_excess_suppliers, Q20_SQL),
     "q21_waiting_suppliers": (q21_waiting_suppliers, Q21_SQL),

@@ -176,8 +176,66 @@ FROM (VALUES
 ORDER BY kind
 """
 
+def media_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chained multimodal pipeline as a driver query: generate →
+    resize (factor 2, binary→binary re-encode) → frame-sample the
+    resized VIDEOS (every 4th frame) → per-kind stats. Exercises two
+    mapInPandas stages back-to-back on binary columns — the re-encoded
+    blob from stage 1 must round-trip through stage 2's decoder.
+    Golden VALUES oracle recomputed independently in plain Python/numpy
+    (same sha256 synth, resize slice, frame stride — no Spark)."""
+    from pyspark.sql import functions as F
+
+    media = generate_media(spark, 2000, seed=42)
+    resized = resize_media(media, factor=2)
+    frames = sample_frames(resized, every_k=4)
+    per_kind = resized.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("width"), 6).alias("avg_width"),
+        F.round(F.avg("height"), 6).alias("avg_height"),
+    )
+    frame_stats = (
+        frames.join(resized.select("media_id", "kind"), "media_id")
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames_sampled"),
+            F.round(F.avg("frame_mean"), 6).alias("avg_frame_mean"),
+        )
+    )
+    return (
+        per_kind.join(frame_stats, "kind", "left")
+        .select(
+            "kind",
+            "n",
+            "avg_width",
+            "avg_height",
+            F.coalesce("n_frames_sampled", F.lit(0)).cast("long").alias("n_frames_sampled"),
+            F.coalesce("avg_frame_mean", F.lit(0.0)).alias("avg_frame_mean"),
+        )
+        .orderBy("kind")
+    )
+
+
+# golden: independent plain-Python recomputation (sha256 synth + numpy
+# [::2,::2] resize + every-4th-frame means), N=2000 seed=42
+MEDIA_PIPELINE_SQL = """
+SELECT kind, CAST(n AS BIGINT) AS n,
+       CAST(avg_width AS DOUBLE) AS avg_width,
+       CAST(avg_height AS DOUBLE) AS avg_height,
+       CAST(n_frames_sampled AS BIGINT) AS n_frames_sampled,
+       CAST(avg_frame_mean AS DOUBLE) AS avg_frame_mean
+FROM (VALUES
+  ('audio', 654, 10.099388, 9.692661, 0, 0.0),
+  ('image', 682, 10.026393, 9.684751, 0, 0.0),
+  ('video', 664, 10.11747, 9.75753, 1859, 126.793282)
+) AS golden(kind, n, avg_width, avg_height, n_frames_sampled, avg_frame_mean)
+ORDER BY kind
+"""
+
+
 MULTIMODAL_QUERIES: dict[str, tuple] = {
     "media_feature_stats": (media_feature_stats, MEDIA_STATS_SQL),
+    "media_pipeline_stats": (media_pipeline_stats, MEDIA_PIPELINE_SQL),
 }
 
 
