@@ -565,7 +565,69 @@ GROUP BY 1 ORDER BY iri
 """
 
 
+def kg_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle participation per vertex over the undirected
+    co-occurrence graph — the classic clustering/community signal and
+    the canonical heavy graph join. Each triangle {a < b < c} is
+    enumerated exactly once by the ordered triple join, then exploded
+    to its three corners for per-vertex counts.
+
+    Scale shape: edges oriented low-id → high-id, two equi-joins
+    (e1.b = e2.a closing through e3 = (e1.a, e2.b)). On a power-law web
+    graph the production refinement is DEGREE orientation (orient each
+    edge toward the higher-degree endpoint) which provably bounds the
+    join fan-out by O(m^1.5); id orientation keeps the oracle identical
+    here and the join structure is the same."""
+    edges = kg_cooccurrence_edges(spark, sf_dir)
+    und = (
+        edges.where(F.col("subj") != F.col("obj"))
+        .select(
+            F.least("subj", "obj").alias("a"), F.greatest("subj", "obj").alias("b")
+        )
+        .distinct()
+    )
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tris = e1.join(e2, "y").join(e3, ["x", "z"])
+    corners = tris.select(
+        F.explode(F.array("x", "y", "z")).alias("term")
+    )
+    return (
+        corners.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy("term")
+    )
+
+
+KG_TRIANGLES_SQL = f"""
+WITH toks AS (SELECT string_split(text,' ') AS tokens FROM documents),
+bg AS (
+  SELECT unnest(list_transform(generate_series(1, greatest(len(tokens)-1, 0)),
+                i -> struct_pack(subj := tokens[i], obj := tokens[i+1]))) AS p
+  FROM toks
+), edges AS (
+  SELECT p.subj AS subj, p.obj AS obj
+  FROM bg
+  WHERE list_contains({{LEX}}, p.subj) AND list_contains({{LEX}}, p.obj)
+  GROUP BY 1, 2
+), und AS (
+  SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+  FROM edges WHERE subj <> obj
+), tris AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT term, COUNT(*) AS n_triangles
+FROM (SELECT unnest([x, y, z]) AS term FROM tris)
+GROUP BY term ORDER BY term
+""".replace("{LEX}", repr(LEXICON))
+
+
 KG_QUERIES: dict[str, tuple] = {
+    "kg_triangle_counts": (kg_triangle_counts, KG_TRIANGLES_SQL),
     "kg_mention_counts": (kg_mention_counts, KG_MENTIONS_SQL),
     "kg_cooccurrence_edges": (kg_cooccurrence_edges, KG_COOC_SQL),
     "kg_entity_degree": (kg_entity_degree, KG_DEGREE_SQL),

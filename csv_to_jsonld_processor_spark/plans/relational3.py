@@ -478,7 +478,36 @@ ORDER BY suppkey
 """
 
 
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority) — all four grouping sets including
+    the per-priority-only slice ROLLUP can't produce (completes the
+    grouping-sets coverage next to rollup_order_priority)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("sum_total"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
 RELATIONAL3_QUERIES: dict[str, tuple] = {
+    "cube_order_stats": (cube_order_stats, CUBE_SQL),
     "q15_top_supplier": (q15_top_supplier, Q15_SQL),
     "q8_market_share": (q8_market_share, Q8_SQL),
     "q20_excess_suppliers": (q20_excess_suppliers, Q20_SQL),
