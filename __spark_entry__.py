@@ -52,6 +52,12 @@ def _registry() -> dict[str, tuple]:
     except ImportError:
         pass
     try:
+        from csv_to_jsonld_processor_spark.operators.upsert import UPSERT_QUERIES
+
+        reg.update(UPSERT_QUERIES)
+    except ImportError:
+        pass
+    try:
         from csv_to_jsonld_processor_spark.operators.similarity import SIMILARITY_QUERIES
 
         reg.update(SIMILARITY_QUERIES)
