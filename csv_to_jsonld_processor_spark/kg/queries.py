@@ -14,6 +14,9 @@ is pytest-gated).
 - ``kg_pagerank``: weighted PageRank, 10 fixed iterations, vs a DuckDB
   oracle that unrolls the same iterations as chained CTEs.
 - ``kg_two_hop_paths``: path-counting self-join over the edge table.
+- ``kg_triangle_counts``: per-vertex triangle participation via the
+  ordered-triple join (clustering signal; degree orientation is the
+  power-law upgrade).
 - ``kg_webtext_edges`` / ``kg_webtext_edge_stats`` / ``kg_webtext_pr``:
   the flagship HTML→triples pipeline on the deterministic synthetic
   corpus — full-table hash check vs a generator-derived golden, a
