@@ -58,6 +58,12 @@ def _registry() -> dict[str, tuple]:
     except ImportError:
         pass
     try:
+        from csv_to_jsonld_processor_spark.operators.eventops import EVENTOPS_QUERIES
+
+        reg.update(EVENTOPS_QUERIES)
+    except ImportError:
+        pass
+    try:
         from csv_to_jsonld_processor_spark.operators.similarity import SIMILARITY_QUERIES
 
         reg.update(SIMILARITY_QUERIES)

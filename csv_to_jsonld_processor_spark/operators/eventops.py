@@ -1,0 +1,148 @@
+"""Behavioral analytics over the ``events`` table: ordered conversion
+funnels and retention cohorts — the two aggregate shapes every event
+pipeline ships alongside sessionization (streaming/events.py).
+
+Both are pure join/agg plans with exact oracles. Scale notes inline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_tables
+
+FUNNEL_STAGES = ["view", "click", "purchase"]
+FUNNEL_WINDOW = "INTERVAL 24 HOURS"  # step k must follow step k-1 within this window
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: a user counts
+    at stage k only if the stage-k event happened STRICTLY AFTER their
+    first stage-(k-1) completion AND within {FUNNEL_WINDOW} of it (the
+    window is what makes the funnel discriminate on this dense synthetic
+    stream — unwindowed, every user eventually completes every stage;
+    set-membership funnels additionally overcount users who purchased
+    before ever viewing). Emits per-stage user counts and the step
+    conversion rate.
+
+    Scale shape: one filtered partial-agg per stage, each chained to
+    the previous through an equi-join on user_id — shuffle keys stay
+    user_id throughout, so all three aggregations and joins co-locate
+    in one exchange lineage; no window over the full event stream."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select("user_id", "event_type", "ts")
+
+    stage_firsts = []
+    prev = None
+    for stage in FUNNEL_STAGES:
+        cur = ev.where(F.col("event_type") == stage)
+        if prev is not None:
+            cur = cur.join(prev, "user_id").where(
+                (F.col("ts") > F.col("_t_prev"))
+                & (F.col("ts") <= F.col("_t_prev") + F.expr(FUNNEL_WINDOW))
+            )
+        cur = cur.groupBy("user_id").agg(F.min("ts").alias("_t_prev"))
+        stage_firsts.append(cur)
+        prev = cur
+
+    counts = [df.count() for df in stage_firsts]  # bounded: 3 scalars
+    rows = []
+    for i, (stage, n) in enumerate(zip(FUNNEL_STAGES, counts)):
+        conv = round(n / counts[i - 1], 6) if i > 0 and counts[i - 1] else 1.0
+        rows.append((i + 1, stage, n, conv))
+    return spark.createDataFrame(
+        rows, schema="stage int, event_type string, n_users long, conv_from_prev double"
+    )
+
+
+EVENTS_FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t AND e.ts <= s1.t + INTERVAL 24 HOURS
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t AND e.ts <= s2.t + INTERVAL 24 HOURS
+  GROUP BY e.user_id
+), n AS (
+  SELECT (SELECT COUNT(*) FROM s1) AS n1,
+         (SELECT COUNT(*) FROM s2) AS n2,
+         (SELECT COUNT(*) FROM s3) AS n3
+)
+SELECT * FROM (
+  SELECT 1 AS stage, 'view' AS event_type, n1 AS n_users, 1.0 AS conv_from_prev FROM n
+  UNION ALL
+  SELECT 2, 'click', n2, ROUND(CAST(n2 AS DOUBLE) / n1, 6) FROM n
+  UNION ALL
+  SELECT 3, 'purchase', n3, ROUND(CAST(n3 AS DOUBLE) / n2, 6) FROM n
+) ORDER BY stage
+"""
+
+
+RETAIN_MIN_PURCHASES = 3  # "engaged" week; >=1-of-any-event is saturated on this dense stream
+
+
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly ENGAGED-retention cohorts: a user's week counts as active
+    only with ≥{RETAIN_MIN_PURCHASES} purchases that week (raw ≥1-event
+    activity is saturated on this synthetic stream — every user appears
+    every week — so the engagement threshold is what makes the cohort
+    triangle decay); cohort = the user's first engaged week. Emitted
+    long-form (cohort_week, week_offset, n_users).
+
+    Scale shape: the engaged-week relation is one (user, week) partial
+    agg with a HAVING; first-seen is a user-keyed agg on top — all
+    shuffles stay on user_id; the final aggregation is
+    |cohorts × offsets|-sized. date_trunc('week') is Monday-anchored in
+    both engines."""
+    t = load_tables(spark, sf_dir)
+    active = (
+        t["events"]
+        .where(F.col("event_type") == "purchase")
+        .select("user_id", F.date_trunc("week", "ts").alias("week"))
+        .groupBy("user_id", "week")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= RETAIN_MIN_PURCHASES)
+        .select("user_id", "week")
+    )
+    first = active.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        active.join(first, "user_id")
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+EVENTS_RETENTION_SQL = """
+WITH active AS (
+  SELECT user_id, date_trunc('week', ts) AS week
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, date_trunc('week', ts)
+  HAVING COUNT(*) >= 3
+), first AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM active GROUP BY user_id
+)
+SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('day', cohort_week, week) / 7 AS INT) AS week_offset,
+       COUNT(*) AS n_users
+FROM active JOIN first USING (user_id)
+GROUP BY 1, 2 ORDER BY cohort_week, week_offset
+"""
+
+
+EVENTOPS_QUERIES: dict[str, tuple] = {
+    "events_funnel": (events_funnel, EVENTS_FUNNEL_SQL),
+    "events_retention_cohorts": (events_retention_cohorts, EVENTS_RETENTION_SQL),
+}
