@@ -1,0 +1,61 @@
+"""Source/sink format breadth beyond parquet+CSV+Excel: ORC and JSON
+lines round-trip losslessly through the engine, and parquet schema
+evolution (mergeSchema) widens without data loss — the ingestion
+realities of a long-lived 100 TB lake where writers upgrade schemas
+over time."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from csv_to_jsonld_processor_spark.session import get_spark
+
+    return get_spark("formats", cpus=4)
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_orc_round_trip(spark, tmp_path):
+    src = spark.read.parquet(f"{SF}/supplier.parquet")
+    p = str(tmp_path / "supplier_orc")
+    src.write.orc(p)
+    back = spark.read.orc(p)
+    assert back.schema == src.schema
+    assert _rows(back) == _rows(src)
+
+
+def test_json_lines_round_trip(spark, tmp_path):
+    # timestamps survive via explicit schema on read (JSON has no
+    # native timestamp type)
+    src = spark.read.parquet(f"{SF}/orders.parquet")
+    p = str(tmp_path / "orders_json")
+    src.write.json(p)
+    back = spark.read.schema(src.schema).json(p)
+    assert _rows(back) == _rows(src)
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    old = spark.read.parquet(f"{SF}/region.parquet")
+    new = old.withColumn("r_population", F.col("r_regionkey") * 1000)
+    p = str(tmp_path / "region_evolved")
+    old.write.parquet(p)
+    new.write.mode("append").parquet(p)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) == set(old.columns) | {"r_population"}
+    assert merged.count() == 2 * old.count()
+    # old-writer rows surface the new column as NULL, new-writer rows keep values
+    assert merged.where("r_population IS NULL").count() == old.count()
+    assert merged.where("r_population = r_regionkey * 1000").count() == old.count()
