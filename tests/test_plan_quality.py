@@ -159,6 +159,38 @@ def test_q21_decorrelates_to_semi_anti_hash_joins(spark):
     assert "LeftSemi" in plan and "LeftAnti" in plan
 
 
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Runtime row-level filtering (semi-join reduction): when a
+    selective filter sits on the build side of a shuffle join, the
+    optimizer must inject a bloom filter built from the dim keys and
+    apply might_contain on the fact side BEFORE its shuffle — at 100 TB
+    this is what keeps non-matching fact rows from ever crossing the
+    network. Broadcast is disabled to force the shuffle-join scenario
+    the technique exists for."""
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_thr = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB"
+    )
+    try:
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF}/orders.parquet").where(
+            "o_orderpriority = '1-URGENT'"
+        )
+        plan = plan_of(li.join(orders, li.l_orderkey == orders.o_orderkey))
+        assert "bloom_filter_agg" in plan, "no runtime bloom filter built"
+        assert "might_contain" in plan, "bloom filter not applied to the probe side"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            prev_thr,
+        )
+
+
 def test_neardup_lsh_no_cartesian(spark):
     """The near-dup scale path must be a bucket equi-join, never a
     cross join (the round-1 brute-force shape)."""
