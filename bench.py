@@ -36,6 +36,12 @@ BENCH_QUERIES = [
     "kg_cooccurrence_edges",
     "kg_pagerank",
     "fixture_triples",
+    # round-3 session-2 additions (absent from earlier BENCH_r* runs —
+    # cross-round totals compare via round1_subset_seconds, not value)
+    "corpus_curation_funnel",
+    "q21_waiting_suppliers",
+    "kg_triangle_counts",
+    "ann_kmeans_train",
 ]
 
 

@@ -49,7 +49,9 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_decontaminate)."""
     t = load_tables(spark, sf_dir)
     toks = F.split(F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))), " ")
-    base = (
+    # docs_tok: tokens only — the decontamination branch derives from
+    # THIS so it never recomputes the heavy repetition metrics below
+    docs_tok = (
         t["documents"]
         .where(F.col("doc_id") >= BENCH_DOCS)
         .withColumn("_tokens", toks)
@@ -64,7 +66,7 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         " i -> concat(_tokens[i-1], ' ', _tokens[i])) ELSE array() END"
     )
     base = (
-        base.withColumn("_top", top_count)
+        docs_tok.withColumn("_top", top_count)
         .withColumn("_bg", bigrams)
         .withColumn(
             "_top_frac", F.round(F.col("_top").cast("double") / F.col("n_tokens"), 6)
@@ -86,15 +88,23 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("_top_frac") <= REP_TOP_WORD_MAX)
             & (F.col("_dup_frac") <= REP_DUP_BIGRAM_MAX),
         )
-        .select("doc_id", "lang", "_tokens", "n_tokens", "q_keep")
+        .select("doc_id", "lang", "n_tokens", "q_keep")
     )
+    # narrow per-doc flags feed THREE downstream branches (qa, flags,
+    # final agg): persist the few-columns relation so the O(distinct ×
+    # tokens) repetition metrics run over the corpus exactly once — at
+    # 100 TB this is a tiny fraction of the input (4 scalar columns)
+    base = base.persist()
 
     # greedy near-dup removal: drop b iff a verified dup (a, b), a < b,
-    # has a q-surviving a inside the corpus
+    # has a q-surviving a inside the corpus. The verified chain's own
+    # DAG references its candidate set twice — persisting the (tiny)
+    # pair list materializes that whole chain once.
     pairs = (
         dedup_minhash_verified(spark, sf_dir)
         .where("is_dup")
         .select("doc_a", "doc_b")
+        .persist()
     )
     qa = base.select(F.col("doc_id").alias("doc_a"), F.col("q_keep").alias("_qa"))
     dropped = (
@@ -122,7 +132,7 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     contaminated = (
-        base.select("doc_id", F.explode(sh).alias("shingle"))
+        docs_tok.select("doc_id", F.explode(sh).alias("shingle"))
         .join(F.broadcast(bench), "shingle")
         .select("doc_id")
         .distinct()

@@ -645,6 +645,152 @@ FROM scanned ORDER BY doc_id
 """
 
 
+SPLIT_TRAIN_PCT = 90
+SPLIT_VAL_PCT = 5  # test = remainder
+
+
+def doc_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment — the split every
+    training pipeline needs to be reproducible across reruns, cluster
+    sizes, and partitionings: an md5 gate on a salted doc_id maps each
+    doc to a percent bucket ({SPLIT_TRAIN_PCT}/{SPLIT_VAL_PCT}/rest).
+    The salt ('split:') makes this gate independent of the sampling
+    gate in doc_sample_stratified — the same doc can be sampled out
+    and still have a stable split identity. Shuffle-free row logic +
+    one audit aggregation."""
+    t = load_tables(spark, sf_dir)
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    bucket = h % 100
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    d = t["documents"].withColumn("split", split).withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), " "))
+    )
+    return (
+        d.groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+DOC_SPLIT_SQL = f"""
+WITH d AS (
+  SELECT lang,
+         CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+  FROM documents
+)
+SELECT CASE WHEN bucket < {SPLIT_TRAIN_PCT} THEN 'train'
+            WHEN bucket < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split,
+       lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM d GROUP BY 1, 2 ORDER BY split, lang
+"""
+
+
+ZIPF_VOCAB_CAP = 10000  # rank table capped to dimension size; rest = OOV rank
+ZIPF_BUCKETS = 3
+
+
+def doc_zipf_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style frequency-based quality bucketing WITHOUT the
+    cross-engine log() hazard: instead of LM log-probs (whose last-ulp
+    differences between Java Math.log and libm can flip a rounded sum),
+    each doc is scored by the mean Zipf RANK of its tokens — exact
+    integer arithmetic end-to-end — and docs are ntile'd into
+    {ZIPF_BUCKETS} buckets (head = common-word docs, tail = rare-word
+    docs), the head/middle/tail split CCNet feeds to different training
+    mixes.
+
+    Scale shape: the rank table is the corpus unigram count capped at
+    {ZIPF_VOCAB_CAP} entries (dimension-sized BY CONSTRUCTION, so its
+    window rank and the scoring join both broadcast; everything beyond
+    the cap shares one OOV rank). Per-doc scoring is an exploded
+    broadcast join + exact integer partial agg; the ntile is one window
+    over |docs| rows ordered by (score, doc_id) — deterministic total
+    order."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    toks = F.split(F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))), " ")
+    exploded = (
+        t["documents"].withColumn("_tokens", toks).select(
+            "doc_id", "lang", F.explode("_tokens").alias("token")
+        )
+    )
+    vocab = (
+        exploded.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("token"))),
+        )
+        .where(F.col("rank") <= ZIPF_VOCAB_CAP)
+        .select("token", "rank")
+    )
+    oov = ZIPF_VOCAB_CAP + 1
+    scored = (
+        exploded.join(F.broadcast(vocab), "token", "left")
+        .withColumn("rank", F.coalesce(F.col("rank"), F.lit(oov)))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("rank").cast("long").alias("_rank_sum"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .withColumn("mean_rank", F.col("_rank_sum").cast("double") / F.col("_n"))
+    )
+    bucketed = scored.withColumn(
+        "bucket",
+        F.ntile(ZIPF_BUCKETS).over(Window.orderBy(F.asc("mean_rank"), F.asc("doc_id"))),
+    )
+    return (
+        bucketed.groupBy("bucket", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.min("mean_rank"), 6).alias("min_mean_rank"),
+            F.round(F.max("mean_rank"), 6).alias("max_mean_rank"),
+        )
+        .orderBy("bucket", "lang")
+    )
+
+
+DOC_ZIPF_SQL = f"""
+WITH exploded AS (
+  SELECT doc_id, lang,
+         unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS token
+  FROM documents
+), vocab AS (
+  SELECT token, rank FROM (
+    SELECT token, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token ASC) AS rank
+    FROM exploded GROUP BY token
+  ) WHERE rank <= {ZIPF_VOCAB_CAP}
+), scored AS (
+  SELECT e.doc_id, e.lang,
+         CAST(SUM(COALESCE(v.rank, {ZIPF_VOCAB_CAP + 1})) AS DOUBLE) / COUNT(*) AS mean_rank
+  FROM exploded e LEFT JOIN vocab v USING (token)
+  GROUP BY e.doc_id, e.lang
+), bucketed AS (
+  SELECT lang, mean_rank,
+         NTILE({ZIPF_BUCKETS}) OVER (ORDER BY mean_rank ASC, doc_id ASC) AS bucket
+  FROM scored
+)
+SELECT bucket, lang, COUNT(*) AS n_docs,
+       ROUND(MIN(mean_rank), 6) AS min_mean_rank,
+       ROUND(MAX(mean_rank), 6) AS max_mean_rank
+FROM bucketed GROUP BY bucket, lang ORDER BY bucket, lang
+"""
+
+
 TEXT_QUERIES: dict[str, tuple] = {
     "doc_token_stats": (doc_token_stats, DOC_TOKEN_STATS_SQL),
     "doc_bpe_token_count": (doc_bpe_token_count, DOC_BPE_SQL),
@@ -658,4 +804,6 @@ TEXT_QUERIES: dict[str, tuple] = {
     "doc_repetition_signals": (doc_repetition_signals, DOC_REPETITION_SQL),
     "doc_dup_ngram_spans": (doc_dup_ngram_spans, DOC_DUP_NGRAM_SQL),
     "doc_pii_scan": (doc_pii_scan, DOC_PII_SQL),
+    "doc_train_val_test_split": (doc_train_val_test_split, DOC_SPLIT_SQL),
+    "doc_zipf_quality_buckets": (doc_zipf_quality_buckets, DOC_ZIPF_SQL),
 }
