@@ -59,3 +59,24 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     # old-writer rows surface the new column as NULL, new-writer rows keep values
     assert merged.where("r_population IS NULL").count() == old.count()
     assert merged.where("r_population = r_regionkey * 1000").count() == old.count()
+
+
+def test_corrupt_file_tolerance(spark, tmp_path):
+    """Operational reality of a 100 TB lake: one rotted/truncated file
+    must not kill a full-corpus job when ignoreCorruptFiles is on, and
+    MUST fail loudly when it's off (silent data loss is worse than a
+    crash — the flag is an explicit operator decision)."""
+    src = spark.read.parquet(f"{SF}/region.parquet")
+    p = str(tmp_path / "with_corrupt")
+    src.write.parquet(p)
+    with open(os.path.join(p, "part-corrupt.parquet"), "wb") as f:
+        f.write(b"PAR1 this is not a real parquet footer")
+
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try:
+        assert spark.read.parquet(p).count() == src.count()
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
+
+    with pytest.raises(Exception):
+        spark.read.parquet(p).count()
