@@ -83,9 +83,14 @@ def main() -> None:
     ap.add_argument("--pages", type=int, default=4_000_000)
     ap.add_argument("--skip-secondary", action="store_true")
     ap.add_argument("--repeat", type=int, default=2)
+    ap.add_argument(
+        "--pages-dir",
+        default=None,
+        help="reuse an existing corpus dir (skips generation)",
+    )
     args = ap.parse_args()
 
-    pages_dir = tempfile.mkdtemp(prefix="kg_scaling_")
+    pages_dir = args.pages_dir or tempfile.mkdtemp(prefix="kg_scaling_")
     primary = measure_pair(4, args.pages, pages_dir, repeat=args.repeat)
     secondary = None if args.skip_secondary else measure_pair(8, args.pages, pages_dir, repeat=1)
 
