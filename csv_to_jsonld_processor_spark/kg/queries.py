@@ -629,8 +629,93 @@ GROUP BY term ORDER BY term
 """.replace("{LEX}", repr(LEXICON))
 
 
+def kg_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per vertex: triangles(v) /
+    C(deg(v), 2) over the undirected co-occurrence graph — the
+    community-density signal on top of kg_triangle_counts. All inputs
+    are exact integers (triangle and degree counts); the single
+    terminal division is the same IEEE double in both engines, rounded
+    to 6 for presentation. Vertices of degree < 2 report 0.
+
+    Scale: degree is one partial agg over the undirected edge list;
+    the triangle side reuses the ordered-triple join (its cost notes
+    live on kg_triangle_counts)."""
+    edges = kg_cooccurrence_edges(spark, sf_dir)
+    und = (
+        edges.where(F.col("subj") != F.col("obj"))
+        .select(
+            F.least("subj", "obj").alias("a"), F.greatest("subj", "obj").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("term"))
+        .unionAll(und.select(F.col("b").alias("term")))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = kg_triangle_counts(spark, sf_dir)
+    possible = (F.col("degree") * (F.col("degree") - 1) / 2).cast("double")
+    return (
+        deg.join(tri, "term", "left")
+        .select(
+            "term",
+            F.col("degree").cast("long").alias("degree"),
+            F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias("n_triangles"),
+            F.round(
+                F.when(
+                    F.col("degree") >= 2,
+                    F.coalesce(F.col("n_triangles"), F.lit(0)).cast("double") / possible,
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("clustering_coeff"),
+        )
+        .orderBy("term")
+    )
+
+
+KG_CLUSTERING_SQL = f"""
+WITH toks AS (SELECT string_split(text,' ') AS tokens FROM documents),
+bg AS (
+  SELECT unnest(list_transform(generate_series(1, greatest(len(tokens)-1, 0)),
+                i -> struct_pack(subj := tokens[i], obj := tokens[i+1]))) AS p
+  FROM toks
+), edges AS (
+  SELECT p.subj AS subj, p.obj AS obj
+  FROM bg
+  WHERE list_contains({{LEX}}, p.subj) AND list_contains({{LEX}}, p.obj)
+  GROUP BY 1, 2
+), und AS (
+  SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+  FROM edges WHERE subj <> obj
+), deg AS (
+  SELECT term, COUNT(*) AS degree
+  FROM (SELECT a AS term FROM und UNION ALL SELECT b AS term FROM und)
+  GROUP BY term
+), tris AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+), tri AS (
+  SELECT term, COUNT(*) AS n_triangles
+  FROM (SELECT unnest([x, y, z]) AS term FROM tris)
+  GROUP BY term
+)
+SELECT d.term, CAST(d.degree AS BIGINT) AS degree,
+       CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+       ROUND(CASE WHEN d.degree >= 2
+             THEN CAST(COALESCE(t.n_triangles, 0) AS DOUBLE)
+                  / (CAST(d.degree * (d.degree - 1) AS DOUBLE) / 2)
+             ELSE 0.0 END, 6) AS clustering_coeff
+FROM deg d LEFT JOIN tri t USING (term)
+ORDER BY term
+""".replace("{LEX}", repr(LEXICON))
+
+
 KG_QUERIES: dict[str, tuple] = {
     "kg_triangle_counts": (kg_triangle_counts, KG_TRIANGLES_SQL),
+    "kg_clustering_coefficient": (kg_clustering_coefficient, KG_CLUSTERING_SQL),
     "kg_mention_counts": (kg_mention_counts, KG_MENTIONS_SQL),
     "kg_cooccurrence_edges": (kg_cooccurrence_edges, KG_COOC_SQL),
     "kg_entity_degree": (kg_entity_degree, KG_DEGREE_SQL),

@@ -506,7 +506,68 @@ ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
 """
 
 
+COST_FACTOR = "0.8"  # cost basis = 0.8 x retail price (no ps_supplycost table)
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-style: profit by supplier nation and order year over
+    PROMO-type parts — the widest join fan in the suite (lineitem ⋈
+    part ⋈ supplier ⋈ nation ⋈ orders). Profit = discounted price −
+    quantity × {COST_FACTOR} × p_retailprice (cost basis adapted from
+    retail price; the synthetic schema has no partsupp/supplycost).
+    All money terms decimal-accumulated, double at the end.
+
+    Scale: part filter prunes before the fact join; supplier+nation are
+    unhinted (AQE broadcasts at test scale, shuffles at 100 TB — the
+    no-forced-broadcast lint applies); the final group is
+    |nations × years|."""
+    t = load_tables(spark, sf_dir)
+    part = t["part"].where(F.col("p_type") == "PROMO").select("p_partkey", "p_retailprice")
+    nat = t["nation"].select("n_nationkey", "n_name")
+    # cost basis pre-quantized to DECIMAL(18,4): 0.8 x a 2-decimal
+    # retail price has <=3 decimals, so the narrowing cast is exact and
+    # the downstream products stay inside precision 38 in BOTH engines
+    # (a triple decimal product overflows 38 and silently degrades to
+    # double arithmetic in DuckDB — the known precision-38 gotcha)
+    cost_unit = (F.lit(COST_FACTOR).cast(DEC) * F.col("p_retailprice").cast(DEC)).cast(DEC)
+    profit = (
+        F.col("l_extendedprice").cast(DEC)
+        * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+        - F.col("l_quantity").cast(DEC) * cost_unit
+    )
+    j = (
+        t["lineitem"]
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["supplier"].select("s_suppkey", "s_nationkey"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(t["orders"].select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    return (
+        j.groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(profit).cast("double").alias("profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+Q9_SQL = f"""
+SELECT n_name AS nation, CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+              - CAST(l_quantity AS DECIMAL(18,4))
+                * CAST(CAST({COST_FACTOR} AS DECIMAL(18,4))
+                       * CAST(p_retailprice AS DECIMAL(18,4)) AS DECIMAL(18,4))) AS DOUBLE) AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY n_name, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
 RELATIONAL3_QUERIES: dict[str, tuple] = {
+    "q9_product_profit": (q9_product_profit, Q9_SQL),
     "cube_order_stats": (cube_order_stats, CUBE_SQL),
     "q15_top_supplier": (q15_top_supplier, Q15_SQL),
     "q8_market_share": (q8_market_share, Q8_SQL),
