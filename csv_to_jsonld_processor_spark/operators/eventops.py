@@ -142,7 +142,78 @@ GROUP BY 1, 2 ORDER BY cohort_week, week_offset
 """
 
 
+ANOMALY_Z = 2.0
+
+
+def events_purchase_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily purchase-count anomaly detection per user: days where the
+    count's z-score against that user's own daily distribution exceeds
+    |{ANOMALY_Z}|. Variance is computed from EXACT integer sums
+    (Σx, Σx², n are bigints; the one mean/variance division and sqrt
+    are single IEEE ops, identical cross-engine) — a built-in
+    stddev/avg over doubles would be partitioning-order-dependent and
+    hash-unstable. Population variance (the monitoring convention).
+
+    Scale: one (user, day) partial agg, one user-level agg, one
+    broadcast-sized join back — all keyed on user_id."""
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .where(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stats = daily.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("days"),
+        F.sum("n").cast("long").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("days")
+    var = F.col("s2").cast("double") / F.col("days") - mean * mean
+    z = (F.col("n").cast("double") - mean) / F.sqrt(var)
+    return (
+        daily.join(stats, "user_id")
+        .where((F.col("days") >= 7) & (var > 0))
+        .withColumn("_z_raw", z)
+        .where(F.abs(F.col("_z_raw")) > ANOMALY_Z)  # filter on the UNROUNDED z, as the oracle does
+        .withColumn("z", F.round(F.col("_z_raw"), 6))
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("n").cast("long").alias("n_purchases"),
+            "z",
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+EVENTS_ANOMALY_SQL = f"""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, CAST(ts AS DATE)
+), stats AS (
+  SELECT user_id, COUNT(*) AS days,
+         CAST(SUM(n) AS BIGINT) AS s1, CAST(SUM(n * n) AS BIGINT) AS s2
+  FROM daily GROUP BY user_id
+)
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+       CAST(n AS BIGINT) AS n_purchases,
+       ROUND((CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / days)
+             / sqrt(CAST(s2 AS DOUBLE) / days
+                    - (CAST(s1 AS DOUBLE) / days) * (CAST(s1 AS DOUBLE) / days)), 6) AS z
+FROM daily JOIN stats USING (user_id)
+WHERE days >= 7
+  AND CAST(s2 AS DOUBLE) / days - (CAST(s1 AS DOUBLE) / days) * (CAST(s1 AS DOUBLE) / days) > 0
+  AND ABS((CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / days)
+          / sqrt(CAST(s2 AS DOUBLE) / days
+                 - (CAST(s1 AS DOUBLE) / days) * (CAST(s1 AS DOUBLE) / days))) > {ANOMALY_Z}
+ORDER BY user_id, day
+"""
+
+
 EVENTOPS_QUERIES: dict[str, tuple] = {
+    "events_purchase_anomalies": (events_purchase_anomalies, EVENTS_ANOMALY_SQL),
     "events_funnel": (events_funnel, EVENTS_FUNNEL_SQL),
     "events_retention_cohorts": (events_retention_cohorts, EVENTS_RETENTION_SQL),
 }

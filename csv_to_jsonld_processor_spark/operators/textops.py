@@ -645,6 +645,43 @@ FROM scanned ORDER BY doc_id
 """
 
 
+HIST_BIN_WIDTH = 10
+HIST_MAX_BIN = 20  # lengths >= 200 tokens collapse into the overflow bin
+
+
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram per language (width-{HIST_BIN_WIDTH} bins
+    with an overflow bin) — the distribution report behind packing and
+    truncation decisions, complementing the exact quantiles. Pure
+    integer bucket arithmetic (floor division + clamp), so the bins are
+    identical cross-engine by construction; one partial-agg shuffle of
+    |langs × bins| groups."""
+    t = load_tables(spark, sf_dir)
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    bucket = F.least(F.floor(n_tokens / HIST_BIN_WIDTH), F.lit(HIST_MAX_BIN)).cast("int")
+    return (
+        t["documents"]
+        .select("lang", bucket.alias("bin"))
+        .groupBy("lang", "bin")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("bin_lo", (F.col("bin") * HIST_BIN_WIDTH).cast("int"))
+        .select("lang", "bin", "bin_lo", "n_docs")
+        .orderBy("lang", "bin")
+    )
+
+
+DOC_HISTOGRAM_SQL = f"""
+SELECT lang, bin, CAST(bin * {HIST_BIN_WIDTH} AS INT) AS bin_lo, COUNT(*) AS n_docs
+FROM (
+  SELECT lang,
+         CAST(LEAST(CAST(FLOOR(len(string_split(text, ' ')) / {HIST_BIN_WIDTH}) AS BIGINT),
+                    {HIST_MAX_BIN}) AS INT) AS bin
+  FROM documents
+)
+GROUP BY lang, bin ORDER BY lang, bin
+"""
+
+
 SPLIT_TRAIN_PCT = 90
 SPLIT_VAL_PCT = 5  # test = remainder
 
@@ -804,6 +841,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "doc_repetition_signals": (doc_repetition_signals, DOC_REPETITION_SQL),
     "doc_dup_ngram_spans": (doc_dup_ngram_spans, DOC_DUP_NGRAM_SQL),
     "doc_pii_scan": (doc_pii_scan, DOC_PII_SQL),
+    "doc_length_histogram": (doc_length_histogram, DOC_HISTOGRAM_SQL),
     "doc_train_val_test_split": (doc_train_val_test_split, DOC_SPLIT_SQL),
     "doc_zipf_quality_buckets": (doc_zipf_quality_buckets, DOC_ZIPF_SQL),
 }
