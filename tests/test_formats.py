@@ -80,3 +80,22 @@ def test_corrupt_file_tolerance(spark, tmp_path):
 
     with pytest.raises(Exception):
         spark.read.parquet(p).count()
+
+
+def test_split_proportions_and_stability(spark):
+    """doc_train_val_test_split: the md5 gate must land near 90/5/5 and
+    be bitwise-stable across repartitionings (the whole point of a
+    hash gate vs rand())."""
+    from csv_to_jsonld_processor_spark.operators.textops import doc_train_val_test_split
+
+    out = {(r.split, r.lang): r.n_docs for r in doc_train_val_test_split(spark, "/root/testdata/sf0.1").collect()}
+    by_split = {}
+    for (split, _lang), n in out.items():
+        by_split[split] = by_split.get(split, 0) + n
+    total = sum(by_split.values())
+    assert 0.86 <= by_split["train"] / total <= 0.94
+    assert 0.02 <= by_split["val"] / total <= 0.08
+    assert 0.02 <= by_split["test"] / total <= 0.08
+
+    again = {(r.split, r.lang): r.n_docs for r in doc_train_val_test_split(spark, "/root/testdata/sf0.1").collect()}
+    assert again == out
