@@ -566,7 +566,54 @@ ORDER BY nation, o_year DESC
 """
 
 
+def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-value deciles: ntile(10) over (acctbal, custkey) — the
+    deterministic total order makes tile boundaries identical
+    cross-engine — with per-decile decimal-exact balance sums and
+    percent_rank/cume_dist of each decile's top customer thrown in for
+    the rank-function family coverage. One window shuffle + one
+    partial-agg."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    w = Window.orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+    d = t["customer"].select(
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(10).over(w).alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+    return (
+        d.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("total_balance"),
+            F.max("pr").alias("max_percent_rank"),
+            F.max("cd").alias("max_cume_dist"),
+        )
+        .orderBy("decile")
+    )
+
+
+CUSTOMER_DECILES_SQL = """
+SELECT decile, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_balance,
+       MAX(pr) AS max_percent_rank,
+       MAX(cd) AS max_cume_dist
+FROM (
+  SELECT c_custkey, c_acctbal,
+         NTILE(10) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS decile,
+         ROUND(PERCENT_RANK() OVER (ORDER BY c_acctbal ASC, c_custkey ASC), 6) AS pr,
+         ROUND(CUME_DIST() OVER (ORDER BY c_acctbal ASC, c_custkey ASC), 6) AS cd
+  FROM customer
+)
+GROUP BY decile ORDER BY decile
+"""
+
+
 RELATIONAL3_QUERIES: dict[str, tuple] = {
+    "customer_value_deciles": (customer_value_deciles, CUSTOMER_DECILES_SQL),
     "q9_product_profit": (q9_product_profit, Q9_SQL),
     "cube_order_stats": (cube_order_stats, CUBE_SQL),
     "q15_top_supplier": (q15_top_supplier, Q15_SQL),
