@@ -159,6 +159,21 @@ def test_q21_decorrelates_to_semi_anti_hash_joins(spark):
     assert "LeftSemi" in plan and "LeftAnti" in plan
 
 
+def test_aqe_coalesces_small_shuffle_partitions(spark):
+    """AQE must shrink the static 32-partition shuffle down to the data
+    at runtime (AQEShuffleRead coalesced in the FINAL plan) — the
+    mechanism that makes one spark.sql.shuffle.partitions setting
+    serve both the sf0.001 test and the 100 TB job."""
+    df = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .groupBy("o_orderpriority")
+        .count()
+    )
+    plan = plan_of(df, execute=True)  # final plan exists only post-run
+    assert "AQEShuffleRead" in plan
+    assert "coalesced" in plan
+
+
 def test_runtime_bloom_filter_prunes_fact_scan(spark):
     """Runtime row-level filtering (semi-join reduction): when a
     selective filter sits on the build side of a shuffle join, the
