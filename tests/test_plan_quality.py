@@ -159,6 +159,21 @@ def test_q21_decorrelates_to_semi_anti_hash_joins(spark):
     assert "LeftSemi" in plan and "LeftAnti" in plan
 
 
+def test_limit_orderby_fuses_to_take_ordered(spark):
+    """ORDER BY + LIMIT k must plan as TakeOrderedAndProject (per-
+    partition top-k + driver merge of k·partitions rows) — a global
+    sort for a top-10 is the classic way to shuffle 100 TB for 10
+    rows."""
+    df = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .orderBy("o_totalprice", ascending=False)
+        .limit(10)
+    )
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
 def test_aqe_coalesces_small_shuffle_partitions(spark):
     """AQE must shrink the static 32-partition shuffle down to the data
     at runtime (AQEShuffleRead coalesced in the FINAL plan) — the
