@@ -112,6 +112,17 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+    # single-thread noise probe: this shared VM's CPU varies >2x with
+    # ZERO of our processes running (probe observed 1.3-4.1s for this
+    # fixed loop — BENCH/BASELINE.md noise section). Emitting it with
+    # every run lets any cross-run comparison normalize for the window
+    # it happened to land in.
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(10_000_000):
+        acc += i * i
+    probe_seconds = round(time.perf_counter() - t0, 3)
+
     from csv_to_jsonld_processor_spark.session import get_spark
 
     # scan granularity: this local corpus is a few hundred MB, so the default
@@ -180,6 +191,7 @@ def main() -> None:
                 "cpus": cpus,
                 **kg,
             }
+        out["probe_seconds"] = probe_seconds
         print(json.dumps(out))
     finally:
         if own_tmp:
