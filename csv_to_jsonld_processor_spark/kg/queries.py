@@ -36,6 +36,16 @@ from pyspark.sql import functions as F
 
 from ..session import load_tables
 
+import os as _os
+
+# Golden-CSV path built from __file__ so the oracles survive any
+# checkout location (round-3 advice: absolute /root/repo paths baked
+# into SQL break elsewhere).
+_GOLDEN_EDGES = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    "tests", "golden", "kg_webtext_edges.csv",
+)
+
 LEXICON = ["spark", "table", "join", "window", "query", "filter", "sort", "merge", "stream", "vector"]
 
 
@@ -295,9 +305,9 @@ def kg_webtext_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Truth-anchored full-table oracle (see kg_webtext_edges docstring).
-KG_EDGES_SQL = """
+KG_EDGES_SQL = f"""
 SELECT url, CAST(sent_idx AS INT) AS sent_idx, subj, pred, obj
-FROM read_csv('/root/repo/tests/golden/kg_webtext_edges.csv',
+FROM read_csv('{_GOLDEN_EDGES}',
               header=true, all_varchar=true)
 ORDER BY url, sent_idx, subj, pred, obj
 """
@@ -449,13 +459,13 @@ def kg_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-KG_DOMAIN_SQL = """
+KG_DOMAIN_SQL = f"""
 SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS host,
        CAST(COUNT(*) AS BIGINT) AS n_edges,
        CAST(COUNT(DISTINCT url) AS BIGINT) AS n_pages,
        CAST(COUNT(DISTINCT subj) AS BIGINT) AS n_subjects,
        CAST(COUNT(DISTINCT pred) AS BIGINT) AS n_predicates
-FROM read_csv('/root/repo/tests/golden/kg_webtext_edges.csv',
+FROM read_csv('{_GOLDEN_EDGES}',
               header=true, all_varchar=true)
 GROUP BY 1
 ORDER BY n_edges DESC, host ASC
@@ -482,10 +492,10 @@ def kg_shacl_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-KG_SHACL_SQL = """
+KG_SHACL_SQL = f"""
 WITH counts AS (
   SELECT subj, pred, COUNT(DISTINCT obj) AS n_obj
-  FROM read_csv('/root/repo/tests/golden/kg_webtext_edges.csv',
+  FROM read_csv('{_GOLDEN_EDGES}',
                 header=true, all_varchar=true)
   GROUP BY 1, 2
 ), mc AS (
@@ -560,9 +570,9 @@ def kg_predicate_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-KG_PREDICATE_TABLE_SQL = """
+KG_PREDICATE_TABLE_SQL = f"""
 SELECT pred AS iri, CAST(COUNT(*) AS BIGINT) AS n_edges
-FROM read_csv('/root/repo/tests/golden/kg_webtext_edges.csv',
+FROM read_csv('{_GOLDEN_EDGES}',
               header=true, all_varchar=true)
 GROUP BY 1 ORDER BY iri
 """

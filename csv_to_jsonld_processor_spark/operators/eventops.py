@@ -56,32 +56,39 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EVENTS_FUNNEL_SQL = """
-WITH s1 AS (
-  SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'view' GROUP BY user_id
-), s2 AS (
-  SELECT e.user_id, MIN(e.ts) AS t
-  FROM events e JOIN s1 ON e.user_id = s1.user_id
-  WHERE e.event_type = 'click' AND e.ts > s1.t AND e.ts <= s1.t + INTERVAL 24 HOURS
-  GROUP BY e.user_id
-), s3 AS (
-  SELECT e.user_id, MIN(e.ts) AS t
-  FROM events e JOIN s2 ON e.user_id = s2.user_id
-  WHERE e.event_type = 'purchase' AND e.ts > s2.t AND e.ts <= s2.t + INTERVAL 24 HOURS
-  GROUP BY e.user_id
-), n AS (
-  SELECT (SELECT COUNT(*) FROM s1) AS n1,
-         (SELECT COUNT(*) FROM s2) AS n2,
-         (SELECT COUNT(*) FROM s3) AS n3
+# Built from FUNNEL_STAGES/FUNNEL_WINDOW so editing the constants can
+# never desynchronize the Spark plan from its oracle (round-3 advice).
+EVENTS_FUNNEL_SQL = (
+    "WITH "
+    + ", ".join(
+        (
+            f"s1 AS (SELECT user_id, MIN(ts) AS t FROM events "
+            f"WHERE event_type = '{stage}' GROUP BY user_id)"
+            if i == 0
+            else f"s{i + 1} AS (SELECT e.user_id, MIN(e.ts) AS t "
+            f"FROM events e JOIN s{i} ON e.user_id = s{i}.user_id "
+            f"WHERE e.event_type = '{stage}' AND e.ts > s{i}.t "
+            f"AND e.ts <= s{i}.t + {FUNNEL_WINDOW} GROUP BY e.user_id)"
+        )
+        for i, stage in enumerate(FUNNEL_STAGES)
+    )
+    + ", n AS (SELECT "
+    + ", ".join(
+        f"(SELECT COUNT(*) FROM s{i + 1}) AS n{i + 1}" for i in range(len(FUNNEL_STAGES))
+    )
+    + ") SELECT * FROM ("
+    + " UNION ALL ".join(
+        (
+            f"SELECT 1 AS stage, '{stage}' AS event_type, n1 AS n_users, "
+            "1.0 AS conv_from_prev FROM n"
+            if i == 0
+            else f"SELECT {i + 1}, '{stage}', n{i + 1}, "
+            f"ROUND(CAST(n{i + 1} AS DOUBLE) / n{i}, 6) FROM n"
+        )
+        for i, stage in enumerate(FUNNEL_STAGES)
+    )
+    + ") ORDER BY stage"
 )
-SELECT * FROM (
-  SELECT 1 AS stage, 'view' AS event_type, n1 AS n_users, 1.0 AS conv_from_prev FROM n
-  UNION ALL
-  SELECT 2, 'click', n2, ROUND(CAST(n2 AS DOUBLE) / n1, 6) FROM n
-  UNION ALL
-  SELECT 3, 'purchase', n3, ROUND(CAST(n3 AS DOUBLE) / n2, 6) FROM n
-) ORDER BY stage
-"""
 
 
 RETAIN_MIN_PURCHASES = 3  # "engaged" week; >=1-of-any-event is saturated on this dense stream
@@ -125,12 +132,12 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EVENTS_RETENTION_SQL = """
+EVENTS_RETENTION_SQL = f"""
 WITH active AS (
   SELECT user_id, date_trunc('week', ts) AS week
   FROM events WHERE event_type = 'purchase'
   GROUP BY user_id, date_trunc('week', ts)
-  HAVING COUNT(*) >= 3
+  HAVING COUNT(*) >= {RETAIN_MIN_PURCHASES}
 ), first AS (
   SELECT user_id, MIN(week) AS cohort_week FROM active GROUP BY user_id
 )

@@ -294,9 +294,12 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_stream_over_dir(
         spark, d, dedup_stream, schema, query_name="events_dedup_stream", output_mode="append"
     )
+    # decimal accumulation, double out — raw-double SUM is partial-agg
+    # order-dependent, so an exact cross-engine hash needs the same
+    # DECIMAL(18,4) discipline as the relational plans (round-3 advice)
     n_out = out.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_out"),
-        F.round(F.sum("value"), 4).alias("total_value"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
     )
     n_in = (
         src.unionAll(replays)
@@ -322,7 +325,7 @@ WITH base AS (
 ), d AS (
   SELECT user_id, COUNT(*) AS n_base,
          SUM(CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END) AS n_replayed,
-         ROUND(SUM(value), 4) AS total_value
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
   FROM base GROUP BY user_id
 )
 SELECT user_id,
