@@ -581,16 +581,12 @@ GROUP BY 1 ORDER BY iri
 def kg_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle participation per vertex over the undirected
     co-occurrence graph — the classic clustering/community signal and
-    the canonical heavy graph join. Each triangle {a < b < c} is
-    enumerated exactly once by the ordered triple join, then exploded
-    to its three corners for per-vertex counts.
-
-    Scale shape: edges oriented low-id → high-id, two equi-joins
-    (e1.b = e2.a closing through e3 = (e1.a, e2.b)). On a power-law web
-    graph the production refinement is DEGREE orientation (orient each
-    edge toward the higher-degree endpoint) which provably bounds the
-    join fan-out by O(m^1.5); id orientation keeps the oracle identical
-    here and the join structure is the same."""
+    the canonical heavy graph join. Each triangle is enumerated exactly
+    once by a directed wedge join under DEGREE orientation (see
+    _oriented_triangle_corners), then exploded to its three corners for
+    per-vertex counts. The output — and therefore the DuckDB oracle —
+    is orientation-independent; degree orientation is purely the
+    power-law execution strategy (hub wedge fan-out bounded O(√m))."""
     edges = kg_cooccurrence_edges(spark, sf_dir)
     und = (
         edges.where(F.col("subj") != F.col("obj"))
@@ -598,19 +594,61 @@ def kg_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("subj", "obj").alias("a"), F.greatest("subj", "obj").alias("b")
         )
         .distinct()
+        .localCheckpoint()  # referenced 4x below (degree + three join legs)
     )
-    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
-    e3 = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
-    tris = e1.join(e2, "y").join(e3, ["x", "z"])
-    corners = tris.select(
-        F.explode(F.array("x", "y", "z")).alias("term")
-    )
+    corners = _oriented_triangle_corners(und)
     return (
         corners.groupBy("term")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
         .orderBy("term")
     )
+
+
+def _oriented_triangle_corners(und: DataFrame, orientation: str = "degree") -> DataFrame:
+    """One ``term`` row per triangle corner of the undirected edge set
+    ``und(a, b)`` (a < b, distinct).
+
+    ``orientation="degree"`` orients every edge toward the higher
+    (degree, id) endpoint — the standard power-law hub-killer: a vertex
+    ranks above all its lower-degree neighbors, so the hub of a star
+    has OUT-degree ~0 and the wedge join u→v→w fans out by at most
+    O(√m) per middle vertex (Chiba–Nishizeki / compact-forward bound)
+    instead of deg(hub)² under id ordering. Each triangle {x ≺ y ≺ z}
+    is enumerated exactly once as the directed wedge x→y→z closed by
+    x→z, so the per-corner counts — and the DuckDB oracle — are
+    identical to the id-oriented formulation (the two orientations are
+    set-equality pytest-pinned, and the planted-hub wedge bound is
+    measured in tests/test_kg_pipeline.py).
+
+    ``orientation="id"`` keeps the round-3 ordered-triple-id join (the
+    pytest baseline)."""
+    if orientation == "degree":
+        deg = (
+            und.select(F.col("a").alias("v"))
+            .unionAll(und.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+        db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+        a_first = (F.col("da") < F.col("db")) | (
+            (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+        )
+        oriented = (
+            und.join(da, "a")
+            .join(db, "b")
+            .select(
+                F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+                F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+            )
+        )
+    else:
+        oriented = und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    e1 = oriented.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    e2 = oriented.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+    e3 = oriented.select(F.col("src").alias("x"), F.col("dst").alias("z"))
+    tris = e1.join(e2, "y").join(e3, ["x", "z"])
+    return tris.select(F.explode(F.array("x", "y", "z")).alias("term"))
 
 
 KG_TRIANGLES_SQL = f"""

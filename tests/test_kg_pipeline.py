@@ -303,3 +303,79 @@ def test_kg_windowed_stream_agg_equals_batch(spark, pages, tmp_path):
         ).collect()
     }
     assert streamed == batch and len(batch) > 5
+
+
+def test_triangle_degree_orientation(spark):
+    """Degree orientation: identical per-corner triangle counts as id
+    orientation, and bounded wedge fan-out on a planted hub graph.
+
+    Graph: one id-MIDDLE hub ("m_hub") adjacent to 30 lower-id and 30
+    higher-id leaves, plus two closing edges for non-trivial triangle
+    counts. Under id ordering the 30 low leaves point INTO the hub and
+    the hub points at the 30 high leaves, so the wedge join routes
+    30 x 30 = 900 pairs through the hub; under degree ordering the hub
+    ranks ABOVE all its neighbors, its out-degree is 0, and hub wedges
+    vanish."""
+    from pyspark.sql import functions as F
+
+    from csv_to_jsonld_processor_spark.kg.queries import _oriented_triangle_corners
+
+    hub = "m_hub"  # id-middle: "a.." leaves sort below, "z.." leaves above
+    rows = [(hub, f"a{i:02d}") for i in range(30)]
+    rows += [(hub, f"z{i:02d}") for i in range(30)]
+    rows += [("a00", "a01"), ("z00", "z01")]  # triangles hub-a00-a01, hub-z00-z01
+    und = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in rows], "a string, b string"
+    ).distinct()
+
+    def counts(orientation):
+        return {
+            (r.term, r.n)
+            for r in _oriented_triangle_corners(und, orientation)
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    by_deg, by_id = counts("degree"), counts("id")
+    assert by_deg == by_id
+    assert (hub, 2) in by_deg  # hub is in exactly the two planted triangles
+
+    def wedges(oriented_src_count_df):
+        # wedge fan-out of the e1 ⋈ e2 middle join = Σ_v indeg(v)·outdeg(v)
+        e = oriented_src_count_df
+        out_d = e.groupBy(F.col("src").alias("v")).agg(F.count(F.lit(1)).alias("o"))
+        in_d = e.groupBy(F.col("dst").alias("v")).agg(F.count(F.lit(1)).alias("i"))
+        row = (
+            out_d.join(in_d, "v")
+            .agg(F.sum(F.col("o") * F.col("i")).alias("w"))
+            .first()
+        )
+        return row["w"] or 0
+
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    deg_oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        )
+    )
+    id_oriented = und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    w_deg, w_id = wedges(deg_oriented), wedges(id_oriented)
+    # id orientation: the hub's indeg(30) x outdeg(30) alone routes 900
+    # wedges through the middle join; degree orientation gives the hub
+    # out-degree 0, so only the leaf-level wedges survive.
+    assert w_id >= 900  # planted blow-up is present under id ordering
+    assert w_deg * 50 <= w_id  # >=50x fan-out reduction from degree orientation
