@@ -93,8 +93,12 @@ class Manifest:
 
     @classmethod
     def from_file(cls, path: str | Path) -> "Manifest":
-        text = Path(path).read_text()
-        return cls.from_jsonc(text)
+        # scheme-dispatching read (S3): s3a://... manifests resolve through
+        # the JVM Hadoop FS, matching the reference's remote manifest load
+        # (manifest/mod.rs:131-167); local paths never touch the JVM
+        from .sources.storage import read_text
+
+        return cls.from_jsonc(read_text(path))
 
     @classmethod
     def from_jsonc(cls, text: str) -> "Manifest":

@@ -49,6 +49,7 @@ from pathlib import Path
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources import storage
 from ..coercion import (
     coerce_boolean,
     coerce_date,
@@ -355,7 +356,7 @@ def basic_instance_outputs(
     if identifier_label is None:
         raise ValueError(f"No identifier property found for class '{class_type}'")
 
-    path = str(Path(base_path) / manifest.instances.path / step.path)
+    path = str(storage.join_path(base_path, manifest.instances.path, step.path))
     df, headers = read_step_positional(spark, path, step)
     plans, diags = plan_headers(headers, vocab, model_base, step, identifier_label)
 
@@ -482,7 +483,7 @@ def subclass_instance_triples(
     if not subclass_property:
         raise ValueError("SubClassInstanceStep requires subClassProperty")
 
-    path = str(Path(base_path) / manifest.instances.path / step.path)
+    path = str(storage.join_path(base_path, manifest.instances.path, step.path))
     df, headers = read_step_positional(spark, path, step)
     try:
         id_idx = headers.index(identifier_label)
@@ -560,7 +561,7 @@ def properties_instance_triples(
     )
     identifier_label = vocab.get_identifier_label(class_type)
 
-    path = str(Path(base_path) / manifest.instances.path / step.path)
+    path = str(storage.join_path(base_path, manifest.instances.path, step.path))
     df, headers = read_step_positional(spark, path, step)
     if identifier_label in headers:
         id_idx = headers.index(identifier_label)

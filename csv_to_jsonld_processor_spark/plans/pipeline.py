@@ -93,7 +93,9 @@ class Pipeline:
     def __init__(self, manifest: Manifest, base_path: str | Path, strict: bool = False,
                  vocab_meta: str | Path | None = None):
         self.manifest = manifest
-        self.base_path = Path(base_path)
+        from ..sources import storage
+
+        self.base_path = base_path if storage.is_uri(base_path) else Path(base_path)
         self.strict = strict
         # S5: path to an exported vocab_meta.json — skips PHASE A
         # (vocabulary/processor.rs:64-133; CLI main.rs:197-220)
@@ -103,7 +105,9 @@ class Pipeline:
     def from_manifest(cls, manifest_path: str | Path, base_path: str | Path | None = None,
                       strict: bool = False, vocab_meta: str | Path | None = None) -> "Pipeline":
         m = Manifest.from_file(manifest_path)
-        return cls(m, base_path or Path(manifest_path).parent, strict, vocab_meta=vocab_meta)
+        from ..sources import storage
+
+        return cls(m, base_path or storage.parent(manifest_path), strict, vocab_meta=vocab_meta)
 
     def run(self, spark: SparkSession, out_dir: str | Path,
             single_document: bool = True) -> PipelineOutcome:

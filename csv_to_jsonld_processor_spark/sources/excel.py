@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import datetime as _dt
 import re
+import io
 import zipfile
 from pathlib import Path
 from xml.etree import ElementTree as ET
@@ -76,7 +77,12 @@ class XlsxWorkbook:
     """Minimal read-only xlsx accessor (driver-side, stdlib-only)."""
 
     def __init__(self, path: str | Path):
-        self._zf = zipfile.ZipFile(str(path))
+        # whole-file read through the storage layer: model workbooks are
+        # driver-side dimension files, and this is what lets an
+        # s3a://-hosted xlsx load with zero code above noticing
+        from . import storage
+
+        self._zf = zipfile.ZipFile(io.BytesIO(storage.read_bytes(path)))
         self._shared = self._load_shared_strings()
         self._date_xfs = self._load_date_styles()
         self._sheets = self._load_sheet_map()
@@ -200,7 +206,14 @@ class XlsxWorkbook:
 
 def read_sheet(path: str | Path, sheet_name: str) -> tuple[list[str], list[list[str]]]:
     """(headers, rows) for one sheet — the S2 entry point. Prefers
-    openpyxl when importable; falls back to the stdlib reader."""
+    openpyxl when importable (local paths only — scheme-qualified URIs
+    always use the stdlib reader, which opens through the storage
+    layer); falls back to the stdlib reader."""
+    from . import storage
+
+    if storage.is_uri(path):
+        rows = XlsxWorkbook(path).sheet_rows(sheet_name)
+        return (rows[0], rows[1:]) if rows else ([], [])
     try:
         import openpyxl  # noqa: F401
 

@@ -27,6 +27,7 @@ import json
 from dataclasses import dataclass, field
 from pathlib import Path
 
+from .sources import storage
 from .iri import (
     are_conflicting,
     expand_iri_with_base,
@@ -305,7 +306,8 @@ class VocabularyCompiler:
 
     def __init__(self, manifest: Manifest, base_path: str | Path, strict: bool = False):
         self.manifest = manifest
-        self.base_path = Path(base_path)
+        # URI bases (s3a:// etc.) must not be collapsed by Path
+        self.base_path = base_path if storage.is_uri(base_path) else Path(base_path)
         self.base_iri = manifest.model.base_iri
         self.strict = strict
         self.vocab = VocabularyMap()
@@ -347,16 +349,15 @@ class VocabularyCompiler:
     # -- step processing (vocabulary/processor.rs:229-414) --------------------
 
     def _read_csv(self, step: ImportStep):
-        path = self.base_path / self.manifest.model.path / step.path
+        path = storage.join_path(self.base_path, self.manifest.model.path, step.path)
         if step.sheet or str(path).lower().endswith((".xlsx", ".xlsm")):
             # S2: Excel model step — driver-side sheet render (excel/mod.rs)
             from .sources.excel import read_sheet
 
             return read_sheet(path, step.sheet or step.step_id())
-        with open(path, newline="", encoding="utf-8-sig") as f:
-            rdr = csv.reader(f)
-            headers = next(rdr)
-            rows = list(rdr)
+        rdr = csv.reader(io.StringIO(storage.read_text(path)))
+        headers = next(rdr)
+        rows = list(rdr)
         return headers, rows
 
     def _process_step(self, step: ImportStep) -> None:
@@ -602,16 +603,15 @@ def accumulate_picklist_one_of(
                 f"({class_type}) not found in vocabulary classes"
             )
             continue
-        path = Path(base_path) / manifest.instances.path / step.path
+        path = storage.join_path(base_path, manifest.instances.path, step.path)
         if step.sheet or str(path).lower().endswith((".xlsx", ".xlsm")):
             from .sources.excel import read_sheet
 
             headers, data_rows = read_sheet(path, step.sheet or step.step_id())
         else:
-            with open(path, newline="", encoding="utf-8-sig") as f:
-                rdr = csv.reader(f)
-                headers = next(rdr)
-                data_rows = list(rdr)
+            rdr = csv.reader(io.StringIO(storage.read_text(path)))
+            headers = next(rdr)
+            data_rows = list(rdr)
         try:
             idx = headers.index(identifier_label)
         except ValueError:
@@ -703,8 +703,7 @@ def vocab_from_broadcast(d: dict) -> VocabularyMap:
 
 
 def vocab_from_meta_file(path: str | Path) -> VocabularyMap:
-    with open(path, encoding="utf-8") as f:
-        return vocab_from_broadcast(json.load(f))
+    return vocab_from_broadcast(json.loads(storage.read_text(path, encoding="utf-8")))
 
 
 def build_jsonld_context(vocab: VocabularyMap, model_base_iri: str, instances_base_iri: str) -> dict:
