@@ -3,9 +3,11 @@
 The Spark-side plumbing is real and tested — schemas, Arrow batch shape,
 partition-parallel decode via ``mapInPandas``, metadata projection that
 never touches the bytes (column pruning keeps the binary out of stages
-that don't need it). The codec step itself is STUBBED: real decoders
-(PIL/librosa/av) are not in this container, so ``decode_image`` raises
-``NotImplementedError`` unless the deterministic fake codec is selected.
+that don't need it). Codecs: ``synthetic`` (deterministic fake
+container, below), ``bmp`` (REAL uncompressed 24-bit BMP, pure-stdlib
+encode+decode — proves the stage handles actual on-disk bytes), and
+``real`` (the still-stubbed PIL/librosa/av integration point: those
+libs are not in this container, so it raises ``NotImplementedError``).
 
 Synthetic blob format (fake codec), deterministic per (media_id, seed):
   magic 4B "SYNM" | kind 1B (0=image 1=audio 2=video) |
@@ -41,6 +43,45 @@ def synth_blob(media_id: int, seed: int = 42) -> tuple[bytes, str, int, int, int
     return blob, _KINDS[kind_i], w, ht, c
 
 
+def synth_bmp(media_id: int, seed: int = 42) -> tuple[bytes, int, int]:
+    """Deterministic REAL-format blob: a valid uncompressed 24-bit BMP
+    whose dims and RGB payload derive from sha256(media_id, seed)."""
+    h = hashlib.sha256(f"bmp:{seed}:{media_id}".encode()).digest()
+    w = 8 + h[1] % 16
+    ht = 8 + h[2] % 16
+    n = w * ht * 3
+    rgb = (hashlib.sha256(h).digest() * (n // 32 + 1))[:n]
+    return encode_bmp(w, ht, rgb), w, ht
+
+
+def generate_bmp_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+    """Media table whose blobs are real BMP bytes (same schema as
+    generate_media; kind is always image, channels 3)."""
+    import pandas as pd
+
+    rng = spark.range(0, n, 1, spark.sparkContext.defaultParallelism)
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                blob, w, ht = synth_bmp(int(i), seed)
+                rows.append(
+                    {
+                        "media_id": int(i),
+                        "kind": "image",
+                        "url": f"https://media.example.org/bmp/{int(i)}.bmp",
+                        "blob": blob,
+                        "meta_width": w,
+                        "meta_height": ht,
+                        "meta_channels": 3,
+                    }
+                )
+            yield pd.DataFrame.from_records(rows)
+
+    return rng.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
 def generate_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     import pandas as pd
 
@@ -67,13 +108,76 @@ def generate_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     return rng.mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
+    """Real-format encode: uncompressed 24-bit Windows BMP
+    (BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up BGR rows padded to
+    4 bytes) from top-down row-major RGB bytes. Pure stdlib — the
+    format any image tool opens, used to prove the decode path handles
+    actual on-disk bytes, not just the synthetic container."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb payload must be width*height*3 bytes")
+    row_pad = (-(width * 3)) % 4
+    stride = width * 3 + row_pad
+    pixel_bytes = stride * height
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + pixel_bytes, 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, pixel_bytes, 2835, 2835, 0, 0)
+    rows = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = rgb[y * width * 3 : (y + 1) * width * 3]
+        for x in range(width):  # RGB -> BGR
+            px = row[x * 3 : x * 3 + 3]
+            rows += bytes((px[2], px[1], px[0]))
+        rows += b"\x00" * row_pad
+    return header + info + bytes(rows)
+
+
+def decode_bmp(blob: bytes) -> dict:
+    """Real-format decode: uncompressed 24-bit BMP → top-down RGB
+    payload + dims, same dict contract as the synthetic codec so every
+    downstream stage (features, resize, frame-sample) is codec-blind."""
+    if blob[:2] != b"BM":
+        raise ValueError("bad BMP magic")
+    (off,) = struct.unpack_from("<I", blob, 10)
+    hdr_size, width, height, _planes, bpp, compression = struct.unpack_from(
+        "<IiiHHI", blob, 14
+    )
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP supported (bpp={bpp}, compression={compression})"
+        )
+    bottom_up = height > 0
+    height = abs(height)
+    stride = (width * 3 + 3) & ~3
+    out = bytearray(width * height * 3)
+    for y in range(height):
+        src_y = (height - 1 - y) if bottom_up else y
+        row = blob[off + src_y * stride : off + src_y * stride + width * 3]
+        for x in range(width):  # BGR -> RGB
+            out[(y * width + x) * 3 : (y * width + x) * 3 + 3] = bytes(
+                (row[x * 3 + 2], row[x * 3 + 1], row[x * 3])
+            )
+    return {
+        "kind": "image",
+        "width": width,
+        "height": height,
+        "channels": 3,
+        "payload": bytes(out),
+    }
+
+
 def decode_blob(blob: bytes, codec: str = "synthetic") -> dict:
-    """Decode one blob. ``synthetic`` parses the fake format; ``real``
-    is the integration point for actual media libs (absent here)."""
+    """Decode one blob. ``synthetic`` parses the fake container; ``bmp``
+    parses real uncompressed 24-bit BMP bytes (stdlib decoder above);
+    ``real`` is the integration point for the remaining codecs
+    (PNG/JPEG/audio/video libs, absent in this container)."""
+    if codec == "bmp":
+        return decode_bmp(blob)
     if codec == "real":
         raise NotImplementedError(
-            "real image/audio decode needs PIL/librosa/av — not in this "
-            "container; wire them here, the Spark plumbing is codec-agnostic"
+            "JPEG/PNG/audio/video decode needs PIL/librosa/av — not in this "
+            "container; wire them here, the Spark plumbing is codec-agnostic "
+            "(the bmp codec proves it on a real byte format)"
         )
     if blob[:4] != _MAGIC:
         raise ValueError("bad magic")
@@ -233,9 +337,50 @@ ORDER BY kind
 """
 
 
+def media_bmp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The de-stubbed codec path end-to-end on REAL on-disk bytes:
+    1,000 deterministic 24-bit BMP blobs → stdlib BMP decode inside the
+    mapInPandas feature stage → per-width-bucket stats. Hash-checked
+    against a golden VALUES oracle recomputed independently from the
+    BMP spec in plain Python/numpy — a byte off in header parse, BGR
+    swap, row padding, or bottom-up flip shifts a mean."""
+    from pyspark.sql import functions as F
+
+    media = generate_bmp_media(spark, 1000, seed=42)
+    feats = extract_features(media, codec="bmp", feature_dim=8)
+    return (
+        feats.groupBy((F.col("width") % 4).cast("int").alias("width_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("width"), 6).alias("avg_width"),
+            F.round(F.avg("height"), 6).alias("avg_height"),
+            F.round(F.avg("mean_intensity"), 6).alias("avg_intensity"),
+        )
+        .orderBy("width_bucket")
+    )
+
+
+# golden: independent plain-Python/numpy recomputation from the BMP
+# spec (sha256 synth dims/payload, RGB means), N=1000 seed=42
+MEDIA_BMP_SQL = """
+SELECT CAST(width_bucket AS INT) AS width_bucket, CAST(n AS BIGINT) AS n,
+       CAST(avg_width AS DOUBLE) AS avg_width,
+       CAST(avg_height AS DOUBLE) AS avg_height,
+       CAST(avg_intensity AS DOUBLE) AS avg_intensity
+FROM (VALUES
+  (0, 249, 14.200803, 15.192771, 128.725711),
+  (1, 248, 15.532258, 15.645161, 127.500929),
+  (2, 253, 16.450593, 15.905138, 127.981408),
+  (3, 250, 17.224, 15.368, 128.02023)
+) AS golden(width_bucket, n, avg_width, avg_height, avg_intensity)
+ORDER BY width_bucket
+"""
+
+
 MULTIMODAL_QUERIES: dict[str, tuple] = {
     "media_feature_stats": (media_feature_stats, MEDIA_STATS_SQL),
     "media_pipeline_stats": (media_pipeline_stats, MEDIA_PIPELINE_SQL),
+    "media_bmp_stats": (media_bmp_stats, MEDIA_BMP_SQL),
 }
 
 
