@@ -34,6 +34,12 @@ def _registry() -> dict[str, tuple]:
     except ImportError:
         pass
     try:
+        from csv_to_jsonld_processor_spark.plans.relational4 import RELATIONAL4_QUERIES
+
+        reg.update(RELATIONAL4_QUERIES)
+    except ImportError:
+        pass
+    try:
         from csv_to_jsonld_processor_spark.operators.textops import TEXT_QUERIES
 
         reg.update(TEXT_QUERIES)

@@ -1,0 +1,206 @@
+"""Fourth relational wave — the final three TPC-H shapes, completing
+all 22 query archetypes (reference parity: beyond the reference's fixed
+CSV pipeline, §2.7 added-operator-classes axis).
+
+The synthetic schema has no ``partsupp`` table and no
+shipmode/commitdate columns, so — as in the earlier waves — each query
+keeps the stock query's OPTIMIZER shape and adapts the relations:
+
+- q2: correlated-minimum join (min-cost supplier per part in a region);
+  the part-supplier cost relation is derived from lineitem as
+  MIN(unit price) per (part, supplier) — MIN of IEEE divisions is
+  order-insensitive and exact, so the hash-compare discipline holds
+  without decimal accumulation.
+- q11: group-then-filter against a scalar aggregate subquery
+  (nation-held part values above a fraction of the national total).
+- q12: two-relation join with CASE-sum severity split (late shipments
+  by ship year × priority class).
+
+Decimal-in/double-out discipline for every SUM as in plans/relational.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_tables
+
+DEC = "decimal(18,4)"
+
+Q2_REGION = "EUROPE"
+Q2_SIZE_MOD = 3  # p_size % 3 = 0 plays the stock query's size/type filter
+Q11_NATION = "NATION_7"  # synthetic nation domain is NATION_0..24
+Q11_FRACTION = 0.001
+Q12_LATE_DAYS = 90
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-style: for each qualifying part, the region's suppliers
+    whose derived supply cost equals the part's REGIONAL MINIMUM — the
+    correlated-scalar-min shape (subquery per part in stock SQL;
+    expressed as a min-aggregate self-join here, which is the
+    shuffle-friendly plan Catalyst would rewrite the subquery into
+    anyway). Supply cost := MIN(l_extendedprice / l_quantity) over the
+    (part, supplier) lineitem history.
+
+    Scale: lineitem aggregates partial-agg on (part, supp); the
+    region-supplier dimension broadcasts; the per-part min re-join keys
+    on p_partkey. Top-100 by acctbal fuses to TakeOrderedAndProject."""
+    t = load_tables(spark, sf_dir)
+    region_sup = (
+        t["supplier"]
+        .join(t["nation"], F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            t["region"].where(F.col("r_name") == Q2_REGION),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost = (
+        t["lineitem"]
+        .join(F.broadcast(region_sup.select("s_suppkey")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey"))
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supply_cost"))
+    )
+    min_cost = cost.groupBy("partkey").agg(F.min("supply_cost").alias("min_cost"))
+    parts = t["part"].where(F.col("p_size") % Q2_SIZE_MOD == 0).select(
+        "p_partkey", "p_name"
+    )
+    return (
+        cost.join(min_cost, "partkey")
+        .where(F.col("supply_cost") == F.col("min_cost"))
+        .join(parts, F.col("partkey") == F.col("p_partkey"))
+        .join(region_sup, F.col("suppkey") == F.col("s_suppkey"))
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round("supply_cost", 6).alias("supply_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"), F.asc("p_partkey"))
+        .limit(100)
+    )
+
+
+Q2_SQL = f"""
+WITH region_sup AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = '{Q2_REGION}'
+), cost AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         MIN(l_extendedprice / l_quantity) AS supply_cost
+  FROM lineitem JOIN region_sup ON l_suppkey = s_suppkey
+  GROUP BY 1, 2
+), min_cost AS (
+  SELECT partkey, MIN(supply_cost) AS mc FROM cost GROUP BY 1
+)
+SELECT ROUND(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey, p_name,
+       ROUND(supply_cost, 6) AS supply_cost
+FROM cost
+JOIN min_cost USING (partkey)
+JOIN part ON partkey = p_partkey
+JOIN region_sup ON suppkey = s_suppkey
+WHERE supply_cost = mc AND p_size % {Q2_SIZE_MOD} = 0
+ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+LIMIT 100
+"""
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-style: parts whose value held by one nation's suppliers
+    exceeds a fixed fraction of that nation's total — group-by filtered
+    against a SCALAR AGGREGATE SUBQUERY. Part value := SUM of
+    extendedprice over the nation's lineitems for that part (decimal
+    accumulation, double out).
+
+    Scale: one (partkey) shuffle for the per-part sums; the national
+    total is the same relation re-aggregated (Spark computes it as a
+    broadcast-able single row); nation+supplier dims broadcast."""
+    t = load_tables(spark, sf_dir)
+    nat_sup = (
+        t["supplier"]
+        .join(
+            t["nation"].where(F.col("n_name") == Q11_NATION),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    held = (
+        t["lineitem"]
+        .join(F.broadcast(nat_sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum(F.col("l_extendedprice").cast(DEC)).alias("_value"))
+    )
+    total = held.agg(F.sum("_value").alias("_total"))
+    return (
+        held.crossJoin(F.broadcast(total))  # scalar subquery: single-row build side
+        .where(F.col("_value") > F.col("_total") * F.lit(Q11_FRACTION))
+        .select("p_partkey", F.col("_value").cast("double").alias("part_value"))
+        .orderBy(F.desc("part_value"), F.asc("p_partkey"))
+    )
+
+
+Q11_SQL = f"""
+WITH held AS (
+  SELECT l_partkey AS p_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS value_dec
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = '{Q11_NATION}'
+  GROUP BY 1
+)
+SELECT p_partkey, CAST(value_dec AS DOUBLE) AS part_value
+FROM held
+WHERE value_dec > (SELECT SUM(value_dec) FROM held) * {Q11_FRACTION}
+ORDER BY part_value DESC, p_partkey ASC
+"""
+
+
+def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style: late shipments (shipped > {Q12_LATE_DAYS} days
+    after the order date — the commitdate/receiptdate lag adapted to
+    the columns that exist) bucketed by ship year, split into
+    high/low-priority CASE-sums — the two-way severity pivot of the
+    stock query with ship year standing in for shipmode.
+
+    Scale: orders ⋈ lineitem shuffles on orderkey (bucket-join
+    co-location applies when both sides are bucketed); the aggregation
+    is |years|-sized."""
+    t = load_tables(spark, sf_dir)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    late = t["lineitem"].join(
+        t["orders"], F.col("l_orderkey") == F.col("o_orderkey")
+    ).where(F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > Q12_LATE_DAYS)
+    return (
+        late.groupBy(F.year("l_shipdate").cast("int").alias("ship_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("ship_year")
+    )
+
+
+Q12_SQL = f"""
+SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+         AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+         AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE date_diff('day', o_orderdate, l_shipdate) > {Q12_LATE_DAYS}
+GROUP BY 1 ORDER BY ship_year
+"""
+
+
+RELATIONAL4_QUERIES: dict[str, tuple] = {
+    "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
+    "q11_important_stock": (q11_important_stock, Q11_SQL),
+    "q12_late_shipments": (q12_late_shipments, Q12_SQL),
+}
