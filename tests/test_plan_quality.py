@@ -301,3 +301,48 @@ def test_doc_pack_window_parallelism_scales(spark):
     for r in groups:
         per_lang.setdefault(r.lang, set()).add(r.block)
     assert all(len(b) > 1 for b in per_lang.values())
+
+
+def test_q2_dims_broadcast_and_topk_fused(spark):
+    """q2: the region-supplier dimension chain broadcasts (lineitem — the
+    SF-scaling side — is never a build side), and ORDER BY + LIMIT 100
+    fuses to TakeOrderedAndProject instead of a global sort."""
+    from csv_to_jsonld_processor_spark.plans.relational4 import q2_min_cost_supplier
+
+    plan = plan_of(q2_min_cost_supplier(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [s_acctbal" not in plan  # no global sort of the full result
+
+
+def test_q11_scalar_subquery_single_row_build(spark):
+    """q11: the national-total side is a single-row broadcast build
+    (BroadcastNestedLoopJoin over one row), never a cartesian product of
+    two SF-scaling relations."""
+    from csv_to_jsonld_processor_spark.plans.relational4 import q11_important_stock
+
+    plan = plan_of(q11_important_stock(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_triangle_banded_signature_computed_once(spark):
+    """kg_triangle_counts: the undirected edge relation is checkpointed,
+    so the four consumers (degree + three join legs) read ExistingRDD
+    scans instead of re-deriving the co-occurrence aggregation."""
+    from csv_to_jsonld_processor_spark.kg.queries import kg_triangle_counts
+
+    plan = plan_of(kg_triangle_counts(spark, SF))
+    assert plan.count("Scan ExistingRDD") >= 4
+
+
+def test_minhash_lsh_signature_computed_once(spark):
+    """dedup_minhash_lsh: both sides of the band self-join read the
+    checkpointed banded-signature blocks — the 12-way min-hash
+    SortAggregate appears ZERO times in the join plan (it ran once at
+    checkpoint materialization; round-3 PLANS.md showed it twice)."""
+    from csv_to_jsonld_processor_spark.operators.dedup import dedup_minhash_lsh
+
+    plan = plan_of(dedup_minhash_lsh(spark, SF))
+    assert plan.count("Scan ExistingRDD") >= 2
+    assert "SortAggregate" not in plan and "partial_min" not in plan
