@@ -70,6 +70,12 @@ def _registry() -> dict[str, tuple]:
     except ImportError:
         pass
     try:
+        from csv_to_jsonld_processor_spark.operators.sketches import SKETCH_QUERIES
+
+        reg.update(SKETCH_QUERIES)
+    except ImportError:
+        pass
+    try:
         from csv_to_jsonld_processor_spark.plans.sql_surface import SQL_SURFACE_QUERIES
 
         reg.update(SQL_SURFACE_QUERIES)

@@ -1,0 +1,169 @@
+"""Sketch aggregates — the approximate ops a 100 TB rollup actually
+ships (HyperLogLog distinct counts, approximate quantiles), made
+driver-checkable despite being probabilistic.
+
+The oracle trick: a sketch's raw estimate differs between engines (Spark
+HLL++ vs DuckDB's HLL — different registers, different bias tables), so
+the estimate itself can never hash-match. Instead each engine computes
+ITS OWN sketch **and** the exact aggregate in one pass, and the query
+RETURNS the exact value plus a boolean ``within_tol`` asserting the
+engine's sketch landed inside the tolerance band. Output is then
+deterministic and identical across engines — while still executing the
+real sketch machinery on both sides, so a broken sketch (or a tolerance
+regression) flips a boolean and fails the hash gate.
+
+Scale shape: this is the whole point of sketches — per-group HLL state
+is O(registers) regardless of group size, so the shuffle carries
+kilobytes per (day) instead of the full user-id set a COUNT(DISTINCT)
+repartition needs. The exact twin here is the VERIFICATION HARNESS, not
+the production plan; at 100 TB you run the sketch alone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_tables
+
+HLL_RSD = 0.02  # Spark approx_count_distinct relative standard deviation
+HLL_TOL = 0.05  # pass band: |approx - exact| / exact <= 5% (>2.5 sigma)
+PCTL_ACCURACY = 10_000  # Spark approx_percentile accuracy knob
+PCTL_TOL = 0.02  # asymptotic band: approx within 2% of the rank-exact value
+PCTL_SMALL_N = 0.5  # + PCTL_SMALL_N/sqrt(n) small-sample widening (t-digest
+# error at n~200 was measured at 2.5%; the widening decays to nothing at scale)
+
+
+def events_daily_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day user reach: exact COUNT(DISTINCT user_id) alongside an
+    HLL++ estimate (rsd={HLL_RSD}), returning the exact count and the
+    in-engine tolerance verdict. See module docstring for why the
+    estimate itself is not (and cannot be) in the output contract."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", rsd=HLL_RSD).alias("_approx"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "day",
+            F.col("exact_users").cast("long").alias("exact_users"),
+            F.col("n_events").cast("long").alias("n_events"),
+            (
+                F.abs(F.col("_approx") - F.col("exact_users"))
+                <= F.col("exact_users") * F.lit(HLL_TOL)
+            ).alias("within_tol"),
+        )
+        .orderBy("day")
+    )
+
+
+EVENTS_SKETCH_SQL = f"""
+SELECT CAST(ts AS DATE) AS day,
+       COUNT(DISTINCT user_id) AS exact_users,
+       COUNT(*) AS n_events,
+       abs(approx_count_distinct(user_id) - COUNT(DISTINCT user_id))
+         <= COUNT(DISTINCT user_id) * {HLL_TOL} AS within_tol
+FROM events
+GROUP BY 1 ORDER BY day
+"""
+
+
+def _tol(n_col: F.Column) -> F.Column:
+    """Rank-aware pass band: PCTL_TOL + PCTL_SMALL_N/sqrt(n)."""
+    return F.lit(PCTL_TOL) + F.lit(PCTL_SMALL_N) / F.sqrt(n_col.cast("double"))
+
+
+def events_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type value quantiles: rank-exact p50/p90 (the output
+    contract) plus each engine's own approximate-quantile sketch
+    verified against them in-plan. Spark's approx_percentile
+    (Greenwald-Khanna) vs DuckDB's approx_quantile (t-digest) — both
+    must land within {PCTL_TOL:.0%} of the exact rank statistic.
+
+    The exact percentile uses the same deterministic definition in both
+    engines: the SMALLEST value whose cumulative rank reaches the
+    target fraction (rank/ n >= p over a (value, tiebreak) total order) —
+    no interpolation, so the doubles compare bit-exactly."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select("event_type", "value")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("value", "rn_salt")
+    ranked = (
+        ev.withColumn("rn_salt", F.xxhash64("value"))  # deterministic tiebreak
+        .withColumn("_rk", F.row_number().over(w))
+    )
+    n = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("_n"))
+    exact = (
+        ranked.join(n, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min(F.when(F.col("_rk") >= F.ceil(F.col("_n") * 0.5), F.col("value"))).alias(
+                "p50_exact"
+            ),
+            F.min(F.when(F.col("_rk") >= F.ceil(F.col("_n") * 0.9), F.col("value"))).alias(
+                "p90_exact"
+            ),
+            F.max("_n").alias("_n"),
+        )
+    )
+    approx = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.9], PCTL_ACCURACY).alias("_ap")
+    )
+    return (
+        exact.join(approx, "event_type")
+        .select(
+            "event_type",
+            F.round("p50_exact", 6).alias("p50"),
+            F.round("p90_exact", 6).alias("p90"),
+            (
+                (
+                    F.abs(F.col("_ap")[0] - F.col("p50_exact"))
+                    <= F.abs(F.col("p50_exact")) * _tol(F.col("_n"))
+                )
+                & (
+                    F.abs(F.col("_ap")[1] - F.col("p90_exact"))
+                    <= F.abs(F.col("p90_exact")) * _tol(F.col("_n"))
+                )
+            ).alias("within_tol"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_QUANTILE_SKETCH_SQL = f"""
+WITH ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, hash(value)) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+), exact AS (
+  SELECT event_type,
+         MIN(CASE WHEN rk >= ceil(n * 0.5) THEN value END) AS p50_exact,
+         MIN(CASE WHEN rk >= ceil(n * 0.9) THEN value END) AS p90_exact,
+         MAX(n) AS n
+  FROM ranked GROUP BY 1
+), approx AS (
+  SELECT event_type,
+         approx_quantile(value, 0.5) AS a50,
+         approx_quantile(value, 0.9) AS a90
+  FROM events GROUP BY 1
+)
+SELECT e.event_type AS event_type,
+       ROUND(p50_exact, 6) AS p50,
+       ROUND(p90_exact, 6) AS p90,
+       (abs(a50 - p50_exact) <= abs(p50_exact) * ({PCTL_TOL} + {PCTL_SMALL_N} / sqrt(n))
+        AND abs(a90 - p90_exact) <= abs(p90_exact) * ({PCTL_TOL} + {PCTL_SMALL_N} / sqrt(n))) AS within_tol
+FROM exact e JOIN approx a ON e.event_type = a.event_type
+ORDER BY event_type
+"""
+
+
+SKETCH_QUERIES: dict[str, tuple] = {
+    "events_daily_users_sketch": (events_daily_users_sketch, EVENTS_SKETCH_SQL),
+    "events_value_quantile_sketch": (events_value_quantile_sketch, EVENTS_QUANTILE_SKETCH_SQL),
+}
