@@ -753,6 +753,140 @@ ORDER BY doc_a, doc_b
 """
 
 
+INCR_FRACTION = 0.8  # docs with doc_id >= 80% of max play the "new batch"
+
+
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL MinHash dedup — the production ingestion shape: a new
+    batch is deduped against the existing corpus (and earlier docs of
+    its own batch) WITHOUT re-pairing the whole corpus against itself.
+
+    The probe side is only the new batch's band rows; the index side is
+    the full banded-signature relation (in production this is the
+    stored signature table maintained across ingests — here it is
+    recomputed from the corpus because the sandbox has no persistent
+    index, which changes nothing about the join shape). Every emitted
+    pair has doc_b in the new batch and doc_a < doc_b, so each
+    new-vs-old and new-vs-earlier-new pair appears exactly once and old
+    ⋈ old pairs are never generated — candidate work scales with
+    |batch| × bucket hit rate, not |corpus|². Candidates are verified
+    with exact Jaccard (same chain as dedup_minhash_verified).
+
+    Batch boundary: doc_id >= {INCR_FRACTION} × MAX(doc_id), computed
+    in-plan (single-row broadcast, no driver collect) so it holds at
+    any SF."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    thresh = docs.agg(
+        F.ceil(F.max("doc_id") * F.lit(INCR_FRACTION)).cast("long").alias("_thresh")
+    )
+    sig = _minhash_signature(docs)
+    bands = []
+    for b in range(LSH_BANDS):
+        cols = [F.col(f"mh{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+        bands.append(
+            F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat_ws("|", *cols)).alias("band_key"))
+        )
+    banded = (
+        sig.select("doc_id", F.explode(F.array(*bands)).alias("band"))
+        .select("doc_id", "band.band_idx", "band.band_key")
+        .localCheckpoint()  # index side materialized once, probe side filters it
+    )
+    new_bands = (
+        banded.crossJoin(F.broadcast(thresh))
+        .where(F.col("doc_id") >= F.col("_thresh"))
+        .select("doc_id", "band_idx", "band_key")
+    )
+    idx = banded.alias("i")
+    nb = new_bands.alias("n")
+    cand = (
+        idx.join(
+            nb,
+            (F.col("i.band_idx") == F.col("n.band_idx"))
+            & (F.col("i.band_key") == F.col("n.band_key"))
+            & (F.col("i.doc_id") < F.col("n.doc_id")),
+        )
+        .select(F.col("i.doc_id").alias("doc_a"), F.col("n.doc_id").alias("doc_b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    sh = _doc_shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    return (
+        cand.join(common, ["doc_a", "doc_b"], "left")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.coalesce(F.col("n_common"), F.lit(0)).cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.coalesce(F.col("n_common"), F.lit(0))).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .withColumn("is_dup", (F.col("jaccard") >= JACCARD_TAU).cast("boolean"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+DEDUP_MINHASH_INCREMENTAL_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))), ' ') AS tokens
+  FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(tokens) - {SHINGLE_K - 1}, 0)),
+           i -> array_to_string(tokens[i:i+{SHINGLE_K - 1}], ' ')))) AS shingle
+  FROM toks
+), sig AS (
+  SELECT doc_id,
+         {", ".join(f"MIN(substr(md5('{i}:' || shingle), 1, 16)) AS mh{i}" for i in range(MINHASH_K))}
+  FROM sh GROUP BY doc_id
+), banded AS (
+  {" UNION ALL ".join(
+      "SELECT doc_id, " + str(b) + " AS band_idx, md5("
+      + " || '|' || ".join(f"mh{b * LSH_ROWS + r}" for r in range(LSH_ROWS))
+      + ") AS band_key FROM sig"
+      for b in range(LSH_BANDS)
+  )}
+), thresh AS (
+  SELECT CAST(ceil(MAX(doc_id) * {INCR_FRACTION}) AS BIGINT) AS t FROM documents
+), cand AS (
+  SELECT DISTINCT i.doc_id AS doc_a, n.doc_id AS doc_b
+  FROM banded i JOIN banded n
+    ON i.band_idx = n.band_idx AND i.band_key = n.band_key AND i.doc_id < n.doc_id
+  WHERE n.doc_id >= (SELECT t FROM thresh)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id
+), common AS (
+  SELECT c.doc_a AS ca, c.doc_b AS cb, COUNT(*) AS n_common
+  FROM cand c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT c.doc_a, c.doc_b,
+       ROUND(CAST(COALESCE(cm.n_common, 0) AS DOUBLE)
+             / (sa.n_shingles + sb.n_shingles - COALESCE(cm.n_common, 0)), 6) AS jaccard,
+       ROUND(CAST(COALESCE(cm.n_common, 0) AS DOUBLE)
+             / (sa.n_shingles + sb.n_shingles - COALESCE(cm.n_common, 0)), 6) >= {JACCARD_TAU} AS is_dup
+FROM cand c
+LEFT JOIN common cm ON cm.ca = c.doc_a AND cm.cb = c.doc_b
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+ORDER BY doc_a, doc_b
+"""
+
+
 DEDUP_QUERIES: dict[str, tuple] = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
@@ -761,4 +895,5 @@ DEDUP_QUERIES: dict[str, tuple] = {
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_simhash_pairs": (dedup_simhash_pairs, DEDUP_SIMHASH_PAIRS_SQL),
     "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
+    "dedup_minhash_incremental": (dedup_minhash_incremental, DEDUP_MINHASH_INCREMENTAL_SQL),
 }

@@ -67,3 +67,34 @@ def test_minhash_xxhash64_path_matches_md5_after_verification(spark):
     assert xx_dups == md5_dups, (
         f"missing={sorted(md5_dups - xx_dups)[:5]} extra={sorted(xx_dups - md5_dups)[:5]}"
     )
+
+
+def test_incremental_equals_restricted_full_chain(spark):
+    """The incremental ingest chain must emit exactly the verified full
+    chain's pairs whose doc_b falls in the new batch — same jaccard,
+    same verdicts (new-vs-old and new-vs-earlier-new, never old-vs-old)."""
+    from pyspark.sql import functions as F
+
+    from csv_to_jsonld_processor_spark.operators.dedup import (
+        INCR_FRACTION,
+        dedup_minhash_incremental,
+        dedup_minhash_verified,
+    )
+    from csv_to_jsonld_processor_spark.session import load_tables
+
+    sf = "/root/testdata/sf0.01"
+    inc = {
+        (r.doc_a, r.doc_b, r.jaccard, r.is_dup)
+        for r in dedup_minhash_incremental(spark, sf).collect()
+    }
+    max_id = load_tables(spark, sf)["documents"].agg(F.max("doc_id")).first()[0]
+    import math
+
+    thresh = math.ceil(max_id * INCR_FRACTION)
+    full = {
+        (r.doc_a, r.doc_b, r.jaccard, r.is_dup)
+        for r in dedup_minhash_verified(spark, sf).collect()
+        if r.doc_b >= thresh
+    }
+    assert inc == full and len(inc) > 0
+    assert all(b >= thresh and a < b for a, b, _, _ in inc)
