@@ -70,6 +70,12 @@ def _registry() -> dict[str, tuple]:
     except ImportError:
         pass
     try:
+        from csv_to_jsonld_processor_spark.operators.inference import INFERENCE_QUERIES
+
+        reg.update(INFERENCE_QUERIES)
+    except ImportError:
+        pass
+    try:
         from csv_to_jsonld_processor_spark.operators.sketches import SKETCH_QUERIES
 
         reg.update(SKETCH_QUERIES)

@@ -346,3 +346,17 @@ def test_minhash_lsh_signature_computed_once(spark):
     plan = plan_of(dedup_minhash_lsh(spark, SF))
     assert plan.count("Scan ExistingRDD") >= 2
     assert "SortAggregate" not in plan and "partial_min" not in plan
+
+
+def test_quality_model_rides_the_scan(spark):
+    """doc_quality_model: feature extraction + dot product are JVM
+    expressions over the scan — no Python stage, no shuffle before the
+    final (lang, keep) aggregation (exactly one exchange pair)."""
+    from csv_to_jsonld_processor_spark.operators.inference import doc_quality_model
+
+    plan = plan_of(doc_quality_model(spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "mapInPandas" not in plan.lower()
+    # hashpartitioning for the group-by and rangepartitioning for the
+    # orderBy; nothing else
+    assert plan.count("Exchange") <= 2
