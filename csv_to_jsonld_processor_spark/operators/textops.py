@@ -828,6 +828,117 @@ FROM bucketed GROUP BY bucket, lang ORDER BY bucket, lang
 """
 
 
+# target training mixture over languages; DEFAULT weight applies to any
+# lang not listed (the long-tail bucket)
+MIX_TARGET = {"en": 0.5, "zh": 0.2, "de": 0.1, "es": 0.1, "fr": 0.1}
+
+
+def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data mixing: the largest corpus achievable at the
+    target language proportions, selected reproducibly.
+
+    T = min_l floor(available_l / p_l) is the max total size at exact
+    proportions; each language contributes quota_l = floor(T * p_l)
+    documents, chosen as the quota_l smallest md5(doc_id) ranks within
+    the language — a content-independent deterministic draw, the same
+    doc set on every engine and every cluster size. Output: per-lang
+    availability, quota, sampled tokens, and the achieved fraction.
+
+    Scale: the per-lang rank is a window over the lang partition — fine
+    while |langs| is small relative to cores ONLY because the output is
+    a per-lang REPORT; the production selection path replaces
+    row_number with a hash-threshold two-pass (rank quantile on the
+    md5 key), which needs no total order. The quota math is identical.
+    """
+    t = load_tables(spark, sf_dir)
+    from pyspark.sql import Window
+
+    docs = t["documents"].select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))), " ")).alias(
+            "n_tokens"
+        ),
+    )
+    weights = F.create_map(
+        *[F.lit(x) for kv in MIX_TARGET.items() for x in kv]
+    )
+    avail = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("available"))
+    with_w = avail.withColumn("p", weights[F.col("lang")])
+    total = with_w.agg(
+        F.min(F.floor(F.col("available") / F.col("p"))).cast("long").alias("_T")
+    )
+    quota = (
+        with_w.crossJoin(F.broadcast(total))
+        .withColumn("quota", F.floor(F.col("_T") * F.col("p")).cast("long"))
+        .select("lang", "available", "quota")
+    )
+    ranked = docs.withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        ),
+    )
+    picked = (
+        ranked.join(F.broadcast(quota), "lang")
+        .where(F.col("_rk") <= F.col("quota"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("sampled"),
+            F.sum("n_tokens").cast("long").alias("sampled_tokens"),
+        )
+    )
+    grand = picked.agg(F.sum("sampled").alias("_g"))
+    return (
+        quota.join(picked, "lang")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "lang",
+            F.col("available").cast("long").alias("available"),
+            "quota",
+            F.col("sampled").cast("long").alias("sampled"),
+            "sampled_tokens",
+            F.round(F.col("sampled").cast("double") / F.col("_g"), 6).alias("achieved_frac"),
+        )
+        .orderBy("lang")
+    )
+
+
+_MIX_CASE = "CASE lang " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in MIX_TARGET.items()
+) + " END"
+
+DOC_MIXTURE_SQL = rf"""
+WITH docs AS (
+  SELECT doc_id, lang,
+         len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS n_tokens
+  FROM documents
+), avail AS (
+  SELECT lang, COUNT(*) AS available, {_MIX_CASE} AS p
+  FROM docs GROUP BY lang
+), t AS (
+  SELECT CAST(MIN(floor(available / p)) AS BIGINT) AS total FROM avail
+), quota AS (
+  SELECT lang, available, CAST(floor((SELECT total FROM t) * p) AS BIGINT) AS quota
+  FROM avail
+), ranked AS (
+  SELECT doc_id, lang, n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM docs
+), picked AS (
+  SELECT r.lang, COUNT(*) AS sampled, CAST(SUM(n_tokens) AS BIGINT) AS sampled_tokens
+  FROM ranked r JOIN quota q ON r.lang = q.lang
+  WHERE r.rk <= q.quota
+  GROUP BY r.lang
+)
+SELECT q.lang AS lang, CAST(q.available AS BIGINT) AS available, q.quota,
+       CAST(p.sampled AS BIGINT) AS sampled, p.sampled_tokens,
+       ROUND(CAST(p.sampled AS DOUBLE) / (SELECT SUM(sampled) FROM picked), 6) AS achieved_frac
+FROM quota q JOIN picked p ON q.lang = p.lang
+ORDER BY lang
+"""
+
+
 TEXT_QUERIES: dict[str, tuple] = {
     "doc_token_stats": (doc_token_stats, DOC_TOKEN_STATS_SQL),
     "doc_bpe_token_count": (doc_bpe_token_count, DOC_BPE_SQL),
@@ -844,4 +955,5 @@ TEXT_QUERIES: dict[str, tuple] = {
     "doc_length_histogram": (doc_length_histogram, DOC_HISTOGRAM_SQL),
     "doc_train_val_test_split": (doc_train_val_test_split, DOC_SPLIT_SQL),
     "doc_zipf_quality_buckets": (doc_zipf_quality_buckets, DOC_ZIPF_SQL),
+    "doc_mixture_sample": (doc_mixture_sample, DOC_MIXTURE_SQL),
 }
