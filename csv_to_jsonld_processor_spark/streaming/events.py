@@ -337,8 +337,88 @@ FROM d ORDER BY user_id
 """
 
 
+TREND_K = 3
+TREND_WINDOW = "1 hour"
+TREND_SLIDE = "30 minutes"
+
+
+def trending_topk_batch(events: DataFrame, k: int = TREND_K) -> DataFrame:
+    """Top-k event types per SLIDING window (1h window, 30min slide) —
+    the trending dashboard query. Sliding windows are the streaming
+    shape tumbling rollups can't express: each event lands in exactly
+    two overlapping windows. Rank is (count desc, event_type asc) —
+    integer counts + lexical tiebreak, fully deterministic."""
+    from pyspark.sql import Window as W
+
+    counts = (
+        events.groupBy(F.window("ts", TREND_WINDOW, TREND_SLIDE).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    rk = W.partitionBy("window_start").orderBy(F.desc("n_events"), F.asc("event_type"))
+    return (
+        counts.withColumn("rank", F.row_number().over(rk))
+        .where(F.col("rank") <= k)
+        .select("window_start", "rank", "event_type", "n_events")
+    )
+
+
+def trending_counts_stream(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """The STREAMING stage of trending top-k: watermarked sliding-window
+    counts. The per-window rank is applied downstream of the sink (a
+    rank over a finalized window is a bounded post-step per emitted
+    window — Structured Streaming forbids non-time window functions
+    inside the incremental plan, and production topologies put the
+    top-k in the serving layer for exactly that reason)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", TREND_WINDOW, TREND_SLIDE).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def events_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import load_tables
+
+    t = load_tables(spark, sf_dir)
+    return (
+        trending_topk_batch(t["events"])
+        .select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "rank",
+            "event_type",
+            "n_events",
+        )
+        .orderBy("window_start", "rank")
+    )
+
+
+EVENTS_TRENDING_SQL = f"""
+WITH expanded AS (
+  SELECT unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                 time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS window_start,
+         event_type
+  FROM events
+), counts AS (
+  SELECT window_start, event_type, COUNT(*) AS n_events
+  FROM expanded GROUP BY 1, 2
+), ranked AS (
+  SELECT window_start, event_type, n_events,
+         ROW_NUMBER() OVER (PARTITION BY window_start
+                            ORDER BY n_events DESC, event_type ASC) AS rank
+  FROM counts
+)
+SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       CAST(rank AS INT) AS rank, event_type, n_events
+FROM ranked WHERE rank <= {TREND_K}
+ORDER BY window_start, rank
+"""
+
+
 STREAMING_QUERIES: dict[str, tuple] = {
     "events_sessionization": (events_sessionization, EVENTS_SESSION_SQL),
     "events_user_profiles": (events_user_profiles, EVENTS_PROFILE_SQL),
     "events_stream_dedup": (events_stream_dedup, EVENTS_STREAM_DEDUP_SQL),
+    "events_trending_topk": (events_trending_topk, EVENTS_TRENDING_SQL),
 }

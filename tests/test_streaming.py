@@ -153,3 +153,35 @@ def test_stream_dedup_absorbs_cross_batch_replays(spark, tmp_path):
     res = spark.table("dedup_xbatch")
     assert res.count() == src.count(), "replays not fully absorbed"
     assert res.select("event_id").distinct().count() == res.count()
+
+
+def test_trending_topk_stream_equals_batch(spark, events_dir):
+    """Sliding-window trending: the streamed watermarked counts, ranked
+    per finalized window downstream of the sink, must equal the batch
+    top-k exactly (incl. every event landing in both its overlapping
+    windows)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from csv_to_jsonld_processor_spark.streaming.events import (
+        TREND_K,
+        run_stream_over_dir,
+        trending_counts_stream,
+        trending_topk_batch,
+    )
+
+    batch = trending_topk_batch(spark.read.parquet(events_dir))
+    counts = run_stream_over_dir(
+        spark, events_dir, trending_counts_stream, EVENTS_SCHEMA, "trend_mem"
+    )
+    rk = W.partitionBy("window_start").orderBy(F.desc("n_events"), F.asc("event_type"))
+    streamed = (
+        counts.withColumn("rank", F.row_number().over(rk))
+        .where(F.col("rank") <= TREND_K)
+        .select("window_start", "rank", "event_type", "n_events")
+    )
+    cols = ["window_start", "rank", "event_type", "n_events"]
+    assert _norm(streamed, cols) == _norm(batch, cols)
+    # sliding semantics: total windowed rows ~ 2x the tumbling count
+    n_windows = counts.select("window_start").distinct().count()
+    assert n_windows > 24  # > one day of 30-min slides on this corpus
