@@ -219,8 +219,48 @@ ORDER BY user_id, day
 """
 
 
+def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column processing: the ``props`` JSON string is
+    parsed IN-PLAN (``from_json`` with an explicit schema — schema-on-
+    read, JVM-side, no Python) and its field aggregated per event type.
+    Malformed/missing documents surface as a null count instead of
+    failing the scan — the PERMISSIVE-mode contract a 100 TB pipeline
+    needs when a fraction of upstream JSON is junk. All aggregates are
+    exact integers."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    t = load_tables(spark, sf_dir)
+    parsed = t["events"].withColumn(
+        "_p", F.from_json("props", StructType([StructField("k", IntegerType())]))
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("_p.k").isNull().cast("int")).cast("long").alias("n_null_k"),
+            F.min("_p.k").alias("min_k"),
+            F.max("_p.k").alias("max_k"),
+            F.sum("_p.k").cast("long").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_PROPS_JSON_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_k,
+       MIN(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
+       MAX(CAST(json_extract(props, '$.k') AS INT)) AS max_k,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k
+FROM events GROUP BY 1 ORDER BY event_type
+"""
+
+
 EVENTOPS_QUERIES: dict[str, tuple] = {
     "events_purchase_anomalies": (events_purchase_anomalies, EVENTS_ANOMALY_SQL),
     "events_funnel": (events_funnel, EVENTS_FUNNEL_SQL),
     "events_retention_cohorts": (events_retention_cohorts, EVENTS_RETENTION_SQL),
+    "events_props_json": (events_props_json, EVENTS_PROPS_JSON_SQL),
 }

@@ -939,6 +939,43 @@ ORDER BY lang
 """
 
 
+def doc_source_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus audit: doc counts, language breadth, token
+    volume, and a SCHEMA-CONSISTENCY check — rows where the recorded
+    ``n_chars`` metadata disagrees with ``length(text)`` are counted as
+    integrity violations (0 on healthy data; a non-zero count localizes
+    a broken upstream writer to its source). Exact integer aggregates
+    throughout; one (source) shuffle."""
+    t = load_tables(spark, sf_dir)
+    toks = F.split(F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))), " ")
+    return (
+        t["documents"]
+        .withColumn("_mismatch", (F.col("n_chars") != F.length("text")).cast("int"))
+        .withColumn("_ntok", F.size(toks))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.sum("_ntok").cast("long").alias("total_tokens"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum("_mismatch").cast("long").alias("n_chars_mismatch"),
+        )
+        .orderBy("source")
+    )
+
+
+DOC_SOURCE_AUDIT_SQL = r"""
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT lang) AS n_langs,
+       CAST(SUM(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))) AS BIGINT)
+         AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(CASE WHEN n_chars <> len(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_mismatch
+FROM documents GROUP BY 1 ORDER BY source
+"""
+
+
 TEXT_QUERIES: dict[str, tuple] = {
     "doc_token_stats": (doc_token_stats, DOC_TOKEN_STATS_SQL),
     "doc_bpe_token_count": (doc_bpe_token_count, DOC_BPE_SQL),
@@ -956,4 +993,5 @@ TEXT_QUERIES: dict[str, tuple] = {
     "doc_train_val_test_split": (doc_train_val_test_split, DOC_SPLIT_SQL),
     "doc_zipf_quality_buckets": (doc_zipf_quality_buckets, DOC_ZIPF_SQL),
     "doc_mixture_sample": (doc_mixture_sample, DOC_MIXTURE_SQL),
+    "doc_source_audit": (doc_source_audit, DOC_SOURCE_AUDIT_SQL),
 }
