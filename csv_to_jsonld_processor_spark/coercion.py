@@ -126,3 +126,90 @@ def coercion_kind_flags(kind: str, c: Column) -> Column:
     if kind in ("URI", "Picklist"):
         return F.lit("ref")
     return F.lit("string")
+
+
+# --------------------------------------------------------------------------
+# SQL-text twins of the Column builders above.
+#
+# Why both exist: the Column builders make ~100 py4j round-trips per Date
+# header (20 try_to_date attempts x several calls each), and a fixture
+# manifest has dozens of headers — plan CONSTRUCTION cost 3.7 s of the
+# 5.3 s fixture_triples wall time. Each *_sql twin renders the identical
+# expression as ONE string, so a whole header becomes a single F.expr
+# call. Semantics are pinned to the Column versions by
+# tests/test_coercion_fuzz.py::test_sql_twins_equal_column_builders over
+# the full fuzz corpus, and by the byte-golden fixture hash.
+# --------------------------------------------------------------------------
+
+
+def sql_str(s: str) -> str:
+    """SQL single-quoted literal (backslash + quote escaped — matches
+    Spark's default escapedStringLiterals=false parsing)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _year_sane_sql(d: str) -> str:
+    return f"IF(year({d}) >= 0 AND year({d}) <= 9999, {d}, NULL)"
+
+
+def parse_date_sql(c: str) -> str:
+    c = f"trim({c})"
+    attempts = [_year_sane_sql(f"try_to_date({c}, '{p}')") for p in _DATE_PATTERNS]
+    attempts.append(
+        _year_sane_sql(f"try_to_date(try_to_timestamp({c}, 'yyyy-M-d H:m:s'))")
+    )
+    attempts.append(_year_sane_sql(f"try_to_date({c}, 'MMM d, yyyy')"))
+    attempts.append(_year_sane_sql(f"try_to_date({c}, 'MMMM d, yyyy')"))
+    yr = f"CAST({c} AS INT)"
+    attempts.append(
+        f"IF({c} rlike '{INT_RE}' AND abs({yr}) <= 262143, "
+        f"try_to_date(concat({yr}, '-1-1'), 'y-M-d'), NULL)"
+    )
+    attempts.append(
+        _year_sane_sql(f"try_to_date(concat(replace({c}, '/', '-'), '-01'), 'yyyy-M-d')")
+    )
+    attempts.append(_year_sane_sql(f"try_to_date(concat('01 ', {c}), 'd MMMM yyyy')"))
+    attempts.append(_year_sane_sql(f"try_to_date(concat('01 ', {c}), 'd MMM yyyy')"))
+    return "coalesce(" + ", ".join(attempts) + ")"
+
+
+def coerce_date_sql(c: str) -> str:
+    d = parse_date_sql(c)
+    return f"nvl2({d}, date_format({d}, 'yyyy-MM-dd'), {c})"
+
+
+def _cleaned_sql(c: str) -> str:
+    return f"regexp_replace({c}, '[$%,]', '')"
+
+
+def coerce_integer_sql(c: str) -> str:
+    cl = _cleaned_sql(c)
+    return f"IF({cl} rlike '{INT_RE}', CAST(CAST({cl} AS BIGINT) AS STRING), {c})"
+
+
+def coerce_decimal_sql(c: str) -> str:
+    cl = _cleaned_sql(c)
+    return f"IF({cl} rlike {sql_str(FLOAT_RE)}, CAST(CAST({cl} AS DOUBLE) AS STRING), {cl})"
+
+
+def coerce_boolean_sql(c: str) -> str:
+    return (
+        f"CASE WHEN lower({c}) IN ('true', '1', 'yes') THEN 'true' "
+        f"WHEN lower({c}) IN ('false', '0', 'no') THEN 'false' ELSE {c} END"
+    )
+
+
+def coercion_kind_flags_sql(kind: str, c: str) -> str:
+    cl = _cleaned_sql(c)
+    if kind == "Integer":
+        return f"IF({cl} rlike '{INT_RE}', 'number', 'string')"
+    if kind == "Decimal":
+        return f"IF({cl} rlike {sql_str(FLOAT_RE)}, 'number', 'string')"
+    if kind == "Boolean":
+        return (
+            f"IF(lower({c}) IN ('true', '1', 'yes', 'false', '0', 'no'), "
+            "'boolean', 'string')"
+        )
+    if kind in ("URI", "Picklist"):
+        return "'ref'"
+    return "'string'"

@@ -248,6 +248,85 @@ def _triples_for_values(pred: str, pairs: Column) -> Column:
     )
 
 
+# --- SQL-text twins (plan-construction fast path) --------------------------
+#
+# The Column builders above cost ~100 py4j round-trips per Date header
+# (the 20-attempt parse cascade), and a fixture manifest has dozens of
+# headers; plan construction dominated fixture_triples wall time. These
+# twins render the IDENTICAL expression as one string so each header is
+# a single F.expr call. Semantics pinned by
+# tests/test_coercion_fuzz.py::test_sql_twins_equal_column_builders and
+# the byte-golden fixture hash (tests/golden/fixture_triples.csv).
+
+_TRIPLES_T = "array<struct<pred:string,obj:string,obj_kind:string>>"
+
+
+def _coerce_one_sql(kind: str, target: str | None, v: str, vocab: VocabularyMap,
+                    model_base_iri: str, namespace_iris: bool) -> str:
+    from ..coercion import (
+        coerce_boolean_sql,
+        coerce_date_sql,
+        coerce_decimal_sql,
+        coerce_integer_sql,
+        sql_str,
+    )
+
+    if kind == "Date":
+        return coerce_date_sql(v)
+    if kind == "Integer":
+        return coerce_integer_sql(v)
+    if kind == "Decimal":
+        return coerce_decimal_sql(v)
+    if kind == "Boolean":
+        return coerce_boolean_sql(v)
+    if kind in ("URI", "Picklist"):
+        if namespace_iris and target is not None:
+            raw = vocab.find_class_for_target(target, model_base_iri)
+            if raw is not None:
+                prefix = to_kebab_case(raw.display())
+                return f"concat({sql_str(prefix + '/')}, {v})"
+        return v
+    return v
+
+
+def _values_expr_sql(step: ImportStep, plan: HeaderPlan, c: str,
+                     vocab: VocabularyMap, model_base_iri: str,
+                     namespace_iris: bool) -> str:
+    """SQL text of _values_expr for column expression ``c`` (lambda
+    variable ``v`` is reserved by this builder)."""
+    from ..coercion import coercion_kind_flags_sql, sql_str
+
+    delim = step.delimit_values_on or ";"
+    if plan.kind == "String":
+        raw = f"array({c})"
+    else:
+        raw = f"transform(split({c}, {sql_str(re.escape(delim))}), x -> trim(x))"
+    obj = _coerce_one_sql(plan.kind, plan.target, "v", vocab, model_base_iri, namespace_iris)
+    flags = coercion_kind_flags_sql(plan.kind, "v")
+    return f"transform({raw}, v -> named_struct('obj', {obj}, 'obj_kind', {flags}))"
+
+
+def _triples_for_values_sql(pred: str, pairs: str) -> str:
+    from ..coercion import sql_str
+
+    return (
+        f"transform({pairs}, s -> named_struct('pred', {sql_str(pred)}, "
+        "'obj', s.obj, 'obj_kind', s.obj_kind))"
+    )
+
+
+def _header_triples_expr(step: ImportStep, plan: HeaderPlan, vocab: VocabularyMap,
+                         model_base_iri: str, namespace_iris: bool,
+                         pred: str | None = None) -> Column:
+    """One F.expr for a header's whole triple array (empty-cell guarded)."""
+    c = f"c{plan.index}"
+    pairs = _values_expr_sql(step, plan, c, vocab, model_base_iri, namespace_iris)
+    trip = _triples_for_values_sql(pred or plan.name, pairs)
+    return F.expr(
+        f"IF({c} IS NOT NULL AND {c} != '', {trip}, CAST(array() AS {_TRIPLES_T}))"
+    )
+
+
 # --------------------------------------------------------------------------
 # CSV scan with positional columns
 # --------------------------------------------------------------------------
@@ -382,16 +461,13 @@ def basic_instance_outputs(
     for p in plans:
         if p is None or p.kind == "ID" or p.pivot_group is not None:
             continue
-        pairs = _values_expr(step, p, _col(p.index), vocab, model_base, namespace_iris)
-        arr = F.when(_nonempty(_col(p.index)), _triples_for_values(p.name, pairs)).otherwise(
-            F.array().cast("array<struct<pred:string,obj:string,obj_kind:string>>")
+        prop_arrays.append(
+            _header_triples_expr(step, p, vocab, model_base, namespace_iris)
         )
-        prop_arrays.append(arr)
         if p.is_label:
-            label_arr = F.when(
-                _nonempty(_col(p.index)), _triples_for_values("label", pairs)
-            ).otherwise(F.array().cast("array<struct<pred:string,obj:string,obj_kind:string>>"))
-            prop_arrays.append(label_arr)
+            prop_arrays.append(
+                _header_triples_expr(step, p, vocab, model_base, namespace_iris, pred="label")
+            )
 
     parent = df.select(
         F.col("_subj").alias("subj"), F.explode(F.flatten(F.array(*prop_arrays))).alias("t")
@@ -406,9 +482,10 @@ def basic_instance_outputs(
             continue
         val_cols = {}
         for p in group_plans:
-            pairs = _values_expr(step, p, _col(p.index), vocab, model_base, namespace_iris)
-            val_cols[p.index] = F.when(_nonempty(_col(p.index)), pairs).otherwise(
-                F.array().cast(_PAIRS_T)
+            pairs = _values_expr_sql(step, p, f"c{p.index}", vocab, model_base, namespace_iris)
+            val_cols[p.index] = F.expr(
+                f"IF(c{p.index} IS NOT NULL AND c{p.index} != '', {pairs}, "
+                f"CAST(array() AS {_PAIRS_T}))"
             )
         any_value = None
         for p in group_plans:
