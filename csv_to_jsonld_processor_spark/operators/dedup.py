@@ -212,9 +212,12 @@ def _minhash_signature(docs: DataFrame, hash_impl: str = "md5") -> DataFrame:
             F.min(F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))), 1, 16)).alias(
                 f"mh{i}"
             )
-            for i in range(MINHASH_K)
+        for i in range(MINHASH_K)
         ]
-    return sh.groupBy("doc_id").agg(*minhashes)
+    # n_shingles rides the SAME aggregation: the verified chain needs
+    # per-doc shingle counts for exact Jaccard, and computing them here
+    # saves that chain a second full shingle explode + (doc_id) shuffle
+    return sh.groupBy("doc_id").agg(*minhashes, F.count(F.lit(1)).alias("n_shingles"))
 
 
 def _lsh_candidate_pairs(docs: DataFrame, hash_impl: str = "md5") -> DataFrame:
@@ -229,8 +232,12 @@ def _lsh_candidate_pairs(docs: DataFrame, hash_impl: str = "md5") -> DataFrame:
     doc — tiny relative to the shingle input — so materializing it is
     the 100 TB-correct trade: one signature pass, then an equi-join
     over stored blocks."""
-    sig = _minhash_signature(docs, hash_impl)
+    sig = _minhash_signature(docs, hash_impl).localCheckpoint()
+    return _lsh_candidates_from_sig(sig, hash_impl)
 
+
+def _lsh_candidates_from_sig(sig: DataFrame, hash_impl: str = "md5") -> DataFrame:
+    """Band self-join over an already-materialized signature relation."""
     bands = []
     for b in range(LSH_BANDS):
         cols = [F.col(f"mh{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
@@ -240,10 +247,8 @@ def _lsh_candidate_pairs(docs: DataFrame, hash_impl: str = "md5") -> DataFrame:
         bands.append(
             F.struct(F.lit(b).alias("band_idx"), band_key.alias("band_key"))
         )
-    banded = (
-        sig.select("doc_id", F.explode(F.array(*bands)).alias("band"))
-        .select("doc_id", "band.band_idx", "band.band_key")
-        .localCheckpoint()
+    banded = sig.select("doc_id", F.explode(F.array(*bands)).alias("band")).select(
+        "doc_id", "band.band_idx", "band.band_key"
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -675,9 +680,10 @@ def dedup_minhash_verified(
     count and the final left-join, and it is tiny (LSH-pruned pairs),
     so materializing it avoids running the band self-join twice."""
     t = load_tables(spark, sf_dir)
-    cand = _lsh_candidate_pairs(t["documents"], hash_impl).localCheckpoint()
+    sig = _minhash_signature(t["documents"], hash_impl).localCheckpoint()
+    cand = _lsh_candidates_from_sig(sig, hash_impl).localCheckpoint()
     sh = _doc_shingles(t["documents"])
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    sizes = sig.select("doc_id", "n_shingles")  # rides the signature agg — no re-scan
 
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
