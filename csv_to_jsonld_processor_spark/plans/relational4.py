@@ -199,8 +199,77 @@ GROUP BY 1 ORDER BY ship_year
 """
 
 
+PIVOT_TYPES = ["view", "click", "purchase", "signup", "error"]
+
+
+def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational PIVOT: daily event counts spread into one column per
+    event type (``groupBy().pivot(values=...)`` — the explicit value
+    list keeps the plan single-pass; omitting it costs Spark an extra
+    distinct scan to discover the columns). Counts are exact ints; the
+    DuckDB oracle uses the equivalent conditional aggregation."""
+    t = load_tables(spark, sf_dir)
+    out = (
+        t["events"]
+        .groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", PIVOT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    cols = [F.coalesce(F.col(c), F.lit(0)).cast("long").alias(f"n_{c}") for c in PIVOT_TYPES]
+    return out.select("day", *cols).orderBy("day")
+
+
+EVENTS_PIVOT_SQL = (
+    "SELECT CAST(ts AS DATE) AS day, "
+    + ", ".join(
+        f"CAST(SUM(CASE WHEN event_type = '{c}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{c}"
+        for c in PIVOT_TYPES
+    )
+    + " FROM events GROUP BY 1 ORDER BY day"
+)
+
+
+def customer_segment_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT as first-class operators: customers who bought
+    in BOTH halves of the order history (intersect) vs only the first
+    half (except), reported as one labeled union. Spark compiles these
+    to aggregate/anti-join plans — the point is the declarative set
+    semantics, incl. their implicit DISTINCT."""
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"].withColumn("_half", (F.year("o_orderdate") >= 1998).cast("int"))
+    first = orders.where(F.col("_half") == 0).select("o_custkey")
+    second = orders.where(F.col("_half") == 1).select("o_custkey")
+    both = first.intersect(second).withColumn("segment", F.lit("both_halves"))
+    # subtract == EXCEPT (distinct semantics); exceptAll would keep
+    # per-order multiplicity and leak both-halves customers whose
+    # first-half order count exceeds their second-half occurrences
+    only_first = first.subtract(second).withColumn("segment", F.lit("first_half_only"))
+    return (
+        both.unionByName(only_first)
+        .select("segment", F.col("o_custkey").alias("custkey"))
+        .orderBy("segment", "custkey")
+    )
+
+
+SET_OPS_SQL = """
+WITH first AS (
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) < 1998
+), second AS (
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) >= 1998
+)
+SELECT 'both_halves' AS segment, o_custkey AS custkey
+FROM (SELECT o_custkey FROM first INTERSECT SELECT o_custkey FROM second)
+UNION ALL
+SELECT 'first_half_only', o_custkey
+FROM (SELECT DISTINCT o_custkey FROM first EXCEPT SELECT DISTINCT o_custkey FROM second)
+ORDER BY segment, custkey
+"""
+
+
 RELATIONAL4_QUERIES: dict[str, tuple] = {
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
     "q11_important_stock": (q11_important_stock, Q11_SQL),
     "q12_late_shipments": (q12_late_shipments, Q12_SQL),
+    "events_type_pivot": (events_type_pivot, EVENTS_PIVOT_SQL),
+    "customer_segment_set_ops": (customer_segment_set_ops, SET_OPS_SQL),
 }
