@@ -266,10 +266,34 @@ ORDER BY segment, custkey
 """
 
 
+def events_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (``stack``): the wide daily pivot folded back to long
+    form — wide→long is its own named operator (melt/unpivot) and the
+    round-trip pins that pivot+unpivot compose to the plain group-by.
+    Zero-count cells are dropped on unpivot (the sparse long form)."""
+    wide = events_type_pivot(spark, sf_dir)
+    stack_args = ", ".join(f"'{c}', n_{c}" for c in PIVOT_TYPES)
+    return (
+        wide.selectExpr(
+            "day", f"stack({len(PIVOT_TYPES)}, {stack_args}) AS (event_type, n)"
+        )
+        .where(F.col("n") > 0)
+        .select("day", "event_type", F.col("n").cast("long").alias("n"))
+        .orderBy("day", "event_type")
+    )
+
+
+EVENTS_UNPIVOT_SQL = """
+SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+FROM events GROUP BY 1, 2 ORDER BY day, event_type
+"""
+
+
 RELATIONAL4_QUERIES: dict[str, tuple] = {
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
     "q11_important_stock": (q11_important_stock, Q11_SQL),
     "q12_late_shipments": (q12_late_shipments, Q12_SQL),
     "events_type_pivot": (events_type_pivot, EVENTS_PIVOT_SQL),
     "customer_segment_set_ops": (customer_segment_set_ops, SET_OPS_SQL),
+    "events_unpivot_roundtrip": (events_unpivot_roundtrip, EVENTS_UNPIVOT_SQL),
 }
