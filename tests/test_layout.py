@@ -1,0 +1,90 @@
+"""Table-layout hygiene: partitioned writes prune at the directory
+level, and small-file compaction restores scan efficiency after
+fragmented ingestion (operators/layout.py)."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from csv_to_jsonld_processor_spark.session import get_spark, load_tables
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    return get_spark("layout", cpus=8)
+
+
+@pytest.fixture(scope="module")
+def parted(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from csv_to_jsonld_processor_spark.operators.layout import write_partitioned
+
+    d = str(tmp_path_factory.mktemp("layout") / "events_by_day")
+    ev = load_tables(spark, SF)["events"].withColumn("day", F.to_date("ts"))
+    # fragment deliberately: 16 writers per partition = tiny files
+    write_partitioned(ev.repartition(16), d, ["day"])
+    return d
+
+
+def test_partition_pruning_reaches_the_scan(spark, parted):
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(parted)
+    one_day = df.select("day").orderBy("day").first()[0]
+    plan = (
+        df.where(F.col("day") == F.lit(one_day))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the day predicate must land in PartitionFilters (directory-level
+    # pruning), NOT as a data filter the scan evaluates per row
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "day" in pf
+
+
+def test_compaction_preserves_rows_and_cuts_files(spark, parted):
+    from csv_to_jsonld_processor_spark.operators.layout import (
+        compact_partitions,
+        partition_file_stats,
+    )
+
+    before_stats = partition_file_stats(spark, parted)
+    assert all(n >= 8 for _p, n, _b in before_stats)  # fragmentation is real
+    rows_before = sorted(map(tuple, spark.read.parquet(parted).collect()))
+
+    res = compact_partitions(spark, parted, "day", target_bytes=64 * 1024 * 1024)
+    assert res["after"] < res["before"]
+    after_stats = partition_file_stats(spark, parted)
+    # every partition is far below 64 MB -> exactly one file each
+    assert all(n == 1 for _p, n, _b in after_stats)
+    rows_after = sorted(map(tuple, spark.read.parquet(parted).collect()))
+    assert rows_after == rows_before
+
+
+def test_compaction_respects_target_size(spark, tmp_path):
+    """A partition whose bytes exceed the target must split into
+    ceil(bytes/target) files, not collapse to one."""
+    from pyspark.sql import functions as F
+
+    from csv_to_jsonld_processor_spark.operators.layout import (
+        compact_partitions,
+        partition_file_stats,
+        write_partitioned,
+    )
+
+    d = str(tmp_path / "one_big")
+    ev = load_tables(spark, SF)["events"].withColumn("day", F.lit("all"))
+    write_partitioned(ev.repartition(16), d, ["day"])
+    _p, _n, total_bytes = partition_file_stats(spark, d)[0]
+    target = max(1, total_bytes // 3)  # force ~3-4 output files
+    compact_partitions(spark, d, "day", target_bytes=target)
+    stats = partition_file_stats(spark, d)
+    assert len(stats) == 1 and 2 <= stats[0][1] <= 6
