@@ -166,6 +166,75 @@ def decode_bmp(blob: bytes) -> dict:
     }
 
 
+def encode_wav(sample_rate: int, n_channels: int, pcm16: bytes) -> bytes:
+    """Real-format encode: RIFF/WAVE PCM16 via the stdlib ``wave``
+    module — the audio twin of encode_bmp (any audio tool opens it)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm16)
+    return buf.getvalue()
+
+
+def decode_wav(blob: bytes) -> dict:
+    """Real-format decode: WAV → the codec-blind dict contract
+    (payload = raw PCM bytes; width = frames, height = 1)."""
+    import io
+    import wave
+
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("bad WAV magic")
+    with wave.open(io.BytesIO(blob), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise NotImplementedError("only PCM16 supported")
+        frames = w.getnframes()
+        ch = w.getnchannels()
+        payload = w.readframes(frames)
+    return {"kind": "audio", "width": frames, "height": 1, "channels": ch, "payload": payload}
+
+
+def synth_wav(media_id: int, seed: int = 42) -> tuple[bytes, int, int]:
+    """Deterministic real WAV blob: (blob, n_frames, n_channels); PCM
+    payload is a sha256 stretch keyed by (media_id, seed)."""
+    h = hashlib.sha256(f"wav:{seed}:{media_id}".encode()).digest()
+    ch = 1 + h[0] % 2
+    frames = 200 + h[1] * 4
+    n = frames * ch * 2
+    pcm = (hashlib.sha256(h).digest() * (n // 32 + 1))[:n]
+    return encode_wav(16000, ch, pcm), frames, ch
+
+
+def generate_wav_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+    import pandas as pd
+
+    rng = spark.range(0, n, 1, spark.sparkContext.defaultParallelism)
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                blob, frames, ch = synth_wav(int(i), seed)
+                rows.append(
+                    {
+                        "media_id": int(i),
+                        "kind": "audio",
+                        "url": f"https://media.example.org/wav/{int(i)}.wav",
+                        "blob": blob,
+                        "meta_width": frames,
+                        "meta_height": 1,
+                        "meta_channels": ch,
+                    }
+                )
+            yield pd.DataFrame.from_records(rows)
+
+    return rng.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
 def decode_blob(blob: bytes, codec: str = "synthetic") -> dict:
     """Decode one blob. ``synthetic`` parses the fake container; ``bmp``
     parses real uncompressed 24-bit BMP bytes (stdlib decoder above);
@@ -173,11 +242,14 @@ def decode_blob(blob: bytes, codec: str = "synthetic") -> dict:
     (PNG/JPEG/audio/video libs, absent in this container)."""
     if codec == "bmp":
         return decode_bmp(blob)
+    if codec == "wav":
+        return decode_wav(blob)
     if codec == "real":
         raise NotImplementedError(
-            "JPEG/PNG/audio/video decode needs PIL/librosa/av — not in this "
-            "container; wire them here, the Spark plumbing is codec-agnostic "
-            "(the bmp codec proves it on a real byte format)"
+            "JPEG/PNG/compressed-audio/video decode needs PIL/librosa/av — "
+            "not in this container; wire them here, the Spark plumbing is "
+            "codec-agnostic (the bmp and wav codecs prove it on real byte "
+            "formats)"
         )
     if blob[:4] != _MAGIC:
         raise ValueError("bad magic")
@@ -377,10 +449,47 @@ ORDER BY width_bucket
 """
 
 
+def media_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio codec path end-to-end on REAL on-disk bytes: 1,000
+    deterministic PCM16 WAV blobs → stdlib wave decode inside the
+    mapInPandas feature stage → per-channel-count stats. Golden VALUES
+    oracle recomputed independently from the synth parameters in plain
+    Python/numpy (never through encode/decode — equality proves the
+    WAV round-trip is byte-exact)."""
+    from pyspark.sql import functions as F
+
+    media = generate_wav_media(spark, 1000, seed=42)
+    feats = extract_features(media, codec="wav", feature_dim=8)
+    return (
+        feats.groupBy("channels")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("width"), 6).alias("avg_frames"),
+            F.round(F.avg("mean_intensity"), 6).alias("avg_intensity"),
+        )
+        .orderBy("channels")
+    )
+
+
+# golden: plain-Python/numpy recomputation from the synth parameters,
+# N=1000 seed=42
+MEDIA_WAV_SQL = """
+SELECT CAST(channels AS INT) AS channels, CAST(n AS BIGINT) AS n,
+       CAST(avg_frames AS DOUBLE) AS avg_frames,
+       CAST(avg_intensity AS DOUBLE) AS avg_intensity
+FROM (VALUES
+  (1, 501, 697.477046, 127.593685),
+  (2, 499, 691.951904, 127.660567)
+) AS golden(channels, n, avg_frames, avg_intensity)
+ORDER BY channels
+"""
+
+
 MULTIMODAL_QUERIES: dict[str, tuple] = {
     "media_feature_stats": (media_feature_stats, MEDIA_STATS_SQL),
     "media_pipeline_stats": (media_pipeline_stats, MEDIA_PIPELINE_SQL),
     "media_bmp_stats": (media_bmp_stats, MEDIA_BMP_SQL),
+    "media_wav_stats": (media_wav_stats, MEDIA_WAV_SQL),
 }
 
 

@@ -179,3 +179,18 @@ def test_bmp_media_feature_stage(spark):
         r = feats[mid]
         assert (r.width, r.height, r.channels) == (w, ht, 3)
         assert abs(r.mean_intensity - float(np.frombuffer(rgb, np.uint8).mean())) < 1e-9
+
+
+def test_wav_encode_decode_roundtrip():
+    """Real-format audio codec: PCM16 payload identity through the
+    stdlib wave encode/decode, mono and stereo."""
+    from csv_to_jsonld_processor_spark.sources.multimodal import decode_wav, encode_wav
+
+    for ch in (1, 2):
+        frames = 123
+        pcm = bytes((i * 13 + ch) % 256 for i in range(frames * ch * 2))
+        blob = encode_wav(16000, ch, pcm)
+        assert blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"
+        d = decode_wav(blob)
+        assert (d["kind"], d["width"], d["channels"]) == ("audio", frames, ch)
+        assert d["payload"] == pcm
