@@ -185,3 +185,57 @@ def test_trending_topk_stream_equals_batch(spark, events_dir):
     # sliding semantics: total windowed rows ~ 2x the tumbling count
     n_windows = counts.select("window_start").distinct().count()
     assert n_windows > 24  # > one day of 30-min slides on this corpus
+
+
+def test_stream_merge_exactly_once_effect(spark, tmp_path):
+    """foreachBatch ingestion into the pointered parquet table:
+    (1) multi-batch drain equals the batch last-write-wins oracle,
+    (2) replaying a batch (the at-least-once crash contract) is a
+        byte-level no-op,
+    (3) restart from checkpoint after new files arrive picks up only
+        the new data and stays consistent."""
+    from pyspark.sql import functions as F
+
+    from csv_to_jsonld_processor_spark.session import load_tables
+    from csv_to_jsonld_processor_spark.streaming.ingest import (
+        apply_batch,
+        read_table,
+        stream_merge_into_table,
+    )
+
+    src = load_tables(spark, "/root/testdata/sf0.001")["events"].where(
+        F.col("user_id") < 40
+    )
+    d_in = str(tmp_path / "in")
+    src.where(F.col("event_id") % 3 != 0).repartition(4).write.mode("overwrite").parquet(d_in)
+
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    schema = src.schema.simpleString().replace("struct<", "").rstrip(">").replace(":", " ")
+    stream_merge_into_table(spark, d_in, schema, table, "user_id", ckpt)
+
+    def oracle(df):
+        from pyspark.sql.window import Window as W
+
+        w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+        return {
+            tuple(r)
+            for r in df.withColumn("_rn", F.row_number().over(w))
+            .where("_rn = 1")
+            .drop("_rn")
+            .collect()
+        }
+
+    first_files = spark.read.parquet(d_in)
+    got = {tuple(r) for r in read_table(spark, table).collect()}
+    assert got == oracle(first_files) and len(got) > 10
+
+    # (2) replay any batch: apply the whole input again under a fake id
+    apply_batch(spark, first_files, 9999, table, "user_id")
+    assert {tuple(r) for r in read_table(spark, table).collect()} == got
+
+    # (3) late files arrive; restart from the same checkpoint
+    src.where(F.col("event_id") % 3 == 0).repartition(2).write.mode("append").parquet(d_in)
+    stream_merge_into_table(spark, d_in, schema, table, "user_id", ckpt)
+    got2 = {tuple(r) for r in read_table(spark, table).collect()}
+    assert got2 == oracle(src)
