@@ -236,8 +236,24 @@ def _lsh_candidate_pairs(docs: DataFrame, hash_impl: str = "md5") -> DataFrame:
     return _lsh_candidates_from_sig(sig, hash_impl)
 
 
-def _lsh_candidates_from_sig(sig: DataFrame, hash_impl: str = "md5") -> DataFrame:
-    """Band self-join over an already-materialized signature relation."""
+def _lsh_candidates_from_sig(
+    sig: DataFrame, hash_impl: str = "md5", max_bucket: int | None = None
+) -> DataFrame:
+    """Band self-join over an already-materialized signature relation.
+
+    ``max_bucket`` is the mega-bucket fan-out cap — the quadratic
+    hazard of LSH on templated web text: a band bucket holding f docs
+    (f docs sharing THREE identical min-hashes, i.e. near-identical
+    boilerplate) contributes C(f, 2) pairs, and a measured 2M-page
+    corpus produced 139M candidates that way. Buckets larger than the
+    cap switch to STAR pairing — every member pairs with the bucket
+    minimum only — which is O(f) and EXACT for the clustering/drop
+    path: all members stay connected through the minimum, so the
+    connected components of the pair graph are unchanged
+    (tests/test_dedup_stress.py pins CC-label equality on a planted
+    mega-bucket). Pairwise-verification recall on intra-mega-bucket
+    non-adjacent pairs is the documented trade; the oracled driver
+    queries keep the exact default (None)."""
     bands = []
     for b in range(LSH_BANDS):
         cols = [F.col(f"mh{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
@@ -250,9 +266,29 @@ def _lsh_candidates_from_sig(sig: DataFrame, hash_impl: str = "md5") -> DataFram
     banded = sig.select("doc_id", F.explode(F.array(*bands)).alias("band")).select(
         "doc_id", "band.band_idx", "band.band_key"
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
+    if max_bucket is None:
+        a = banded.alias("a")
+        b = banded.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+        )
+    stats = banded.groupBy("band_idx", "band_key").agg(
+        F.count(F.lit(1)).alias("_f"), F.min("doc_id").alias("_mn")
+    )
+    tagged = banded.join(stats, ["band_idx", "band_key"])
+    small = tagged.where(F.col("_f") <= max_bucket).select(
+        "doc_id", "band_idx", "band_key"
+    )
+    a = small.alias("a")
+    b = small.alias("b")
+    all_pairs = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -260,8 +296,12 @@ def _lsh_candidates_from_sig(sig: DataFrame, hash_impl: str = "md5") -> DataFram
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
     )
+    star_pairs = (
+        tagged.where((F.col("_f") > max_bucket) & (F.col("doc_id") != F.col("_mn")))
+        .select(F.col("_mn").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    return all_pairs.unionByName(star_pairs).distinct()
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str, hash_impl: str = "md5") -> DataFrame:
@@ -680,9 +720,19 @@ def dedup_minhash_verified(
     count and the final left-join, and it is tiny (LSH-pruned pairs),
     so materializing it avoids running the band self-join twice."""
     t = load_tables(spark, sf_dir)
-    sig = _minhash_signature(t["documents"], hash_impl).localCheckpoint()
-    cand = _lsh_candidates_from_sig(sig, hash_impl).localCheckpoint()
-    sh = _doc_shingles(t["documents"])
+    return verified_pairs(t["documents"], hash_impl)
+
+
+def verified_pairs(
+    docs: DataFrame, hash_impl: str = "md5", max_bucket: int | None = None
+) -> DataFrame:
+    """The verified chain over any (doc_id, text) relation — the
+    sf_dir-free core (tools/dedup_scaling.py runs it on a generated
+    web corpus for the N-vs-4N scaling measurement).
+    ``max_bucket``: see _lsh_candidates_from_sig."""
+    sig = _minhash_signature(docs, hash_impl).localCheckpoint()
+    cand = _lsh_candidates_from_sig(sig, hash_impl, max_bucket).localCheckpoint()
+    sh = _doc_shingles(docs)
     sizes = sig.select("doc_id", "n_shingles")  # rides the signature agg — no re-scan
 
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")

@@ -138,3 +138,41 @@ def test_capped_jaccard_keeps_true_dups(spark):
     )
     row = jac.where("doc_a = 0 AND doc_b = 1").collect()
     assert len(row) == 1 and row[0].jaccard >= JACCARD_TAU
+
+
+def test_mega_bucket_star_cap_preserves_components(spark):
+    """The max_bucket star cap: a planted mega-cluster (60 identical
+    docs, one shared band bucket per band) plus normal pairs. Capped
+    candidate generation must (1) produce FAR fewer pairs, and
+    (2) leave the connected components of the pair graph EXACTLY equal
+    — the invariant that makes the cap safe for the clustering/drop
+    path."""
+    from pyspark.sql import functions as F
+
+    from csv_to_jsonld_processor_spark.operators.dedup import (
+        _cc_star,
+        _lsh_candidates_from_sig,
+        _minhash_signature,
+    )
+
+    mega = [(i, "identical boilerplate page with the same words everywhere repeated "
+                "for every mirror of the template across hosts") for i in range(60)]
+    pairs_ab = [
+        (100, "a unique first document about alpine glacier meltwater chemistry sampling"),
+        (101, "a unique first document about alpine glacier meltwater chemistry sampling"),
+    ]
+    solo = [(200, "an entirely different text concerning harbor logistics and crane scheduling")]
+    docs = spark.createDataFrame(mega + pairs_ab + solo, "doc_id long, text string")
+    sig = _minhash_signature(docs).localCheckpoint()
+
+    full = _lsh_candidates_from_sig(sig)
+    capped = _lsh_candidates_from_sig(sig, max_bucket=10)
+    n_full, n_capped = full.count(), capped.count()
+    assert n_full >= 60 * 59 / 2  # the quadratic blow-up is present uncapped
+    assert n_capped <= 60 + 5  # star pairs + the small-bucket pair
+
+    def labels(pairs):
+        lab, _ = _cc_star(pairs.selectExpr("doc_a AS src", "doc_b AS dst"))
+        return {(r.node, r.label) for r in lab.collect()}
+
+    assert labels(full) == labels(capped)
