@@ -35,6 +35,7 @@ LSH_BANDS = 4  # 4 bands x 3 rows
 LSH_ROWS = 3
 JACCARD_TAU = 0.8
 MAX_SHINGLE_FREQ = 1000  # drop super-hot shingles from candidate gen (stopword shields)
+CLUSTER_MAX_BUCKET = 200  # star-cap mega band-buckets in the clustering path (CC-exact)
 
 
 def _norm_text() -> F.Column:
@@ -617,7 +618,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     output covers the whole corpus: (doc_id, cluster, cluster_size).
     """
     t = load_tables(spark, sf_dir)
-    pairs = _lsh_candidate_pairs(t["documents"])  # unsorted — CC doesn't need the orderBy
+    # capped candidates: the star cap changes the PAIR LIST but provably
+    # not its connected components (see _lsh_candidates_from_sig), so
+    # the cluster labels — and the recursive-CTE oracle — are identical
+    # while the mega-bucket quadratic hazard is bounded at scale
+    sig = _minhash_signature(t["documents"]).localCheckpoint()
+    pairs = _lsh_candidates_from_sig(sig, max_bucket=CLUSTER_MAX_BUCKET)
     labels, _rounds = _cc_star(pairs.selectExpr("doc_a AS src", "doc_b AS dst"))
 
     full = (
