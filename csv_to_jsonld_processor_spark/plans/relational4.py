@@ -289,6 +289,53 @@ FROM events GROUP BY 1, 2 ORDER BY day, event_type
 """
 
 
+ROLL_WINDOW_SEC = 7 * 24 * 3600
+
+
+def events_rolling_7d_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame rolling aggregate: per purchase event, the user's
+    trailing-7-day purchase value — the moving-window operator class
+    (RANGE BETWEEN, not ROWS: gaps in event times matter). Spark's
+    rangeBetween needs a numeric ordering key, so both engines order by
+    epoch seconds with the same literal bound; the sum is decimal-
+    accumulated per the FP discipline. Bounded to user_id < 50 to keep
+    the driver compare event-sized, not corpus-sized."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    ev = (
+        t["events"]
+        .where((F.col("event_type") == "purchase") & (F.col("user_id") < 50))
+        .select("event_id", "user_id", "ts", "value")
+        .withColumn("_sec", F.unix_timestamp("ts"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("_sec")
+        .rangeBetween(-ROLL_WINDOW_SEC, 0)
+    )
+    return (
+        ev.withColumn(
+            "rolling_7d",
+            F.sum(F.col("value").cast(DEC)).over(w).cast("double"),
+        )
+        .select("event_id", "user_id", "rolling_7d")
+        .orderBy("event_id")
+    )
+
+
+ROLLING_7D_SQL = f"""
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+         PARTITION BY user_id ORDER BY epoch(ts)
+         RANGE BETWEEN {ROLL_WINDOW_SEC} PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS rolling_7d
+FROM events
+WHERE event_type = 'purchase' AND user_id < 50
+ORDER BY event_id
+"""
+
+
 RELATIONAL4_QUERIES: dict[str, tuple] = {
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
     "q11_important_stock": (q11_important_stock, Q11_SQL),
@@ -296,4 +343,5 @@ RELATIONAL4_QUERIES: dict[str, tuple] = {
     "events_type_pivot": (events_type_pivot, EVENTS_PIVOT_SQL),
     "customer_segment_set_ops": (customer_segment_set_ops, SET_OPS_SQL),
     "events_unpivot_roundtrip": (events_unpivot_roundtrip, EVENTS_UNPIVOT_SQL),
+    "events_rolling_7d_value": (events_rolling_7d_value, ROLLING_7D_SQL),
 }
