@@ -136,3 +136,16 @@ def test_cli_vocab_meta_flag(tmp_path, fixed_manifest):
     )
     assert r2.returncode == 0, r2.stderr[-2000:]
     assert (out1 / "instances.jsonld").read_text() == (out2 / "instances.jsonld").read_text()
+
+
+def test_pipeline_from_file_uri_manifest(spark, fixed_manifest, tmp_path):
+    """The full pipeline driven by a file:// manifest URI (storage-layer
+    dispatch end-to-end): outcome equals the local-path run's counts."""
+    from csv_to_jsonld_processor_spark.plans.pipeline import Pipeline
+
+    out = tmp_path / "out_uri"
+    pipeline = Pipeline.from_manifest("file://" + fixed_manifest, FIXTURES)
+    outcome = pipeline.run(spark, out)
+    assert outcome.ok
+    assert outcome.counts["entities"] > 900
+    assert outcome.counts["triples"] > 9000
