@@ -360,3 +360,38 @@ def test_quality_model_rides_the_scan(spark):
     # hashpartitioning for the group-by and rangepartitioning for the
     # orderBy; nothing else
     assert plan.count("Exchange") <= 2
+
+
+def test_aqe_skew_join_splits_planted_hub(spark):
+    """AQE skew-join: a planted hub key (90% of the probe side) must be
+    SPLIT at runtime — the final adaptive plan marks the sort-merge join
+    skew=true — once the skew thresholds are within reach of the toy
+    data. This is the runtime half of the salting story: the salt
+    bounds fan-out structurally, AQE splits residual stragglers."""
+    from pyspark.sql import functions as F
+
+    big = spark.range(0, 400_000).select(
+        F.when(F.col("id") % 10 != 0, F.lit(7)).otherwise(F.col("id") % 97).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    dim = spark.range(0, 97).select(F.col("id").cast("long").alias("k"), F.lit("x").alias("v"))
+    old = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes":
+            spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes"),
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        # must be an action on THIS DataFrame: write()/count() build
+        # their own QueryExecution, leaving df's plan isFinalPlan=false
+        df = big.join(dim, "k")
+        plan = plan_of(df, execute=True)
+        assert "SortMergeJoin(skew=true)" in plan, plan[:2000]
+        assert "skewed" in plan  # AQEShuffleRead marks the split partitions
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
