@@ -229,6 +229,9 @@ EVENTS_PIVOT_SQL = (
 )
 
 
+SET_OPS_SPLIT_YEAR = 1998  # first half < split, second half >= split
+
+
 def customer_segment_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT / EXCEPT as first-class operators: customers who bought
     in BOTH halves of the order history (intersect) vs only the first
@@ -236,7 +239,9 @@ def customer_segment_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     to aggregate/anti-join plans — the point is the declarative set
     semantics, incl. their implicit DISTINCT."""
     t = load_tables(spark, sf_dir)
-    orders = t["orders"].withColumn("_half", (F.year("o_orderdate") >= 1998).cast("int"))
+    orders = t["orders"].withColumn(
+        "_half", (F.year("o_orderdate") >= SET_OPS_SPLIT_YEAR).cast("int")
+    )
     first = orders.where(F.col("_half") == 0).select("o_custkey")
     second = orders.where(F.col("_half") == 1).select("o_custkey")
     both = first.intersect(second).withColumn("segment", F.lit("both_halves"))
@@ -251,11 +256,11 @@ def customer_segment_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SET_OPS_SQL = """
+SET_OPS_SQL = f"""
 WITH first AS (
-  SELECT o_custkey FROM orders WHERE year(o_orderdate) < 1998
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) < {SET_OPS_SPLIT_YEAR}
 ), second AS (
-  SELECT o_custkey FROM orders WHERE year(o_orderdate) >= 1998
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) >= {SET_OPS_SPLIT_YEAR}
 )
 SELECT 'both_halves' AS segment, o_custkey AS custkey
 FROM (SELECT o_custkey FROM first INTERSECT SELECT o_custkey FROM second)

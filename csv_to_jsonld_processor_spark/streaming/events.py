@@ -338,8 +338,9 @@ FROM d ORDER BY user_id
 
 
 TREND_K = 3
-TREND_WINDOW = "1 hour"
-TREND_SLIDE = "30 minutes"
+TREND_SLIDE_MIN = 30
+TREND_WINDOW = f"{2 * TREND_SLIDE_MIN} minutes"  # oracle's two-bucket expansion REQUIRES window = 2 x slide
+TREND_SLIDE = f"{TREND_SLIDE_MIN} minutes"
 
 
 def trending_topk_batch(events: DataFrame, k: int = TREND_K) -> DataFrame:
@@ -396,8 +397,9 @@ def events_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_TRENDING_SQL = f"""
 WITH expanded AS (
-  SELECT unnest([time_bucket(INTERVAL 30 MINUTE, ts),
-                 time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS window_start,
+  SELECT unnest([time_bucket(INTERVAL {TREND_SLIDE_MIN} MINUTE, ts),
+                 time_bucket(INTERVAL {TREND_SLIDE_MIN} MINUTE, ts)
+                   - INTERVAL {TREND_SLIDE_MIN} MINUTE]) AS window_start,
          event_type
   FROM events
 ), counts AS (
