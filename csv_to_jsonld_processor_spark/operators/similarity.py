@@ -874,6 +874,51 @@ SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
 ANN_IVF_KMEANS_RECALL_SQL = _ivf_kmeans_recall_sql()
 
 
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-vector statistics: L2 norm via an explicit
+    JVM aggregate fold (every element cast to double BEFORE the square,
+    so Spark's fold and DuckDB's list fold run the identical IEEE
+    chain — a float*float multiply on one side would diverge in the
+    last ulp), plus per-label means decimal-accumulated. The vector-math
+    primitive (aggregate/zip_with) exercised as a first-class query."""
+    t = load_tables(spark, sf_dir)
+    norm = F.sqrt(
+        F.expr(
+            "aggregate(embedding, CAST(0.0 AS DOUBLE),"
+            " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+        )
+    )
+    return (
+        t["embeddings"]
+        .withColumn("_norm", norm)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("_norm").cast("decimal(18,9)")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_norm"),
+            F.round(F.min("_norm"), 6).alias("min_norm"),
+            F.round(F.max("_norm"), 6).alias("max_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+EMBEDDING_NORM_SQL = """
+WITH n AS (
+  SELECT label,
+         sqrt(list_aggregate(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+  FROM embeddings
+)
+SELECT label, COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(nrm AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS mean_norm,
+       ROUND(MIN(nrm), 6) AS min_norm,
+       ROUND(MAX(nrm), 6) AS max_norm
+FROM n GROUP BY label ORDER BY label
+"""
+
+
 SIMILARITY_QUERIES: dict[str, tuple] = {
     "ann_kmeans_train": (ann_kmeans_train, ANN_KMEANS_SQL),
     "ann_topk_bruteforce": (ann_topk_bruteforce, ANN_TOPK_SQL),
@@ -883,4 +928,5 @@ SIMILARITY_QUERIES: dict[str, tuple] = {
     "ann_lsh_recall": (ann_lsh_recall, ANN_LSH_RECALL_SQL),
     "ann_ivf_recall": (ann_ivf_recall, ANN_IVF_RECALL_SQL),
     "ann_ivf_kmeans_recall": (ann_ivf_kmeans_recall, ANN_IVF_KMEANS_RECALL_SQL),
+    "embedding_norm_stats": (embedding_norm_stats, EMBEDDING_NORM_SQL),
 }
