@@ -128,17 +128,25 @@ def _rotate_stale_first(reg: dict[str, tuple]) -> dict[str, tuple]:
     50 in dict order in rounds 1-3), so with >50 registered queries a static
     ordering leaves a permanent shadow of never-re-verified entries
     (``fixture_triples`` / ``kg_webtext_edges`` sat at indices 83/71 through
-    round 3).  Rotate: any query with no green row in the checked-in
-    ``CORRECTNESS_r*.json`` ledgers sorts first (registry order preserved
-    within each group), so every query cycles through the driver's window
-    across rounds.  Deterministic — depends only on checked-in files.
+    round 3).  Order by least-recently-verified: a query's key is the
+    LATEST ledger round it has a green row in (never-verified = round 0,
+    so they sort first), ties broken by registry order.  A one-shot
+    "stale then fresh" split would freeze back to registry order once
+    everything had been green once, permanently shadowing the tail
+    beyond the sample window (round-4 ADVICE); keying on the latest
+    green round keeps the window cycling forever — each round's sample
+    becomes the most-recently-verified group and rotates to the back.
+    Deterministic — depends only on checked-in files.
     """
     import glob
     import json
+    import re
 
-    verified: set[str] = set()
+    last_green: dict[str, int] = {}
     here = os.path.dirname(os.path.abspath(__file__))
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 ledger = json.load(f)
@@ -146,10 +154,10 @@ def _rotate_stale_first(reg: dict[str, tuple]) -> dict[str, tuple]:
             continue
         for name, row in ledger.items():
             if isinstance(row, dict) and row.get("rows_match") and row.get("hash_match"):
-                verified.add(name)
-    stale = {k: v for k, v in reg.items() if k not in verified}
-    fresh = {k: v for k, v in reg.items() if k in verified}
-    return {**stale, **fresh}
+                last_green[name] = max(last_green.get(name, 0), rnd)
+    order = {k: i for i, k in enumerate(reg)}
+    names = sorted(reg, key=lambda k: (last_green.get(k, 0), order[k]))
+    return {k: reg[k] for k in names}
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -221,19 +221,26 @@ def _minhash_signature(docs: DataFrame, hash_impl: str = "md5") -> DataFrame:
     return sh.groupBy("doc_id").agg(*minhashes, F.count(F.lit(1)).alias("n_shingles"))
 
 
-def _lsh_candidate_pairs(docs: DataFrame, hash_impl: str = "md5") -> DataFrame:
+def _lsh_candidate_pairs(
+    docs: DataFrame, hash_impl: str = "md5", checkpoint_sig: bool = True
+) -> DataFrame:
     """Unordered distinct LSH candidate pairs for ``docs``.
 
-    The banded-signature relation is ``localCheckpoint``-ed before the
-    self-join: the 12-way min-hash aggregation is the dominant cost of
-    the whole MinHash family, and without the checkpoint it runs on
-    BOTH sides of the self-join (a broadcast build side defeats
-    Catalyst's exchange reuse — round-3 PLANS.md showed the 12-way
-    SortAggregate twice). The checkpointed relation is k band rows per
-    doc — tiny relative to the shingle input — so materializing it is
-    the 100 TB-correct trade: one signature pass, then an equi-join
-    over stored blocks."""
-    sig = _minhash_signature(docs, hash_impl).localCheckpoint()
+    ``checkpoint_sig`` materializes the signature before the self-join.
+    It is the right call for every chain that READS THE SIGNATURE AGAIN
+    (verified pairs, clusters, the curation funnel, the incremental
+    index — those callers build their own checkpointed sig and go
+    through _lsh_candidates_from_sig): one 12-way min-hash aggregation
+    pass, then equi-joins over stored blocks, exactly the
+    signature-store shape of the 100 TB path. A ONE-SHOT caller should
+    pass False: the materialization write is pure tax there (r3→r4
+    BENCH showed +24% on the standalone query), and Catalyst still
+    computes the aggregation once on the probe side + once on the build
+    side only if the build broadcasts — at real scale one-shot callers
+    don't exist (the signature IS the stored index)."""
+    sig = _minhash_signature(docs, hash_impl)
+    if checkpoint_sig:
+        sig = sig.localCheckpoint()
     return _lsh_candidates_from_sig(sig, hash_impl)
 
 
@@ -312,10 +319,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str, hash_impl: str = "md5") 
     (band_idx, band_key) yields candidates — the 100 TB-safe plan since
     only same-bucket docs ever meet. ``hash_impl="xxhash64"`` switches
     the signature AND band keys to 64-bit longs (see
-    _minhash_signature). The signature subtree is materialized once
-    (see _lsh_candidate_pairs)."""
+    _minhash_signature). One-shot query → no signature checkpoint
+    (see _lsh_candidate_pairs on the trade)."""
     t = load_tables(spark, sf_dir)
-    return _lsh_candidate_pairs(t["documents"], hash_impl).orderBy("doc_a", "doc_b")
+    return _lsh_candidate_pairs(t["documents"], hash_impl, checkpoint_sig=False).orderBy(
+        "doc_a", "doc_b"
+    )
 
 
 DEDUP_MINHASH_SQL = f"""

@@ -227,10 +227,16 @@ def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     failing the scan — the PERMISSIVE-mode contract a 100 TB pipeline
     needs when a fraction of upstream JSON is junk. All aggregates are
     exact integers."""
+    t = load_tables(spark, sf_dir)
+    return props_json_agg(t["events"])
+
+
+def props_json_agg(events: DataFrame) -> DataFrame:
+    """The Spark plan behind events_props_json, factored so the
+    malformed-props pytest can drive it over a pinned corpus."""
     from pyspark.sql.types import IntegerType, StructField, StructType
 
-    t = load_tables(spark, sf_dir)
-    parsed = t["events"].withColumn(
+    parsed = events.withColumn(
         "_p", F.from_json("props", StructType([StructField("k", IntegerType())]))
     )
     return (
@@ -246,15 +252,28 @@ def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The oracle mirrors from_json(IntegerType)'s PERMISSIVE null contract on
+# EVERY malformed shape, not just the ones the generator emits: a k must be
+# a JSON *integer* that fits INT32 to count (json_type gate excludes
+# DOUBLE/VARCHAR/BOOLEAN/NULL — Spark nulls all of those; TRY_CAST nulls
+# the >2^31 overflow), and invalid/missing JSON documents null out via
+# json_valid instead of erroring the scan. Pinned cross-engine by
+# tests/test_eventops.py::test_props_json_malformed_k_contract.
 EVENTS_PROPS_JSON_SQL = """
+WITH p AS (
+  SELECT event_type,
+         CASE WHEN props IS NOT NULL AND json_valid(props)
+                AND json_type(json_extract(props, '$.k')) IN ('BIGINT', 'UBIGINT')
+              THEN TRY_CAST(json_extract_string(props, '$.k') AS INT) END AS k
+  FROM events
+)
 SELECT event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_null_k,
-       MIN(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
-       MAX(CAST(json_extract(props, '$.k') AS INT)) AS max_k,
-       CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k
-FROM events GROUP BY 1 ORDER BY event_type
+       CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_k,
+       MIN(k) AS min_k,
+       MAX(k) AS max_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k
+FROM p GROUP BY 1 ORDER BY event_type
 """
 
 

@@ -55,18 +55,36 @@ def compact_partitions(
 
     Plan shape: ONE job — the reader keeps the partition column, a
     repartition on (partition column, bucket) spreads rows into exactly
-    the per-partition file budget, and dynamic partition overwrite
-    swaps each directory atomically-per-partition (same crash contract
-    as the resume ledger's data writes). The per-partition byte sizes
-    come from file metadata, not a data scan.
+    the per-partition file budget. The per-partition byte sizes come
+    from file metadata, not a data scan.
+
+    Crash contract: the compacted table is STAGED to a sibling
+    ``<path>.compacting`` directory first (the job never writes into
+    the tree it is reading — Spark's self-overwrite guard can abort
+    that, and a mid-commit failure would leave a mix of rewritten and
+    stale partitions); only after the whole staged write succeeds are
+    partition directories swapped in one-by-one via Hadoop FS rename.
+    A crash mid-swap leaves every partition complete and valid — some
+    compacted, some not — i.e. genuinely atomic per partition. A crash
+    before the swap leaves the table untouched plus an orphan staging
+    dir that the next run clears.
+
+    Partition values are hive-unescaped (%XX) before the file-budget
+    lookup, so a value needing escaping (spaces, '/', '=') still finds
+    its bucket count; the directory swap itself is name-based and never
+    decodes.
 
     Returns {"before": n_files, "after": n_files, "partitions": n}.
     """
+    from urllib.parse import unquote
+
     stats = partition_file_stats(spark, path)
     before = sum(n for _p, n, _b in stats)
-    # partition dir name "day=2024-01-01" → value string after '='
+    # partition dir name "day=2024-01-01" → value string after '=',
+    # hive-unescaped to match the column's actual value
     n_files = {
-        p.split("=", 1)[1]: max(1, math.ceil(b / target_bytes)) for p, _n, b in stats
+        unquote(p.split("=", 1)[1]): max(1, math.ceil(b / target_bytes))
+        for p, _n, b in stats
     }
     df = spark.read.parquet(path)
     mapping = F.create_map(*[F.lit(x) for kv in n_files.items() for x in (kv[0], kv[1])])
@@ -74,25 +92,35 @@ def compact_partitions(
         F.xxhash64(*[F.col(c) for c in df.columns if c != by]),
         mapping[F.col(by).cast("string")],
     )
-    conf_key = "spark.sql.sources.partitionOverwriteMode"
-    prev = spark.conf.get(conf_key, None)
-    spark.conf.set(conf_key, "dynamic")
     total_buckets = sum(n_files.values())
-    try:
-        # explicit partition count: an unpinned repartition(cols) is fair
-        # game for AQE partition coalescing, which would merge the
-        # per-bucket splits back into one task (and one file)
-        (
-            df.repartition(total_buckets, F.col(by), bucket)
-            .write.mode("overwrite")
-            .partitionBy(by)
-            .parquet(path)
-        )
-    finally:
-        if prev is None:
-            spark.conf.unset(conf_key)
-        else:
-            spark.conf.set(conf_key, prev)
+
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    conf = sc._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(conf)
+    staging = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + ".compacting")
+    fs.delete(staging, True)  # clear any orphan from a previous crash
+
+    # explicit partition count: an unpinned repartition(cols) is fair
+    # game for AQE partition coalescing, which would merge the
+    # per-bucket splits back into one task (and one file)
+    (
+        df.repartition(total_buckets, F.col(by), bucket)
+        .write.mode("overwrite")
+        .partitionBy(by)
+        .parquet(str(staging))
+    )
+    # staged write fully committed — swap partition dirs name-by-name
+    for st in fs.listStatus(staging):
+        name = st.getPath().getName()
+        if not st.isDirectory() or name.startswith(("_", ".")):
+            continue
+        dest = jvm.org.apache.hadoop.fs.Path(root, name)
+        fs.delete(dest, True)
+        fs.rename(st.getPath(), dest)
+    fs.delete(staging, True)
+
     after_stats = partition_file_stats(spark, path)
     return {
         "before": before,

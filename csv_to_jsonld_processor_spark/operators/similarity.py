@@ -44,6 +44,31 @@ def cosine(a: str | Column, b: str | Column) -> Column:
     return _dot(a, b) / F.sqrt(_norm2(a) * _norm2(b))
 
 
+EMB_DIM = 64
+
+
+def _ordered_dot_sql(a: str, b: str, dim: int = EMB_DIM) -> str:
+    """a·b for the DuckDB oracles as an explicit left-associated chain
+    (p1 + p2 + ... + p64): the identical IEEE evaluation order as the
+    Spark side's aggregate/zip_with left fold. Replaces
+    list_cosine_similarity in every oracle that feeds a round(,6)
+    decision boundary — that builtin's summation kernel (pairwise/SIMD,
+    engine-version-dependent) can land a ULP away from the sequential
+    fold, flip one assignment at the boundary, and cascade (the
+    ann_kmeans_train driver-red of rounds 1-4). DuckDB lists are
+    1-indexed."""
+    return "(" + " + ".join(f"{a}[{i}]*{b}[{i}]" for i in range(1, dim + 1)) + ")"
+
+
+def _ordered_cos_sql(a: str, b: str, dim: int = EMB_DIM) -> str:
+    """dot/sqrt(|a|²·|b|²) with every fold an explicit ordered chain —
+    bit-identical to the Spark-side cosine() column on the same doubles."""
+    return (
+        f"({_ordered_dot_sql(a, b, dim)} / "
+        f"sqrt({_ordered_dot_sql(a, a, dim)} * {_ordered_dot_sql(b, b, dim)}))"
+    )
+
+
 def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"].select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
@@ -68,13 +93,14 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ANN_TOPK_SQL = f"""
-WITH q AS (
-  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-  FROM embeddings WHERE vec_id < {N_QUERIES}
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}
 ), scored AS (
   SELECT q.query_id, e.vec_id AS neighbor_id,
-         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
-  FROM embeddings e CROSS JOIN q
+         ROUND({_ordered_cos_sql("e.v", "q.qv")}, 6) AS score
+  FROM e CROSS JOIN q
   WHERE e.vec_id <> q.query_id
 )
 SELECT query_id, neighbor_id, score, rank FROM (
@@ -150,6 +176,8 @@ def _dot_sql(vec: list[float], col: str = "v") -> str:
         f"aggregate(zip_with({col}, {arr}, (x, y) -> x * y), "
         "cast(0 as double), (acc, x) -> acc + x)"
     )
+
+
 
 
 def _lsh_buckets_df(emb: DataFrame, planes=None) -> DataFrame:
@@ -281,9 +309,9 @@ cand AS (
     ON l.table_id = r.table_id AND l.bucket = r.bucket AND l.vec_id < r.vec_id
 )
 SELECT id_a, id_b,
-       ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS score
+       ROUND({_ordered_cos_sql("ea.v", "eb.v")}, 6) AS score
 FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b
-WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 6) >= {NEARDUP_TAU}
+WHERE ROUND({_ordered_cos_sql("ea.v", "eb.v")}, 6) >= {NEARDUP_TAU}
 ORDER BY id_a, id_b
 """
 
@@ -383,7 +411,7 @@ WITH e AS (
   SELECT vec_id, v, cid AS cell FROM (
     SELECT e.vec_id, e.v, cent.cid,
            ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                              ORDER BY ROUND(list_cosine_similarity(e.v, cent.cv), 6) DESC,
+                              ORDER BY ROUND({_ordered_cos_sql("e.v", "cent.cv")}, 6) DESC,
                                        cent.cid ASC) AS rn
     FROM e CROSS JOIN cent
   ) WHERE rn = 1
@@ -391,13 +419,13 @@ WITH e AS (
   SELECT query_id, qv, cell FROM (
     SELECT q.vec_id AS query_id, q.v AS qv, cent.cid AS cell,
            ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                              ORDER BY ROUND(list_cosine_similarity(q.v, cent.cv), 6) DESC,
+                              ORDER BY ROUND({_ordered_cos_sql("q.v", "cent.cv")}, 6) DESC,
                                        cent.cid ASC) AS rn
     FROM e q CROSS JOIN cent WHERE q.vec_id < {N_QUERIES}
   ) WHERE rn <= {IVF_PROBES}
 ), scored AS (
   SELECT p.query_id, a.vec_id AS neighbor_id,
-         ROUND(list_cosine_similarity(a.v, p.qv), 6) AS score
+         ROUND({_ordered_cos_sql("a.v", "p.qv")}, 6) AS score
   FROM assign a JOIN probes p ON a.cell = p.cell
   WHERE a.vec_id <> p.query_id
 )
@@ -493,7 +521,7 @@ base AS (
 ), truth AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
   FROM e a JOIN e b ON a.vec_id < b.vec_id
-  WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= {NEARDUP_TAU}
+  WHERE ROUND({_ordered_cos_sql("a.v", "b.v")}, 6) >= {NEARDUP_TAU}
 ), joined AS (
   SELECT t.id_a, t.id_b,
          CASE WHEN p.id_a IS NOT NULL THEN 1 END AS in_pred
@@ -670,34 +698,40 @@ FROM sums{iters - 1} ORDER BY cell, dim_idx
 def _kmeans_cte_chain() -> str:
     """The WITH-chain shared by the k-means oracle and the IVF-recall
     oracle: emb, cent0..cent{ITERS} (long format) and centl0..centl{ITERS-1}
-    (list format), ending ready for more CTEs to be appended."""
+    (list format), ending ready for more CTEs to be appended.
+
+    Every CTE is MATERIALIZED: assignments use explicit 64-term ordered
+    dot chains (_ordered_cos_sql — no engine float kernel at the
+    round(,6) boundary), and with default CTE inlining DuckDB would
+    duplicate the whole chain per reference, exploding the plan
+    (observed planner OOM on the recall oracle at sf0.01)."""
     K, iters, S = KMEANS_K, KMEANS_ITERS, KMEANS_SCALE
     sql = f"""
-WITH emb AS (
+WITH emb AS MATERIALIZED (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-), cent0 AS (
+), cent0 AS MATERIALIZED (
   SELECT CAST(vec_id AS INT) AS cell,
          unnest(CAST(embedding AS DOUBLE[])) AS val,
          CAST(unnest(generate_series(1, len(embedding))) - 1 AS INT) AS pos
   FROM embeddings WHERE vec_id < {K}
 )"""
     for i in range(iters):
-        sql += f""", centl{i} AS (
+        sql += f""", centl{i} AS MATERIALIZED (
   SELECT cell, list(val ORDER BY pos) AS cv FROM cent{i} GROUP BY cell
-), asg{i} AS (
+), asg{i} AS MATERIALIZED (
   SELECT vec_id, v, cell FROM (
     SELECT e.vec_id, e.v, c.cell,
            ROW_NUMBER() OVER (PARTITION BY e.vec_id
-             ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cell ASC) AS rn
+             ORDER BY ROUND({_ordered_cos_sql("e.v", "c.cv")}, 6) DESC, c.cell ASC) AS rn
     FROM emb e CROSS JOIN centl{i} c)
   WHERE rn = 1
-), sums{i} AS (
+), sums{i} AS MATERIALIZED (
   SELECT cell, pos, SUM(CAST(ROUND(x * {S}.0) AS BIGINT)) AS qs, COUNT(*) AS n
   FROM (SELECT cell, unnest(v) AS x,
                CAST(unnest(generate_series(1, len(v))) - 1 AS INT) AS pos
         FROM asg{i})
   GROUP BY cell, pos
-), cent{i + 1} AS (
+), cent{i + 1} AS MATERIALIZED (
   SELECT p.cell, p.pos,
          COALESCE(CAST(s.qs AS DOUBLE) / (s.n * {S}.0), p.val) AS val
   FROM cent{i} p LEFT JOIN sums{i} s ON s.cell = p.cell AND s.pos = p.pos
@@ -817,42 +851,42 @@ def ann_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_recall_fragment(cent_cte: str, sfx: str) -> str:
-    return f""", asg_{sfx} AS (
+    return f""", asg_{sfx} AS MATERIALIZED (
   SELECT vec_id, v, cell FROM (
     SELECT e.vec_id, e.v, c.cell,
            ROW_NUMBER() OVER (PARTITION BY e.vec_id
-             ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cell ASC) AS rn
+             ORDER BY ROUND({_ordered_cos_sql("e.v", "c.cv")}, 6) DESC, c.cell ASC) AS rn
     FROM emb e CROSS JOIN {cent_cte} c)
   WHERE rn = 1
-), probes_{sfx} AS (
+), probes_{sfx} AS MATERIALIZED (
   SELECT query_id, qv, cell FROM (
     SELECT q.vec_id AS query_id, q.v AS qv, c.cell,
            ROW_NUMBER() OVER (PARTITION BY q.vec_id
-             ORDER BY ROUND(list_cosine_similarity(q.v, c.cv), 6) DESC, c.cell ASC) AS rn
+             ORDER BY ROUND({_ordered_cos_sql("q.v", "c.cv")}, 6) DESC, c.cell ASC) AS rn
     FROM emb q CROSS JOIN {cent_cte} c WHERE q.vec_id < {N_QUERIES})
   WHERE rn <= {IVF_KM_PROBES}
-), topk_{sfx} AS (
+), topk_{sfx} AS MATERIALIZED (
   SELECT query_id, neighbor_id FROM (
     SELECT p.query_id, a.vec_id AS neighbor_id,
            ROW_NUMBER() OVER (PARTITION BY p.query_id
-             ORDER BY ROUND(list_cosine_similarity(a.v, p.qv), 6) DESC, a.vec_id ASC) AS rank
+             ORDER BY ROUND({_ordered_cos_sql("a.v", "p.qv")}, 6) DESC, a.vec_id ASC) AS rank
     FROM asg_{sfx} a JOIN probes_{sfx} p ON a.cell = p.cell
     WHERE a.vec_id <> p.query_id)
   WHERE rank <= {TOP_K}
-), hits_{sfx} AS (
+), hits_{sfx} AS MATERIALIZED (
   SELECT COUNT(*) AS n FROM topk_{sfx} t JOIN truth USING (query_id, neighbor_id)
 )"""
 
 
 def _ivf_kmeans_recall_sql() -> str:
     sql = _kmeans_cte_chain()
-    sql += f""", centk AS (
+    sql += f""", centk AS MATERIALIZED (
   SELECT cell, list(val ORDER BY pos) AS cv FROM cent{KMEANS_ITERS} GROUP BY cell
-), truth AS (
+), truth AS MATERIALIZED (
   SELECT query_id, neighbor_id FROM (
     SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
            ROW_NUMBER() OVER (PARTITION BY q.vec_id
-             ORDER BY ROUND(list_cosine_similarity(e.v, q.v), 6) DESC, e.vec_id ASC) AS rank
+             ORDER BY ROUND({_ordered_cos_sql("e.v", "q.v")}, 6) DESC, e.vec_id ASC) AS rank
     FROM emb q CROSS JOIN emb e
     WHERE q.vec_id < {N_QUERIES} AND e.vec_id <> q.vec_id)
   WHERE rank <= {TOP_K}

@@ -828,8 +828,10 @@ FROM bucketed GROUP BY bucket, lang ORDER BY bucket, lang
 """
 
 
-# target training mixture over languages; DEFAULT weight applies to any
-# lang not listed (the long-tail bucket)
+# target training mixture over languages; a lang not listed here is
+# EXCLUDED from the mixture entirely (its map lookup is NULL, so it
+# contributes neither to T = min(available/p) nor to the output — the
+# same in both engines)
 MIX_TARGET = {"en": 0.5, "zh": 0.2, "de": 0.1, "es": 0.1, "fr": 0.1}
 
 

@@ -111,8 +111,16 @@ class Pipeline:
 
     def run(self, spark: SparkSession, out_dir: str | Path,
             single_document: bool = True) -> PipelineOutcome:
-        out_dir = Path(out_dir)
-        out_dir.mkdir(parents=True, exist_ok=True)
+        # out_dir may be scheme-qualified (s3a://, file://, hdfs://...):
+        # driver-side artifacts go through storage.write_text (JVM Hadoop
+        # FS), executor-side sinks take the URI directly — write-side
+        # parity with the reference's StorageLocation::write_contents
+        # (manifest/mod.rs:240-314)
+        from ..sources import storage
+
+        if not storage.is_uri(out_dir):
+            out_dir = Path(out_dir)
+        storage.mkdirs(out_dir)
         errors = self.manifest.validate()
         if errors:
             return PipelineOutcome(errors, [], {})
@@ -134,7 +142,9 @@ class Pipeline:
         # A7: violations are a first-class output — always materialized;
         # strict mode fails the run on any error-severity row, mirroring
         # the reference's ProcessingState error escalation (error/mod.rs)
-        violations.write.mode("overwrite").parquet(str(out_dir / "violations.parquet"))
+        violations.write.mode("overwrite").parquet(
+            str(storage.join_path(out_dir, "violations.parquet"))
+        )
         vio_rows = violations.limit(10_000).collect()
         warnings = [
             f"[{r.rule}] stage={r.stage} subj={r.subj} pred={r.pred}: {r.value}"
@@ -159,7 +169,10 @@ class Pipeline:
         if single_document and n_entities <= SINGLE_DOC_MAX_ENTITIES:
             insert = [json.loads(r.node) for r in nodes.orderBy("subj").collect()]
             doc = {"ledger": self.manifest.ledger, "@context": context, "insert": insert}
-            (out_dir / "instances.jsonld").write_text(json.dumps(doc, indent=2, sort_keys=True))
+            storage.write_text(
+                storage.join_path(out_dir, "instances.jsonld"),
+                json.dumps(doc, indent=2, sort_keys=True),
+            )
         else:
             # the 100 TB shape: NDJSON nodes, hash-bucketed by subject
             (
@@ -167,17 +180,19 @@ class Pipeline:
                 .select("bucket", "node")
                 .write.mode("overwrite")
                 .partitionBy("bucket")
-                .text(str(out_dir / "instances_ndjson"))
+                .text(str(storage.join_path(out_dir, "instances_ndjson")))
             )
-            (out_dir / "context.jsonld").write_text(
-                json.dumps({"@context": context}, indent=2, sort_keys=True)
+            storage.write_text(
+                storage.join_path(out_dir, "context.jsonld"),
+                json.dumps({"@context": context}, indent=2, sort_keys=True),
             )
 
         self._write_vocabulary(vocab, out_dir)
         # K3 vocab-meta export (vocabulary/mod.rs:86-99): the compiled
         # broadcast artifact, reloadable to skip the model phase
-        (out_dir / "vocab_meta.json").write_text(
-            json.dumps(vocab_meta_snapshot, indent=1, sort_keys=True)
+        storage.write_text(
+            storage.join_path(out_dir, "vocab_meta.json"),
+            json.dumps(vocab_meta_snapshot, indent=1, sort_keys=True),
         )
         return PipelineOutcome(
             [],
@@ -185,7 +200,7 @@ class Pipeline:
             {"entities": n_entities, "triples": triples.count(), "violations": len(vio_rows)},
         )
 
-    def _write_vocabulary(self, vocab: VocabularyMap, out_dir: Path) -> None:
+    def _write_vocabulary(self, vocab: VocabularyMap, out_dir: str | Path) -> None:
         """K2 (vocabulary/serializer.rs:19-66): classes + properties under
         the fixed import context."""
 
@@ -226,4 +241,9 @@ class Pipeline:
                 ),
             },
         }
-        (out_dir / "vocabulary.jsonld").write_text(json.dumps(doc, indent=2, sort_keys=True))
+        from ..sources import storage
+
+        storage.write_text(
+            storage.join_path(out_dir, "vocabulary.jsonld"),
+            json.dumps(doc, indent=2, sort_keys=True),
+        )

@@ -88,3 +88,56 @@ def read_text(path: str | Path, encoding: str = "utf-8-sig") -> str:
     """Whole-file text; default utf-8-sig mirrors the CSV readers'
     BOM-stripping behavior (harmless for BOM-less files)."""
     return read_bytes(path).decode(encoding)
+
+
+def _jvm_fs(path: str):
+    """(jvm, FileSystem, Path) triple for a URI — shared by writes/mkdirs."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError(
+            f"Writing {path!r} requires an active SparkSession "
+            "(scheme-qualified driver-side writes go through the JVM Hadoop FileSystem)"
+        )
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    conf = sc._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(jvm.java.net.URI(path), conf)
+    return jvm, fs, jvm.org.apache.hadoop.fs.Path(path)
+
+
+def write_bytes(path: str | Path, data: bytes) -> None:
+    """Whole-file write (overwrite) to a local path or any Hadoop-FS URI
+    — the write-side twin of ``read_bytes``, giving ``Pipeline.run`` the
+    reference's object-store output reach (``StorageLocation::
+    write_contents``, csv-to-jsonld-lib/src/manifest/mod.rs:240-314).
+    Driver-side outputs are dimension-sized (context, vocab, vocab-meta,
+    single-doc instances); bulk sinks always go executor-side through
+    ``df.write`` against the same URI."""
+    p = str(path)
+    if not is_uri(p):
+        with open(p, "wb") as f:
+            f.write(data)
+        return
+    jvm, fs, jpath = _jvm_fs(p)
+    stream = fs.create(jpath, True)  # overwrite=True
+    try:
+        stream.write(data)
+    finally:
+        stream.close()
+
+
+def write_text(path: str | Path, text: str, encoding: str = "utf-8") -> None:
+    write_bytes(path, text.encode(encoding))
+
+
+def mkdirs(path: str | Path) -> None:
+    """mkdir -p for a local path or Hadoop-FS URI (no-op where the store
+    has no directories, e.g. S3 — Hadoop returns success)."""
+    p = str(path)
+    if not is_uri(p):
+        Path(p).mkdir(parents=True, exist_ok=True)
+        return
+    _jvm, fs, jpath = _jvm_fs(p)
+    fs.mkdirs(jpath)

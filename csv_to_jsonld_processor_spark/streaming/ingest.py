@@ -51,11 +51,25 @@ def read_table(spark: SparkSession, table_dir: str) -> DataFrame | None:
 def apply_batch(spark: SparkSession, batch_df: DataFrame, batch_id: int,
                 table_dir: str, key: str) -> None:
     """The foreachBatch body — idempotent per-key last-write-wins merge
-    of one micro-batch into the pointered parquet table."""
+    of one micro-batch into the pointered parquet table.
+
+    Replay after a COMPLETED flip (crash window: pointer flipped but the
+    checkpoint offset not yet committed → same batch_id redelivered) is
+    a pointer-equality no-op: CURRENT already names gen-<batch_id>, so
+    re-running would read gen-<batch_id> as base while overwriting that
+    same directory — Spark's self-overwrite guard aborts, or worse the
+    live generation is corrupted mid-read. The short-circuit IS the
+    idempotency for that window; the merge's last-write-wins max covers
+    the other window (crash before the flip)."""
+    gen = f"gen-{batch_id}"
+    ptr = os.path.join(table_dir, "CURRENT")
+    if os.path.exists(ptr):
+        with open(ptr) as f:
+            if f.read().strip() == gen:
+                return  # batch fully applied before the crash — no-op
     delta = _latest_per_key(batch_df, key)
     base = read_table(spark, table_dir)
     merged = delta if base is None else _latest_per_key(base.unionByName(delta), key)
-    gen = f"gen-{batch_id}"
     merged.write.mode("overwrite").parquet(os.path.join(table_dir, gen))
     tmp = os.path.join(table_dir, "CURRENT.tmp")
     with open(tmp, "w") as f:

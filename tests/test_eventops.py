@@ -1,0 +1,63 @@
+"""Event-ops cross-engine contracts that generated data never exercises.
+
+The driver's sf0.01 generator only emits well-formed ``{"k": <int>}``
+props, so the PERMISSIVE-mode promise of events_props_json (malformed
+JSON and non-integer k become nulls identically in Spark and the DuckDB
+oracle) is pinned here over a hand-built corpus of every hostile shape
+— round-4 ADVICE item (eventops.py null-accounting divergence).
+"""
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from csv_to_jsonld_processor_spark.session import get_spark
+
+
+@pytest.fixture(scope="module")
+def spark():
+    return get_spark("eventops", cpus=4)
+
+
+# (event_type, props) — one of each hostile shape, plus clean rows
+PINNED_PROPS = [
+    ("a", '{"k": 7}'),            # clean int
+    ("a", '{"k": -3}'),           # negative int
+    ("a", '{"k": 3.5}'),          # JSON double -> null both engines
+    ("a", '{"k": "7"}'),          # string-wrapped number -> null (no coercion)
+    ("b", '{"k": "abc"}'),        # string text -> null
+    ("b", '{"k": true}'),         # boolean -> null
+    ("b", '{"k": null}'),         # explicit JSON null
+    ("b", '{"k": 99999999999}'),  # > INT32 max -> overflow null
+    ("c", '{"j": 1}'),            # key missing
+    ("c", "{not json"),           # malformed document
+    ("c", ""),                    # empty string
+    ("c", None),                  # SQL NULL props
+    ("c", '{"k": 5}'),            # clean row in the dirty group
+]
+
+
+def test_props_json_malformed_k_contract(spark):
+    from csv_to_jsonld_processor_spark.operators.eventops import (
+        EVENTS_PROPS_JSON_SQL,
+        props_json_agg,
+    )
+
+    df = spark.createDataFrame(PINNED_PROPS, schema="event_type string, props string")
+    got = [tuple(r) for r in props_json_agg(df).collect()]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events (event_type VARCHAR, props VARCHAR)")
+    con.executemany("INSERT INTO events VALUES (?, ?)", PINNED_PROPS)
+    want = con.execute(EVENTS_PROPS_JSON_SQL).fetchall()
+
+    assert got == want
+    # and the contract itself: only the two ints in 'a' and one in 'c' count
+    by_type = {r[0]: r for r in got}
+    assert by_type["a"] == ("a", 4, 2, -3, 7, 4)
+    assert by_type["b"] == ("b", 4, 4, None, None, None)
+    assert by_type["c"] == ("c", 5, 4, 5, 5, 5)

@@ -88,3 +88,34 @@ def test_compaction_respects_target_size(spark, tmp_path):
     compact_partitions(spark, d, "day", target_bytes=target)
     stats = partition_file_stats(spark, d)
     assert len(stats) == 1 and 2 <= stats[0][1] <= 6
+
+
+def test_compaction_staged_swap_and_escaped_values(spark, tmp_path):
+    """Round-4 ADVICE: compaction must never write into the tree it
+    reads (staged swap), must clear its own orphan staging dir, and
+    must still find the file budget for partition values that hive
+    URL-escapes on disk (here ':' and ' ')."""
+    from pyspark.sql import functions as F
+
+    from csv_to_jsonld_processor_spark.operators.layout import (
+        compact_partitions,
+        partition_file_stats,
+        write_partitioned,
+    )
+
+    d = str(tmp_path / "t")
+    rows = [(f"grp {i % 3}:x", i, float(i)) for i in range(300)]
+    df = spark.createDataFrame(rows, "cat string, n int, v double")
+    write_partitioned(df.repartition(8), d, ["cat"])
+    # escaped dirs on disk + an orphan staging dir from a "crashed" run
+    assert any("%" in p for p, _n, _b in partition_file_stats(spark, d))
+    os.makedirs(d + ".compacting/junk", exist_ok=True)
+
+    res = compact_partitions(spark, d, "cat", target_bytes=10**9)
+    assert res["partitions"] == 3 and res["after"] == 3  # 1 file per partition
+    assert res["before"] > res["after"]
+    assert not os.path.exists(d + ".compacting")  # staging cleaned up
+    # data intact after the swap, bucket lookup found every escaped value
+    got = spark.read.parquet(d)
+    assert got.count() == 300
+    assert got.groupBy("cat").count().count() == 3

@@ -337,13 +337,21 @@ def test_triangle_banded_signature_computed_once(spark):
 
 
 def test_minhash_lsh_signature_computed_once(spark):
-    """dedup_minhash_lsh: both sides of the band self-join read the
+    """Signature-REUSE path (verified pairs / clusters / funnel /
+    incremental): both sides of the band self-join read the
     checkpointed banded-signature blocks — the 12-way min-hash
     SortAggregate appears ZERO times in the join plan (it ran once at
-    checkpoint materialization; round-3 PLANS.md showed it twice)."""
-    from csv_to_jsonld_processor_spark.operators.dedup import dedup_minhash_lsh
+    checkpoint materialization; round-3 PLANS.md showed it twice).
+    The one-shot dedup_minhash_lsh query deliberately SKIPS the
+    checkpoint (round-4 BENCH: materialization was +24% pure tax
+    there), so it is not the subject here."""
+    from csv_to_jsonld_processor_spark.operators.dedup import (
+        _lsh_candidate_pairs,
+    )
+    from csv_to_jsonld_processor_spark.session import load_tables
 
-    plan = plan_of(dedup_minhash_lsh(spark, SF))
+    docs = load_tables(spark, SF)["documents"]
+    plan = plan_of(_lsh_candidate_pairs(docs, checkpoint_sig=True))
     assert plan.count("Scan ExistingRDD") >= 2
     assert "SortAggregate" not in plan and "partial_min" not in plan
 

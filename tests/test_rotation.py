@@ -38,6 +38,28 @@ def test_stale_queries_sort_first():
     assert n_stale <= 50, f"{n_stale} stale queries exceed the sample window"
 
 
+def test_rotation_is_least_recently_verified():
+    """The sort key is each query's LATEST green round — verified
+    queries must appear in non-decreasing last-green order, so the
+    window keeps cycling instead of freezing once everything has been
+    green once (round-4 ADVICE)."""
+    import re
+
+    repo = os.path.dirname(os.path.abspath(entry.__file__))
+    last_green = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"CORRECTNESS_r(\d+)\.json$", path).group(1))
+        with open(path) as f:
+            for name, row in json.load(f).items():
+                if isinstance(row, dict) and row.get("rows_match") and row.get("hash_match"):
+                    last_green[name] = max(last_green.get(name, 0), rnd)
+    rounds = [last_green.get(n, 0) for n in entry.queries()]
+    assert rounds == sorted(rounds), "queries not in least-recently-verified order"
+    # and the most-recently-sampled round's queries sit at the BACK
+    if last_green:
+        assert rounds[-1] == max(last_green.values())
+
+
 def test_oracle_keys_match_queries():
     q, o = entry.queries(), entry.oracle_sql()
     assert set(o) <= set(q)

@@ -239,3 +239,39 @@ def test_stream_merge_exactly_once_effect(spark, tmp_path):
     stream_merge_into_table(spark, d_in, schema, table, "user_id", ckpt)
     got2 = {tuple(r) for r in read_table(spark, table).collect()}
     assert got2 == oracle(src)
+
+
+def test_stream_merge_replay_same_batch_id_after_flip(spark, tmp_path):
+    """The crash window round-4 ADVICE flagged: pointer flip completed
+    but the checkpoint offset commit didn't, so foreachBatch re-runs
+    with the SAME batch_id. apply_batch must short-circuit (CURRENT
+    already names gen-<batch_id>) instead of overwriting the very
+    generation it is lazily reading as base."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from csv_to_jsonld_processor_spark.session import load_tables
+    from csv_to_jsonld_processor_spark.streaming.ingest import apply_batch, read_table
+
+    src = load_tables(spark, "/root/testdata/sf0.001")["events"].where(F.col("user_id") < 20)
+    table = str(tmp_path / "table")
+    os.makedirs(table)
+
+    apply_batch(spark, src, 0, table, "user_id")
+    before = {tuple(r) for r in read_table(spark, table).collect()}
+    assert before
+    gen_mtime = os.path.getmtime(os.path.join(table, "gen-0"))
+
+    # replay the SAME id — must be a no-op, not a self-overwrite
+    apply_batch(spark, src, 0, table, "user_id")
+    assert {tuple(r) for r in read_table(spark, table).collect()} == before
+    assert os.path.getmtime(os.path.join(table, "gen-0")) == gen_mtime  # untouched
+    with open(os.path.join(table, "CURRENT")) as f:
+        assert f.read().strip() == "gen-0"
+
+    # and a NEW id still advances the table
+    apply_batch(spark, src.limit(0), 1, table, "user_id")
+    with open(os.path.join(table, "CURRENT")) as f:
+        assert f.read().strip() == "gen-1"
+    assert {tuple(r) for r in read_table(spark, table).collect()} == before
