@@ -88,6 +88,12 @@ def _registry() -> dict[str, tuple]:
     except ImportError:
         pass
     try:
+        from csv_to_jsonld_processor_spark.operators.snapshots import SNAPSHOT_QUERIES
+
+        reg.update(SNAPSHOT_QUERIES)
+    except ImportError:
+        pass
+    try:
         from csv_to_jsonld_processor_spark.operators.similarity import SIMILARITY_QUERIES
 
         reg.update(SIMILARITY_QUERIES)

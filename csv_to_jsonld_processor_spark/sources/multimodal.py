@@ -235,6 +235,195 @@ def generate_wav_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame
     return rng.mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+# --- PNG: the first COMPRESSED real format (zlib deflate + scanline
+# filters), pure stdlib ------------------------------------------------------
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(width: int, height: int, rgb: bytes) -> bytes:
+    """Real-format encode: 8-bit RGB (color type 2, no interlace) PNG —
+    zlib-deflated filtered scanlines in one IDAT, CRC'd chunks. The
+    filter type CYCLES y % 5, so every reconstruction branch
+    (None/Sub/Up/Average/Paeth) is present in every image ≥5 rows and a
+    decoder that fumbles any one of them fails the golden oracle."""
+    import zlib
+
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb payload must be width*height*3 bytes")
+    bpp = 3
+    raw = bytearray()
+    prev = bytes(width * bpp)
+    for y in range(height):
+        row = rgb[y * width * bpp : (y + 1) * width * bpp]
+        ft = y % 5
+        raw.append(ft)
+        if ft == 0:  # None
+            raw += row
+        elif ft == 1:  # Sub
+            raw += bytes(
+                (row[i] - (row[i - bpp] if i >= bpp else 0)) & 0xFF for i in range(len(row))
+            )
+        elif ft == 2:  # Up
+            raw += bytes((row[i] - prev[i]) & 0xFF for i in range(len(row)))
+        elif ft == 3:  # Average
+            raw += bytes(
+                (row[i] - (((row[i - bpp] if i >= bpp else 0) + prev[i]) >> 1)) & 0xFF
+                for i in range(len(row))
+            )
+        else:  # Paeth
+            raw += bytes(
+                (
+                    row[i]
+                    - _paeth(
+                        row[i - bpp] if i >= bpp else 0,
+                        prev[i],
+                        prev[i - bpp] if i >= bpp else 0,
+                    )
+                )
+                & 0xFF
+                for i in range(len(row))
+            )
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(blob: bytes) -> dict:
+    """Real-format decode: 8-bit RGB PNG → top-down RGB payload + dims,
+    same dict contract as the other codecs. Walks the chunk stream with
+    CRC verification, inflates the concatenated IDATs, and reconstructs
+    all five scanline filters per the PNG spec (RFC 2083 §6)."""
+    import zlib
+
+    if blob[: len(PNG_SIG)] != PNG_SIG:
+        raise ValueError("bad PNG signature")
+    pos = len(PNG_SIG)
+    width = height = None
+    idat = bytearray()
+    while pos + 8 <= len(blob):
+        (length,) = struct.unpack_from(">I", blob, pos)
+        tag = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", blob, pos + 8 + length)
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {tag!r} chunk")
+        if tag == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise NotImplementedError(
+                    "only 8-bit RGB non-interlaced PNG supported "
+                    f"(depth={depth} color={color} interlace={interlace})"
+                )
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if width is None:
+        raise ValueError("no IHDR chunk")
+    raw = zlib.decompress(bytes(idat))
+    bpp, stride = 3, width * 3
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("inflated size mismatch")
+    out = bytearray(stride * height)
+    prev = bytes(stride)
+    for y in range(height):
+        ft = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if ft == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                ul = prev[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"unknown filter type {ft}")
+        out[y * stride : (y + 1) * stride] = line
+        prev = bytes(line)
+    return {
+        "kind": "image",
+        "width": width,
+        "height": height,
+        "channels": 3,
+        "payload": bytes(out),
+    }
+
+
+def synth_png(media_id: int, seed: int = 42) -> tuple[bytes, int, int]:
+    """Deterministic REAL compressed blob: valid 8-bit RGB PNG whose
+    dims and payload derive from sha256(media_id, seed) — same synth
+    scheme as the BMP path, different format family (DEFLATE stream +
+    per-row filters rather than raw pixels)."""
+    h = hashlib.sha256(f"png:{seed}:{media_id}".encode()).digest()
+    w = 8 + h[1] % 16
+    ht = 8 + h[2] % 16
+    n = w * ht * 3
+    rgb = (hashlib.sha256(h).digest() * (n // 32 + 1))[:n]
+    return encode_png(w, ht, rgb), w, ht
+
+
+def generate_png_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+    import pandas as pd
+
+    rng = spark.range(0, n, 1, spark.sparkContext.defaultParallelism)
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                blob, w, ht = synth_png(int(i), seed)
+                rows.append(
+                    {
+                        "media_id": int(i),
+                        "kind": "image",
+                        "url": f"https://media.example.org/png/{int(i)}.png",
+                        "blob": blob,
+                        "meta_width": w,
+                        "meta_height": ht,
+                        "meta_channels": 3,
+                    }
+                )
+            yield pd.DataFrame.from_records(rows)
+
+    return rng.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
 def decode_blob(blob: bytes, codec: str = "synthetic") -> dict:
     """Decode one blob. ``synthetic`` parses the fake container; ``bmp``
     parses real uncompressed 24-bit BMP bytes (stdlib decoder above);
@@ -244,9 +433,11 @@ def decode_blob(blob: bytes, codec: str = "synthetic") -> dict:
         return decode_bmp(blob)
     if codec == "wav":
         return decode_wav(blob)
+    if codec == "png":
+        return decode_png(blob)
     if codec == "real":
         raise NotImplementedError(
-            "JPEG/PNG/compressed-audio/video decode needs PIL/librosa/av — "
+            "JPEG/compressed-audio/video decode needs PIL/librosa/av — "
             "not in this container; wire them here, the Spark plumbing is "
             "codec-agnostic (the bmp and wav codecs prove it on real byte "
             "formats)"
@@ -485,11 +676,53 @@ ORDER BY channels
 """
 
 
+def media_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPRESSED codec path end-to-end on real on-disk bytes:
+    1,000 deterministic 8-bit RGB PNG blobs (filters cycling through
+    all five types) → stdlib inflate + unfilter inside the mapInPandas
+    feature stage → per-width-bucket stats. Golden VALUES oracle
+    recomputed independently from the synth parameters in plain
+    Python/numpy — never through encode/decode, so equality proves the
+    DEFLATE round-trip and every filter reconstruction are byte-exact."""
+    from pyspark.sql import functions as F
+
+    media = generate_png_media(spark, 1000, seed=42)
+    feats = extract_features(media, codec="png", feature_dim=8)
+    return (
+        feats.groupBy((F.col("width") % 4).cast("int").alias("width_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("width"), 6).alias("avg_width"),
+            F.round(F.avg("height"), 6).alias("avg_height"),
+            F.round(F.avg("mean_intensity"), 6).alias("avg_intensity"),
+        )
+        .orderBy("width_bucket")
+    )
+
+
+# golden: plain-Python/numpy recomputation from the synth parameters
+# (sha256 dims + payload stretch), N=1000 seed=42
+MEDIA_PNG_SQL = """
+SELECT CAST(width_bucket AS INT) AS width_bucket, CAST(n AS BIGINT) AS n,
+       CAST(avg_width AS DOUBLE) AS avg_width,
+       CAST(avg_height AS DOUBLE) AS avg_height,
+       CAST(avg_intensity AS DOUBLE) AS avg_intensity
+FROM (VALUES
+  (0, 238, 14.084034, 15.563025, 127.032019),
+  (1, 242, 15.413223, 15.42562, 127.103187),
+  (2, 279, 16.222222, 15.412186, 128.160897),
+  (3, 241, 16.360996, 15.456432, 128.622362)
+) AS golden(width_bucket, n, avg_width, avg_height, avg_intensity)
+ORDER BY width_bucket
+"""
+
+
 MULTIMODAL_QUERIES: dict[str, tuple] = {
     "media_feature_stats": (media_feature_stats, MEDIA_STATS_SQL),
     "media_pipeline_stats": (media_pipeline_stats, MEDIA_PIPELINE_SQL),
     "media_bmp_stats": (media_bmp_stats, MEDIA_BMP_SQL),
     "media_wav_stats": (media_wav_stats, MEDIA_WAV_SQL),
+    "media_png_stats": (media_png_stats, MEDIA_PNG_SQL),
 }
 
 

@@ -1,0 +1,116 @@
+"""Snapshot/time-travel table layer (operators/snapshots.py): commit
+protocol, pinned-id isolation, the crash-between-write-and-flip window,
+and upsert semantics."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from csv_to_jsonld_processor_spark.session import get_spark
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    return get_spark("snapshots", cpus=8)
+
+
+def test_commit_read_time_travel_upsert(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from csv_to_jsonld_processor_spark.operators.snapshots import (
+        commit_snapshot,
+        current_snapshot_id,
+        read_snapshot,
+        snapshot_ids,
+        upsert_snapshot,
+    )
+    from csv_to_jsonld_processor_spark.session import load_tables
+
+    cust = load_tables(spark, SF)["customer"].select("c_custkey", "c_acctbal")
+    d = str(tmp_path / "t")
+    assert read_snapshot(spark, d) is None and snapshot_ids(d) == []
+
+    base = cust.where(F.col("c_custkey") % 2 == 0)
+    assert commit_snapshot(spark, base, d) == 0
+    n0 = read_snapshot(spark, d).count()
+    assert n0 == base.count() > 0
+
+    delta = cust.where(F.col("c_custkey") % 4 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + F.lit(5.0)
+    )
+    assert upsert_snapshot(spark, d, delta, "c_custkey") == 1
+    assert snapshot_ids(d) == [0, 1] and current_snapshot_id(d) == 1
+
+    # snapshot 0 is still byte-stable after the upsert (time travel)
+    assert read_snapshot(spark, d, 0).count() == n0
+    # upsert applied delta-wins, carried the rest forward
+    after = read_snapshot(spark, d, 1)
+    assert after.count() == n0  # %4==0 keys are all already in %2==0
+    bumped = after.join(delta.select("c_custkey"), "c_custkey").count()
+    assert bumped == delta.count()
+    # uncommitted/uncommittable ids are refused
+    with pytest.raises(ValueError):
+        read_snapshot(spark, d, 2)
+
+
+def test_crash_between_write_and_flip(spark, tmp_path):
+    """The commit's crash window: generation dir fully written, pointer
+    NOT flipped. Readers must keep seeing the old snapshot, the orphan
+    must be invisible through every API, and the retried commit must
+    reuse the orphan id and succeed."""
+    from pyspark.sql import functions as F
+
+    from csv_to_jsonld_processor_spark.operators.snapshots import (
+        _snap_dir,
+        commit_snapshot,
+        current_snapshot_id,
+        read_snapshot,
+        snapshot_ids,
+    )
+    from csv_to_jsonld_processor_spark.session import load_tables
+
+    cust = load_tables(spark, SF)["customer"].select("c_custkey", "c_acctbal")
+    d = str(tmp_path / "t")
+    commit_snapshot(spark, cust.limit(50), d)
+
+    # simulate the crash: write gen-1 WITHOUT flipping CURRENT
+    next_df = cust.limit(80)
+    next_df.write.mode("overwrite").parquet(_snap_dir(d, 1))
+    assert os.path.isdir(_snap_dir(d, 1))  # orphan on disk...
+    assert current_snapshot_id(d) == 0  # ...but not committed
+    assert snapshot_ids(d) == [0]  # not listed
+    assert read_snapshot(spark, d).count() == 50  # readers unaffected
+    with pytest.raises(ValueError):
+        read_snapshot(spark, d, 1)  # pinning the orphan is refused
+
+    # retry: same id is reused, commit completes, table advances
+    assert commit_snapshot(spark, next_df, d) == 1
+    assert current_snapshot_id(d) == 1
+    assert read_snapshot(spark, d).count() == 80
+    assert read_snapshot(spark, d, 0).count() == 50
+
+
+def test_expire_keeps_current_readable(spark, tmp_path):
+    from csv_to_jsonld_processor_spark.operators.snapshots import (
+        commit_snapshot,
+        expire_snapshots,
+        read_snapshot,
+        snapshot_ids,
+    )
+    from csv_to_jsonld_processor_spark.session import load_tables
+
+    cust = load_tables(spark, SF)["customer"].select("c_custkey")
+    d = str(tmp_path / "t")
+    for k in (10, 20, 30, 40):
+        commit_snapshot(spark, cust.limit(k), d)
+    assert expire_snapshots(d, keep_last=2) == [0, 1]
+    assert snapshot_ids(d) == [2, 3]
+    assert read_snapshot(spark, d).count() == 40
+    assert read_snapshot(spark, d, 2).count() == 30
+    with pytest.raises(ValueError):
+        read_snapshot(spark, d, 0)
