@@ -438,9 +438,149 @@ ORDER BY window_start, rank
 """
 
 
+# --- stream-stream interval join -------------------------------------------
+
+ATTRIB_WINDOW_SEC = 3600  # views attribute to a purchase within the next hour
+
+
+def attribution_join_stream(views: DataFrame, purchases: DataFrame,
+                            watermark: str = "2 hours") -> DataFrame:
+    """Watermarked STREAM-STREAM inner interval join — the attribution
+    topology (which views led to a purchase within the hour). Both
+    sides are watermarked and the join condition carries a two-sided
+    time bound, so each side's state buffer is evicted once the other
+    side's watermark passes the bound — bounded state, the only shape a
+    stream-stream join survives at 100 TB/day (an unbounded-condition
+    join would buffer both streams forever). Inner join emits each
+    matched pair exactly once, as soon as both rows exist."""
+    v = (
+        views.select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").cast("timestamp").alias("v_ts"),
+            F.col("value").alias("v_value"),
+        ).withWatermark("v_ts", watermark)
+    )
+    p = (
+        purchases.select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").cast("timestamp").alias("p_ts"),
+        ).withWatermark("p_ts", watermark)
+    )
+    return v.join(
+        p,
+        F.expr(
+            f"v_user = p_user AND v_ts <= p_ts "
+            f"AND v_ts >= p_ts - INTERVAL {ATTRIB_WINDOW_SEC} SECONDS"
+        ),
+    )
+
+
+def order_stream_files(d: str) -> None:
+    """Stamp strictly increasing mtimes onto the part files in path
+    order. The file source feeds micro-batches in MODIFICATION-TIME
+    order, and parallel write tasks finish in arbitrary order — so
+    without this, the end-of-range file can land first, leap the
+    watermark to the end, and get every other file dropped as late.
+    (Production file sources don't need it: the upstream writer
+    naturally creates files in arrival order.)"""
+    import os
+    import time
+
+    parts = sorted(
+        f for f in os.listdir(d) if f.startswith("part-") and not f.endswith(".crc")
+    )
+    base = time.time() - len(parts)
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(d, f), (base + i, base + i))
+
+
+def events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated: run the attribution join as a REAL two-source
+    stream (separate view/purchase file sources, multi-file so several
+    micro-batches interleave), then aggregate the emitted pairs per
+    user. The DuckDB oracle is the equivalent batch interval join — an
+    inner stream-stream join drained to completion must emit exactly
+    the batch pair set (append semantics never defer inner matches
+    past the drain).
+
+    Input files are RANGE-partitioned on ts (repartitionByRange), so
+    micro-batches arrive in event-time order — the file-source contract
+    the watermark model assumes (files land roughly in time order,
+    disorder bounded by the watermark delay). A round-robin file split
+    would put end-of-range rows in EVERY file, leap the watermark to
+    the end after batch one, and silently drop later files as late:
+    stream==batch would hold or break by luck of pair placement."""
+    import tempfile
+
+    from ..session import load_tables
+
+    t = load_tables(spark, sf_dir)
+    src = t["events"].where(F.col("user_id") < 30)
+    d_v = tempfile.mkdtemp(prefix="events_views_")
+    d_p = tempfile.mkdtemp(prefix="events_purch_")
+    src.where(F.col("event_type") == "view").repartitionByRange(3, "ts").write.mode(
+        "overwrite"
+    ).parquet(d_v)
+    src.where(F.col("event_type") == "purchase").repartitionByRange(3, "ts").write.mode(
+        "overwrite"
+    ).parquet(d_p)
+    order_stream_files(d_v)
+    order_stream_files(d_p)
+    schema = src.schema.simpleString().replace("struct<", "").rstrip(">").replace(":", " ")
+
+    views = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d_v)
+    purchases = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d_p)
+    q = (
+        attribution_join_stream(views, purchases)
+        .writeStream.format("memory")
+        .queryName("events_attrib_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("events_attrib_join")
+    return (
+        out.groupBy(F.col("v_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.countDistinct("view_id").cast("long").alias("n_views_attributed"),
+            F.countDistinct("purchase_id").cast("long").alias("n_purchases_matched"),
+            F.sum(F.col("v_value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("attributed_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EVENTS_STREAM_JOIN_SQL = f"""
+WITH v AS (
+  SELECT user_id, event_id AS view_id, ts, value FROM events
+  WHERE user_id < 30 AND event_type = 'view'
+), p AS (
+  SELECT user_id, event_id AS purchase_id, ts FROM events
+  WHERE user_id < 30 AND event_type = 'purchase'
+), pairs AS (
+  SELECT v.user_id, v.view_id, p.purchase_id, v.value
+  FROM v JOIN p ON v.user_id = p.user_id
+   AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL {ATTRIB_WINDOW_SEC} SECOND
+)
+SELECT user_id,
+       COUNT(*) AS n_pairs,
+       CAST(COUNT(DISTINCT view_id) AS BIGINT) AS n_views_attributed,
+       CAST(COUNT(DISTINCT purchase_id) AS BIGINT) AS n_purchases_matched,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS attributed_value
+FROM pairs GROUP BY user_id ORDER BY user_id
+"""
+
+
 STREAMING_QUERIES: dict[str, tuple] = {
     "events_sessionization": (events_sessionization, EVENTS_SESSION_SQL),
     "events_user_profiles": (events_user_profiles, EVENTS_PROFILE_SQL),
     "events_stream_dedup": (events_stream_dedup, EVENTS_STREAM_DEDUP_SQL),
     "events_trending_topk": (events_trending_topk, EVENTS_TRENDING_SQL),
+    "events_stream_join": (events_stream_join, EVENTS_STREAM_JOIN_SQL),
 }

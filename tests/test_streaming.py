@@ -275,3 +275,66 @@ def test_stream_merge_replay_same_batch_id_after_flip(spark, tmp_path):
     with open(os.path.join(table, "CURRENT")) as f:
         assert f.read().strip() == "gen-1"
     assert {tuple(r) for r in read_table(spark, table).collect()} == before
+
+
+def test_stream_stream_join_equals_batch(spark, tmp_path):
+    """The watermarked stream-stream interval join, drained on a
+    bounded two-source input, emits exactly the batch interval-join
+    pair set (inner join never defers matches past the drain)."""
+    from pyspark.sql import functions as F
+
+    from csv_to_jsonld_processor_spark.session import load_tables
+    from csv_to_jsonld_processor_spark.streaming.events import (
+        ATTRIB_WINDOW_SEC,
+        attribution_join_stream,
+    )
+
+    src = load_tables(spark, "/root/testdata/sf0.001")["events"].where(F.col("user_id") < 40)
+    views = src.where(F.col("event_type") == "view")
+    purchases = src.where(F.col("event_type") == "purchase")
+    d_v, d_p = str(tmp_path / "v"), str(tmp_path / "p")
+    # range-partitioned on ts: micro-batches arrive in event-time order,
+    # the file-source contract watermarks assume (see events_stream_join)
+    views.repartitionByRange(3, "ts").write.parquet(d_v)
+    purchases.repartitionByRange(3, "ts").write.parquet(d_p)
+    from csv_to_jsonld_processor_spark.streaming.events import order_stream_files
+
+    order_stream_files(d_v)
+    order_stream_files(d_p)
+    schema = src.schema.simpleString().replace("struct<", "").rstrip(">").replace(":", " ")
+
+    sv = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d_v)
+    sp = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d_p)
+    q = (
+        attribution_join_stream(sv, sp)
+        .writeStream.format("memory")
+        .queryName("attrib_join_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r.view_id, r.purchase_id)
+        for r in spark.table("attrib_join_test").collect()
+    }
+
+    v = views.select(
+        F.col("user_id").alias("v_user"), F.col("event_id").alias("view_id"),
+        F.col("ts").cast("timestamp").alias("v_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"), F.col("event_id").alias("purchase_id"),
+        F.col("ts").cast("timestamp").alias("p_ts"),
+    )
+    expected = {
+        (r.view_id, r.purchase_id)
+        for r in v.join(
+            p,
+            F.expr(
+                f"v_user = p_user AND v_ts <= p_ts "
+                f"AND v_ts >= p_ts - INTERVAL {ATTRIB_WINDOW_SEC} SECONDS"
+            ),
+        ).collect()
+    }
+    assert streamed == expected and len(expected) > 0
