@@ -978,7 +978,130 @@ FROM documents GROUP BY 1 ORDER BY source
 """
 
 
+# --- DSIR-style importance weights ------------------------------------------
+
+DSIR_BUCKETS = 64
+DSIR_SCALE = 1_000_000
+DSIR_TARGET_LANG = "en"
+
+
+def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature importance weights for data selection — the DSIR
+    recipe (Xie et al., arXiv 2302.03169: hash tokens into K buckets,
+    fit target vs raw bucket distributions, score each document by its
+    tokens' importance) with the target set = the '{DSIR_TARGET_LANG}'
+    slice and raw = the whole corpus.
+
+    Cross-engine exactness: the canonical log-probability-ratio is
+    swapped for a QUANTIZED smoothed-probability difference — per
+    bucket s_b = round(S·(t_b+1)/(T+K)) − round(S·(r_b+1)/(R+K)), each
+    an exact-integer-division-then-round (one IEEE op, identical in
+    both engines — the kmeans fixed-point argument), and each doc's
+    weight is the exact BIGINT sum of its tokens' s_b. At production
+    scale the same plan carries log-ratios from a driver-fit broadcast
+    table; the plan shape (two K-row aggregations broadcast-joined back
+    onto the token stream — the corpus is scanned twice, shuffled
+    never) is unchanged.
+
+    Output: per-language doc count plus exact min/max/sum of weights.
+    """
+    t = load_tables(spark, sf_dir)
+    toks = t["documents"].select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")).alias(
+            "token"
+        ),
+    )
+    bt = toks.withColumn(
+        "b",
+        F.pmod(
+            F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long"),
+            F.lit(DSIR_BUCKETS),
+        ),
+    )
+    # ONE stats pass over the token stream: per-bucket raw count r and
+    # conditional target count t ride the same partial-aggregated
+    # groupBy; corpus-wide totals are then a window sum over the K-row
+    # result, never a rescan. (Corpus is scanned exactly twice: stats
+    # pass + the scoring join below.)
+    from pyspark.sql.window import Window
+
+    bucket_stats = bt.groupBy("b").agg(
+        F.count(F.lit(1)).alias("r"),
+        F.sum((F.col("lang") == DSIR_TARGET_LANG).cast("long")).alias("t"),
+    )
+    w_all = Window.partitionBy()
+    scores = bucket_stats.select(
+        "b",
+        (
+            F.round(
+                F.lit(DSIR_SCALE)
+                * (F.col("t") + 1)
+                / (F.sum("t").over(w_all) + DSIR_BUCKETS),
+                0,
+            ).cast("long")
+            - F.round(
+                F.lit(DSIR_SCALE)
+                * (F.col("r") + 1)
+                / (F.sum("r").over(w_all) + DSIR_BUCKETS),
+                0,
+            ).cast("long")
+        ).alias("s"),
+    )
+    per_doc = (
+        bt.join(F.broadcast(scores), "b")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("s").cast("long").alias("weight_q"))
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("weight_q").alias("min_weight_q"),
+            F.max("weight_q").alias("max_weight_q"),
+            F.sum("weight_q").cast("long").alias("sum_weight_q"),
+        )
+        .orderBy("lang")
+    )
+
+
+DOC_DSIR_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(string_split(lower(trim(regexp_replace(text,'\\s+',' ','g'))), ' ')) AS token
+  FROM documents
+), bt AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % {DSIR_BUCKETS} AS b
+  FROM toks
+), raw AS (
+  SELECT b, COUNT(*) AS r FROM bt GROUP BY b
+), tgt AS (
+  SELECT b, COUNT(*) AS t FROM bt WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY b
+), totals AS (
+  SELECT COUNT(*) AS _R,
+         SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END) AS _T
+  FROM bt
+), scores AS (
+  SELECT raw.b,
+         CAST(ROUND({DSIR_SCALE} * (COALESCE(tgt.t, 0) + 1.0) / (totals._T + {DSIR_BUCKETS}), 0) AS BIGINT)
+         - CAST(ROUND({DSIR_SCALE} * (raw.r + 1.0) / (totals._R + {DSIR_BUCKETS}), 0) AS BIGINT) AS s
+  FROM raw LEFT JOIN tgt ON tgt.b = raw.b CROSS JOIN totals
+), per_doc AS (
+  SELECT doc_id, lang, CAST(SUM(s) AS BIGINT) AS weight_q
+  FROM bt JOIN scores USING (b) GROUP BY doc_id, lang
+)
+SELECT lang, COUNT(*) AS n_docs,
+       MIN(weight_q) AS min_weight_q,
+       MAX(weight_q) AS max_weight_q,
+       CAST(SUM(weight_q) AS BIGINT) AS sum_weight_q
+FROM per_doc GROUP BY lang ORDER BY lang
+"""
+
+
 TEXT_QUERIES: dict[str, tuple] = {
+    "doc_dsir_weights": (doc_dsir_weights, DOC_DSIR_SQL),
     "doc_token_stats": (doc_token_stats, DOC_TOKEN_STATS_SQL),
     "doc_bpe_token_count": (doc_bpe_token_count, DOC_BPE_SQL),
     "doc_quality_scores": (doc_quality_scores, DOC_QUALITY_SQL),

@@ -403,3 +403,16 @@ def test_aqe_skew_join_splits_planted_hub(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_dsir_two_scans_broadcast_scores(spark):
+    """doc_dsir_weights: the corpus token stream is scanned exactly
+    twice (one fused stats pass, one scoring join), the K-row score
+    table broadcasts back (never a sort-merge join against the token
+    stream), and everything stays JVM-side."""
+    from csv_to_jsonld_processor_spark.operators.textops import doc_dsir_weights
+
+    plan = plan_of(doc_dsir_weights(spark, SF))
+    assert plan.count("Scan parquet") == 2
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
