@@ -52,6 +52,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--strict", action="store_true")
     p.add_argument("--vocab-meta", default=None,
                    help="path to an exported vocab_meta.json; skips the model phase (S5)")
+    p.add_argument("--sniff-model-files", action="store_true",
+                   help="apply the reference's is_model_file header sniff to CSV model "
+                        "steps (P7 parity; skips files lacking the five sniff headers)")
     p.add_argument("--cpus", type=int, default=None)
 
     v = sub.add_parser("validate")
@@ -87,7 +90,8 @@ def main(argv: list[str] | None = None) -> int:
     from .session import get_spark
 
     pipeline = Pipeline.from_manifest(
-        args.manifest, args.base_path, strict=args.strict, vocab_meta=args.vocab_meta
+        args.manifest, args.base_path, strict=args.strict, vocab_meta=args.vocab_meta,
+        sniff_model_files=args.sniff_model_files,
     )
     spark = get_spark("csv-to-jsonld-process", cpus=args.cpus)
     outcome = pipeline.run(spark, args.output)

@@ -91,7 +91,7 @@ class Pipeline:
     ``Pipeline.from_manifest(path, base_path).run(spark, out_dir)``."""
 
     def __init__(self, manifest: Manifest, base_path: str | Path, strict: bool = False,
-                 vocab_meta: str | Path | None = None):
+                 vocab_meta: str | Path | None = None, sniff_model_files: bool = False):
         self.manifest = manifest
         from ..sources import storage
 
@@ -100,14 +100,17 @@ class Pipeline:
         # S5: path to an exported vocab_meta.json — skips PHASE A
         # (vocabulary/processor.rs:64-133; CLI main.rs:197-220)
         self.vocab_meta = vocab_meta
+        self.sniff_model_files = sniff_model_files
 
     @classmethod
     def from_manifest(cls, manifest_path: str | Path, base_path: str | Path | None = None,
-                      strict: bool = False, vocab_meta: str | Path | None = None) -> "Pipeline":
+                      strict: bool = False, vocab_meta: str | Path | None = None,
+                      sniff_model_files: bool = False) -> "Pipeline":
         m = Manifest.from_file(manifest_path)
         from ..sources import storage
 
-        return cls(m, base_path or storage.parent(manifest_path), strict, vocab_meta=vocab_meta)
+        return cls(m, base_path or storage.parent(manifest_path), strict,
+                   vocab_meta=vocab_meta, sniff_model_files=sniff_model_files)
 
     def run(self, spark: SparkSession, out_dir: str | Path,
             single_document: bool = True) -> PipelineOutcome:
@@ -130,7 +133,10 @@ class Pipeline:
 
             vocab = vocab_from_meta_file(self.vocab_meta)
         else:
-            vocab = compile_vocabulary(self.manifest, self.base_path, self.strict)
+            vocab = compile_vocabulary(
+                self.manifest, self.base_path, self.strict,
+                sniff_model_files=self.sniff_model_files,
+            )
         # snapshot the PHASE A artifact before instance processing mutates
         # it (picklist one_of accumulation) — the export must be the
         # reloadable pre-instance state

@@ -304,12 +304,20 @@ def _column_ref(mapping: _Mapping, token: str, for_class: bool) -> str:
 class VocabularyCompiler:
     """Drives model steps in manifest order (PHASE A, processor/mod.rs:190-201)."""
 
-    def __init__(self, manifest: Manifest, base_path: str | Path, strict: bool = False):
+    def __init__(self, manifest: Manifest, base_path: str | Path, strict: bool = False,
+                 sniff_model_files: bool = False):
         self.manifest = manifest
         # URI bases (s3a:// etc.) must not be collapsed by Path
         self.base_path = base_path if storage.is_uri(base_path) else Path(base_path)
         self.base_iri = manifest.model.base_iri
         self.strict = strict
+        # P7 parity switch: apply the reference's is_model_file sniff to
+        # CSV model steps too (vocabulary/processor.rs:267). OFF by
+        # default — documented deviation #1: the sniff rejects the
+        # reference's own fixture model files, so faithful behavior is
+        # only useful to users who relied on the skip-foreign-CSVs
+        # side effect.
+        self.sniff_model_files = sniff_model_files
         self.vocab = VocabularyMap()
         self.class_properties: dict[str, list[str]] = {}
         # raw (pre-expansion) IdOpt under which each classes/class_properties
@@ -363,6 +371,14 @@ class VocabularyCompiler:
     def _process_step(self, step: ImportStep) -> None:
         kind = next(t for t in step.types if t.endswith("VocabularyStep"))
         headers, rows = self._read_csv(step)
+
+        if self.sniff_model_files and not is_model_file(headers):
+            # reference contract: warn + skip the whole step
+            # (vocabulary/processor.rs:265-272)
+            self.warnings.append(
+                f"CSV or sheet {step.step_id()} does not appear to be a model file, skipping"
+            )
+            return
 
         mapping = _default_mapping(kind)
         for ov in step.overrides:
@@ -559,8 +575,19 @@ class VocabularyCompiler:
                 ]
 
 
-def compile_vocabulary(manifest: Manifest, base_path: str | Path, strict: bool = False) -> VocabularyMap:
-    return VocabularyCompiler(manifest, base_path, strict).compile()
+# the reference's model-file sniff headers (manifest/mod.rs:763-773)
+MODEL_SNIFF_HEADERS = ["Class ID", "Class Name", "Property ID", "Property Name", "Type"]
+
+
+def is_model_file(headers: list[str]) -> bool:
+    """Manifest::is_model_file (manifest/mod.rs:763-773): a file counts
+    as a model file only when ALL five sniff headers are present."""
+    return all(h in headers for h in MODEL_SNIFF_HEADERS)
+
+
+def compile_vocabulary(manifest: Manifest, base_path: str | Path, strict: bool = False,
+                       sniff_model_files: bool = False) -> VocabularyMap:
+    return VocabularyCompiler(manifest, base_path, strict, sniff_model_files).compile()
 
 
 def accumulate_picklist_one_of(

@@ -102,3 +102,36 @@ def test_fixture_corpus_has_no_violations(spark, manifest, vocab):
     _, violations = build_instance_outputs(spark, manifest, vocab, FIXTURES, strict=True)
     rows = violations.collect()
     assert rows == [], f"false-positive violations: {rows[:5]}"
+
+
+@pytest.mark.skipif(not os.path.isdir(FIXTURES), reason="reference fixtures absent")
+def test_csv_model_sniff_parity_rejects_fixture_models():
+    """P7 parity, faithful and opt-in: the reference applies
+    Manifest::is_model_file to every CSV model step
+    (vocabulary/processor.rs:265-272, manifest/mod.rs:763-773) and —
+    because none of its own fixture model files carry all five sniff
+    headers — skips ALL of them with a warning each. With
+    sniff_model_files=True this engine reproduces exactly that: an
+    empty vocabulary plus one skip-warning per model step. The default
+    (False) keeps documented deviation #1: fixtures compile."""
+    from csv_to_jsonld_processor_spark.vocabulary import (
+        MODEL_SNIFF_HEADERS,
+        VocabularyCompiler,
+        is_model_file,
+    )
+
+    m = Manifest.from_file(os.path.join(FIXTURES, "manifest-total.jsonc"))
+
+    c = VocabularyCompiler(m, FIXTURES, sniff_model_files=True)
+    vocab = c.compile()
+    n_model_steps = len(m.model.sequence)
+    skip_warnings = [w for w in c.warnings if "does not appear to be a model file" in w]
+    assert len(skip_warnings) == n_model_steps > 0
+    assert not vocab.classes and not vocab.properties  # reference behavior
+
+    # default: deviation #1 — the fixture compiles into a real vocabulary
+    assert compile_vocabulary(m, FIXTURES).classes
+
+    # and the sniff itself is faithful: a header set WITH all five passes
+    assert is_model_file(MODEL_SNIFF_HEADERS + ["Extra"])
+    assert not is_model_file(MODEL_SNIFF_HEADERS[:-1])
