@@ -91,11 +91,94 @@ def commit_snapshot(spark: SparkSession, df: DataFrame, table_dir: str) -> int:
     cur = current_snapshot_id(table_dir)
     new_id = 0 if cur is None else cur + 1
     df.write.mode("overwrite").parquet(_snap_dir(table_dir, new_id))
+    # manifest belongs to the generation: written before the flip, so a
+    # crash leaves it orphaned along with the data it describes
+    _write_manifest(_snap_dir(table_dir, new_id))
     tmp = os.path.join(table_dir, "CURRENT.tmp")
     with open(tmp, "w") as f:
         f.write(str(new_id))
     os.replace(tmp, os.path.join(table_dir, "CURRENT"))
     return new_id
+
+
+def _write_manifest(snap_dir: str) -> dict:
+    """Iceberg-style per-file column stats, harvested from the parquet
+    FOOTERS (pyarrow metadata — no data scan): {file: {col: [min, max],
+    ...}, "_rows": n}. Written next to the snapshot as
+    ``_manifest.json`` so readers can skip whole files by predicate
+    before Spark ever lists them — at 100 TB this manifest layer (not
+    directory listing) is what makes a pinned-snapshot read O(matching
+    files)."""
+    import glob
+    import json
+
+    import pyarrow.parquet as pq
+
+    entries: dict = {}
+    for f in sorted(glob.glob(os.path.join(snap_dir, "part-*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        cols: dict = {"_rows": md.num_rows}
+        for rg_i in range(md.num_row_groups):
+            rg = md.row_group(rg_i)
+            for c_i in range(rg.num_columns):
+                col = rg.column(c_i)
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                name = col.path_in_schema
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes):
+                    continue  # undecoded physical type — skip stats, never prune
+                prev = cols.get(name)
+                if prev is None:
+                    cols[name] = [mn, mx]
+                else:
+                    cols[name] = [min(prev[0], mn), max(prev[1], mx)]
+        entries[os.path.basename(f)] = cols
+    manifest = {"files": entries}
+    with open(os.path.join(snap_dir, "_manifest.json"), "w") as f:
+        json.dump(manifest, f, default=str, indent=1, sort_keys=True)
+    return manifest
+
+
+def read_snapshot_pruned(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    lo,
+    hi,
+    snapshot_id: int | None = None,
+) -> tuple[DataFrame, int, int]:
+    """Manifest-pruned snapshot read: keep only files whose [min, max]
+    for ``col`` overlaps [lo, hi] (files without stats are always kept
+    — pruning must never be lossy), then apply the residual filter.
+    Returns (df, files_read, files_total). Semantically identical to
+    ``read_snapshot(...).where(lo <= col <= hi)``; the difference is
+    the skipped files never reach Spark's file index."""
+    import json
+
+    cur = current_snapshot_id(table_dir)
+    if cur is None:
+        raise ValueError("empty table")
+    sid = cur if snapshot_id is None else snapshot_id
+    if sid > cur or sid < 0:
+        raise ValueError(f"snapshot {sid} not committed (CURRENT={cur})")
+    d = _snap_dir(table_dir, sid)
+    with open(os.path.join(d, "_manifest.json")) as f:
+        manifest = json.load(f)
+    keep = []
+    total = 0
+    for fname, cols in manifest["files"].items():
+        total += 1
+        rng = cols.get(col)
+        if rng is None or not (rng[1] < lo or rng[0] > hi):
+            keep.append(os.path.join(d, fname))
+    df = (
+        spark.read.parquet(*keep)
+        if keep
+        else read_snapshot(spark, table_dir, sid).limit(0)
+    )
+    return df.where(F.col(col).between(lo, hi)), len(keep), total
 
 
 def upsert_snapshot(

@@ -114,3 +114,33 @@ def test_expire_keeps_current_readable(spark, tmp_path):
     assert read_snapshot(spark, d, 2).count() == 30
     with pytest.raises(ValueError):
         read_snapshot(spark, d, 0)
+
+
+def test_manifest_pruning_skips_files(spark, tmp_path):
+    """Iceberg-style file skipping: a snapshot written range-partitioned
+    on the key carries per-file min/max in its manifest; a bounded read
+    opens only the overlapping files and still returns exactly the
+    full-scan answer."""
+    from pyspark.sql import functions as F
+
+    from csv_to_jsonld_processor_spark.operators.snapshots import (
+        commit_snapshot,
+        read_snapshot,
+        read_snapshot_pruned,
+    )
+    from csv_to_jsonld_processor_spark.session import load_tables
+
+    cust = load_tables(spark, SF)["customer"].select("c_custkey", "c_acctbal")
+    d = str(tmp_path / "t")
+    commit_snapshot(spark, cust.repartitionByRange(8, "c_custkey"), d)
+
+    lo, hi = 10, 40
+    pruned, n_read, n_total = read_snapshot_pruned(spark, d, "c_custkey", lo, hi)
+    assert n_total == 8 and n_read < n_total  # files actually skipped
+    full = read_snapshot(spark, d).where(F.col("c_custkey").between(lo, hi))
+    assert {tuple(r) for r in pruned.collect()} == {tuple(r) for r in full.collect()}
+    assert pruned.count() > 0
+
+    # a column with no stats usable for the range → nothing pruned, never lossy
+    _all, n_read2, n_total2 = read_snapshot_pruned(spark, d, "c_acctbal", -1e9, 1e9)
+    assert n_read2 == n_total2
