@@ -91,6 +91,20 @@ ORDER BY nationkey
 """
 
 
+# explicit GROUPING SETS with GROUPING() disambiguation of the NULL
+# produced by a super-aggregate row vs a NULL in the data
+SHARED_GROUPING_SETS_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+ORDER BY g_priority, g_status, o_orderpriority, o_orderstatus
+"""
+
+
 # set operators: urgent-ordering BUILDING customers minus the ones who
 # also placed a low-priority order
 SHARED_SETOPS_SQL = """
@@ -132,5 +146,9 @@ SQL_SURFACE_QUERIES: dict[str, tuple] = {
     "sql_shared_setops": (
         _shared_sql_query(SHARED_SETOPS_SQL, "customer", "orders"),
         SHARED_SETOPS_SQL,
+    ),
+    "sql_shared_grouping_sets": (
+        _shared_sql_query(SHARED_GROUPING_SETS_SQL, "orders"),
+        SHARED_GROUPING_SETS_SQL,
     ),
 }
