@@ -48,6 +48,13 @@ BENCH_QUERIES = [
     "events_trending_topk",
     "doc_quality_model",
     "events_value_quantile_sketch",
+    # round-5 additions (absent from earlier BENCH_r* runs — cross-round
+    # totals compare via round1_subset_seconds)
+    "doc_dsir_weights",
+    "table_time_travel",
+    "events_stream_join",
+    "sql_shared_grouping_sets",
+    "media_png_stats",
 ]
 
 
