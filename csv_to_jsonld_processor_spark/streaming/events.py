@@ -532,15 +532,27 @@ def events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     views = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d_v)
     purchases = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d_p)
-    q = (
-        attribution_join_stream(views, purchases)
-        .writeStream.format("memory")
-        .queryName("events_attrib_join")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # state-store instance count is pinned to shuffle partitions at
+    # stream START; this drain holds a few thousand keys, so 8 state
+    # shards bound the per-trigger store open/commit overhead (32 shards
+    # cost ~3x wall here). Production sizes state partitions to key
+    # cardinality / executor count — a capacity decision, made here
+    # explicitly and restored after.
+    conf_key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "8")
+    try:
+        q = (
+            attribution_join_stream(views, purchases)
+            .writeStream.format("memory")
+            .queryName("events_attrib_join")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(conf_key, prev)
     out = spark.table("events_attrib_join")
     return (
         out.groupBy(F.col("v_user").alias("user_id"))
