@@ -163,7 +163,122 @@ ORDER BY event_type
 """
 
 
+# --- Count-Min Sketch heavy hitters -----------------------------------------
+#
+# Unlike HLL/t-digest, a CMS built from DETERMINISTIC hash rows is
+# bit-identical in any engine — so here the sketch itself is in the
+# output contract, no tolerance boolean needed. Construction is pure
+# relational algebra: each item contributes D (row, bucket) pairs, the
+# counter matrix is ONE partial-aggregated groupBy (D·W counters — the
+# shuffle carries a fixed-size matrix regardless of corpus size, the
+# whole point at 100 TB), and a point estimate is min over D counters.
+# The CMS guarantee (estimate >= exact, always) is part of the output.
+
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+CMS_TOP_N = 10
+
+
+def _cms_bucket_sql(d: int, item: str) -> str:
+    """Engine-shared bucket hash: first 8 md5 hex chars of 'd:item' as
+    u32 mod width — same text works in Spark SQL (conv) and the DuckDB
+    oracle builds the identical value via 0x-cast."""
+    return f"CAST(CONV(SUBSTRING(MD5(CONCAT('{d}:', {item})), 1, 8), 16, 10) AS BIGINT) % {CMS_WIDTH}"
+
+
+def events_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters over the event stream via Count-Min Sketch: the
+    top-{CMS_TOP_N} users by exact event count, each with its CMS
+    point estimate (min over {CMS_DEPTH} deterministic hash rows of a
+    {CMS_DEPTH}x{CMS_WIDTH} counter matrix) and the error the sketch's
+    collision bound produced. ``never_under`` pins the CMS one-sided
+    guarantee in-plan."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select(F.col("user_id").cast("string").alias("item"))
+    pairs = F.array(
+        *[
+            F.expr(f"struct({d} AS d, {_cms_bucket_sql(d, 'item')} AS bucket)")
+            for d in range(CMS_DEPTH)
+        ]
+    )
+    counters = (
+        ev.select(F.explode(pairs).alias("p"))
+        .groupBy("p.d", "p.bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = (
+        ev.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.desc("exact_n"), F.asc("item"))),
+        )
+        .where(F.col("rk") <= CMS_TOP_N)
+    )
+    probes = top.select(
+        "item",
+        "exact_n",
+        "rk",
+        F.explode(
+            F.array(
+                *[
+                    F.expr(f"struct({d} AS d, {_cms_bucket_sql(d, 'item')} AS bucket)")
+                    for d in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("p"),
+    ).select("item", "exact_n", "rk", "p.d", "p.bucket")
+    return (
+        probes.join(F.broadcast(counters), ["d", "bucket"])
+        .groupBy("item", "exact_n", "rk")
+        .agg(F.min("c").alias("cms_estimate"))
+        .select(
+            F.col("item").cast("long").alias("user_id"),
+            F.col("exact_n").cast("long").alias("exact_n"),
+            F.col("cms_estimate").cast("long").alias("cms_estimate"),
+            (F.col("cms_estimate") - F.col("exact_n")).cast("long").alias("overcount"),
+            (F.col("cms_estimate") >= F.col("exact_n")).alias("never_under"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+        .orderBy("rk")
+    )
+
+
+def _cms_oracle_bucket(d: int, item: str) -> str:
+    return f"CAST(('0x' || substr(md5('{d}:' || {item}), 1, 8)) AS BIGINT) % {CMS_WIDTH}"
+
+
+EVENTS_CMS_SQL = f"""
+WITH items AS (
+  SELECT CAST(user_id AS VARCHAR) AS item FROM events
+), pairs AS (
+  {" UNION ALL ".join(f"SELECT item, {d} AS d, {_cms_oracle_bucket(d, 'item')} AS bucket FROM items" for d in range(CMS_DEPTH))}
+), counters AS (
+  SELECT d, bucket, COUNT(*) AS c FROM pairs GROUP BY d, bucket
+), top AS (
+  SELECT item, COUNT(*) AS exact_n,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, item ASC) AS rk
+  FROM items GROUP BY item
+  QUALIFY rk <= {CMS_TOP_N}
+), probes AS (
+  {" UNION ALL ".join(f"SELECT item, exact_n, rk, {d} AS d, {_cms_oracle_bucket(d, 'item')} AS bucket FROM top" for d in range(CMS_DEPTH))}
+)
+SELECT CAST(p.item AS BIGINT) AS user_id,
+       CAST(p.exact_n AS BIGINT) AS exact_n,
+       CAST(MIN(c.c) AS BIGINT) AS cms_estimate,
+       CAST(MIN(c.c) - p.exact_n AS BIGINT) AS overcount,
+       MIN(c.c) >= p.exact_n AS never_under,
+       CAST(p.rk AS INT) AS rk
+FROM probes p JOIN counters c ON c.d = p.d AND c.bucket = p.bucket
+GROUP BY p.item, p.exact_n, p.rk
+ORDER BY rk
+"""
+
+
 SKETCH_QUERIES: dict[str, tuple] = {
     "events_daily_users_sketch": (events_daily_users_sketch, EVENTS_SKETCH_SQL),
     "events_value_quantile_sketch": (events_value_quantile_sketch, EVENTS_QUANTILE_SKETCH_SQL),
+    "events_heavy_hitters_cms": (events_heavy_hitters_cms, EVENTS_CMS_SQL),
 }

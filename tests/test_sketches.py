@@ -50,3 +50,21 @@ def test_quantile_sketch_within_band_and_exact_is_rank_exact(spark):
         p50 = round(xs[math.ceil(len(xs) * 0.5) - 1], 6)
         p90 = round(xs[math.ceil(len(xs) * 0.9) - 1], 6)
         assert (got[et].p50, got[et].p90) == (p50, p90), et
+
+
+def test_cms_never_underestimates_and_is_tight_here(spark):
+    """The Count-Min guarantee (estimate >= exact, always) must hold for
+    every probed item, and at 500 users x 4x64 counters the top-10
+    estimates should be within the classic eps*N bound."""
+    from csv_to_jsonld_processor_spark.operators.sketches import (
+        CMS_WIDTH,
+        events_heavy_hitters_cms,
+    )
+
+    rows = events_heavy_hitters_cms(spark, SF).collect()
+    assert len(rows) == 10
+    assert all(r.never_under for r in rows)
+    n_total = 10_000  # sf0.01 events table size
+    for r in rows:
+        assert r.cms_estimate == r.exact_n + r.overcount
+        assert r.overcount <= (2.0 * n_total) / CMS_WIDTH  # e/W * N style bound
