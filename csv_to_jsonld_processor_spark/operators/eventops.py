@@ -277,7 +277,71 @@ FROM p GROUP BY 1 ORDER BY event_type
 """
 
 
+def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured processing through Spark 4's VARIANT type:
+    ``try_parse_json`` → binary variant column → typed
+    ``try_variant_get`` extraction. VARIANT's cast semantics are
+    CAST-like, NOT from_json's strict nulls: JSON doubles truncate
+    toward zero (3.7→3, −3.5→−3), integer-pattern strings coerce
+    (" 7 "→7 but "3.5"→null — no float parse), booleans become 1/0.
+    The oracle mirrors each rule via a json_type dispatch (measured
+    semantics pinned cross-engine on hostile shapes by
+    tests/test_eventops.py::test_props_variant_coercion_contract)."""
+    t = load_tables(spark, sf_dir)
+    return props_variant_agg(t["events"])
+
+
+def props_variant_agg(events: DataFrame) -> DataFrame:
+    v = F.try_parse_json("props")
+    k = F.try_variant_get(v, "$.k", "int")
+    return (
+        events.select("event_type", v.alias("_v"), k.alias("_k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("_v").isNull().cast("int")).cast("long").alias("n_bad_json"),
+            F.sum(F.col("_k").isNull().cast("int")).cast("long").alias("n_null_k"),
+            F.min("_k").alias("min_k"),
+            F.max("_k").alias("max_k"),
+            F.sum("_k").cast("long").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# json_type dispatch reproducing try_variant_get(..., 'int') exactly:
+# BIGINT/UBIGINT parse (overflow→null), DOUBLE truncates toward zero,
+# BOOLEAN maps to 1/0, VARCHAR coerces only strict integer patterns
+# (DuckDB's bare TRY_CAST would ROUND '3.5' to 4 — hence the regex).
+EVENTS_PROPS_VARIANT_SQL = """
+WITH p AS (
+  SELECT event_type,
+         (props IS NULL OR NOT json_valid(props)) AS bad,
+         CASE WHEN props IS NOT NULL AND json_valid(props) THEN
+           CASE json_type(json_extract(props, '$.k'))
+             WHEN 'BIGINT' THEN TRY_CAST(json_extract_string(props, '$.k') AS INT)
+             WHEN 'UBIGINT' THEN TRY_CAST(json_extract_string(props, '$.k') AS INT)
+             WHEN 'DOUBLE' THEN TRY_CAST(TRUNC(CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS INT)
+             WHEN 'BOOLEAN' THEN CASE WHEN json_extract_string(props, '$.k') = 'true' THEN 1 ELSE 0 END
+             WHEN 'VARCHAR' THEN CASE WHEN regexp_matches(TRIM(json_extract_string(props, '$.k')), '^[+-]?[0-9]+$')
+                                      THEN TRY_CAST(TRIM(json_extract_string(props, '$.k')) AS INT) END
+           END
+         END AS k
+  FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_json,
+       CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_k,
+       MIN(k) AS min_k,
+       MAX(k) AS max_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k
+FROM p GROUP BY 1 ORDER BY event_type
+"""
+
+
 EVENTOPS_QUERIES: dict[str, tuple] = {
+    "events_props_variant": (events_props_variant, EVENTS_PROPS_VARIANT_SQL),
     "events_purchase_anomalies": (events_purchase_anomalies, EVENTS_ANOMALY_SQL),
     "events_funnel": (events_funnel, EVENTS_FUNNEL_SQL),
     "events_retention_cohorts": (events_retention_cohorts, EVENTS_RETENTION_SQL),

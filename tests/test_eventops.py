@@ -61,3 +61,38 @@ def test_props_json_malformed_k_contract(spark):
     assert by_type["a"] == ("a", 4, 2, -3, 7, 4)
     assert by_type["b"] == ("b", 4, 4, None, None, None)
     assert by_type["c"] == ("c", 5, 4, 5, 5, 5)
+
+
+VARIANT_PROPS = PINNED_PROPS + [
+    ("d", '{"k": 3.7}'),    # double truncates toward zero -> 3
+    ("d", '{"k": -3.5}'),   # -> -3 (toward zero, not floor)
+    ("d", '{"k": " 7 "}'),  # trimmed integer string coerces -> 7
+    ("d", '{"k": "+42"}'),  # signed integer string
+    ("d", '{"k": 1e2}'),    # JSON double notation -> 100
+    ("d", '{"k": false}'),  # -> 0
+]
+
+
+def test_props_variant_coercion_contract(spark):
+    """VARIANT's CAST-like coercion must match the oracle's json_type
+    dispatch on every hostile shape — including the ones where a naive
+    DuckDB TRY_CAST would diverge (it rounds '3.5' to 4; variant nulls
+    it)."""
+    from csv_to_jsonld_processor_spark.operators.eventops import (
+        EVENTS_PROPS_VARIANT_SQL,
+        props_variant_agg,
+    )
+
+    df = spark.createDataFrame(VARIANT_PROPS, schema="event_type string, props string")
+    got = [tuple(r) for r in props_variant_agg(df).collect()]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events (event_type VARCHAR, props VARCHAR)")
+    con.executemany("INSERT INTO events VALUES (?, ?)", VARIANT_PROPS)
+    want = con.execute(EVENTS_PROPS_VARIANT_SQL).fetchall()
+    assert got == want
+    by_type = {r[0]: r for r in got}
+    # group d: all six coerce -> 3, -3, 7, 42, 100, 0
+    assert by_type["d"] == ("d", 6, 0, 0, -3, 100, 149)
+    # group a: 7, -3, 3.5->3, "7"->7 (variant coerces; from_json did not)
+    assert by_type["a"] == ("a", 4, 0, 0, -3, 7, 14)
