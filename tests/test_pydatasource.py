@@ -1,0 +1,53 @@
+"""Custom Python DataSource connector (Spark 4 DataSource API): the
+synthetic page corpus mounted as spark.read.format("synthpages")."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from csv_to_jsonld_processor_spark.session import get_spark
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_spark("pydatasource", cpus=8)
+    from csv_to_jsonld_processor_spark.sources.pydatasource import register
+
+    register(s)
+    return s
+
+
+def test_source_equals_generator(spark):
+    """format('synthpages') must produce byte-identical rows to the
+    mapInPandas generator — same page function, different plumbing."""
+    from csv_to_jsonld_processor_spark.sources.pages import generate_pages
+
+    via_source = spark.read.format("synthpages").option("n", 300).option("seed", 7).load()
+    assert via_source.schema.simpleString() == generate_pages(spark, 1, seed=7).schema.simpleString()
+    a = {tuple(r) for r in via_source.collect()}
+    b = {tuple(r) for r in generate_pages(spark, 300, seed=7).collect()}
+    assert a == b and len(a) == 300
+
+
+def test_partition_planning(spark):
+    """Partition count is honored (one task per planned index range) and
+    ranges tile [0, n) exactly — no duplicated or dropped pages."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.read.format("synthpages")
+        .option("n", 1000)
+        .option("partitions", 5)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 5
+    assert df.count() == 1000
+    assert df.select(F.countDistinct("url")).first()[0] == 1000
+
+
+def test_bad_options_fail_loudly(spark):
+    with pytest.raises(Exception):
+        spark.read.format("synthpages").option("partitions", 0).load().count()
