@@ -20,7 +20,12 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 from .pages import PAGES_SCHEMA, page_record
 
@@ -77,6 +82,56 @@ class SyntheticPagesReader(DataSourceReader):
             )
 
 
+class SyntheticPagesStreamReader(DataSourceStreamReader):
+    """Streaming form of the connector: a crawl-feed that emits pages in
+    index order, ``rows_per_batch`` per micro-batch up to ``n``. Offsets
+    are plain dicts ({"index": k}) checkpointed by the engine — restart
+    resumes from the committed offset, and replayed (start, end) ranges
+    regenerate identical rows (deterministic page function), which is
+    the exactly-once contract a custom streaming connector must hold.
+    Partition planning splits each micro-batch's index range across
+    ``partitions`` tasks, same as the batch reader."""
+
+    def __init__(self, options: dict):
+        self.n = int(options.get("n", 1000))
+        self.seed = int(options.get("seed", 42))
+        self.rows_per_batch = int(options.get("rows_per_batch", 250))
+        self.num_partitions = int(options.get("partitions", 4))
+        self._cursor = 0  # rate-limit state, driver-side
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def latestOffset(self) -> dict:
+        # rate limiting lives HERE (the engine plans (committed, latest)
+        # as one batch, so clamping anywhere else would desync the
+        # checkpoint): an internal cursor advances rows_per_batch per
+        # call. After a restart the fresh cursor trails the checkpointed
+        # offset and the first trigger(s) plan empty batches until it
+        # catches up — self-healing, because offsets only ever move
+        # forward and ranges regenerate identically.
+        self._cursor = min(self._cursor + self.rows_per_batch, self.n)
+        return {"index": self._cursor}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["index"]), int(end["index"])
+        per = -(-(hi - lo) // self.num_partitions) if hi > lo else 0
+        out = []
+        for p in range(self.num_partitions):
+            a, b = lo + p * per, min(lo + (p + 1) * per, hi)
+            if a < b:
+                out.append(IndexRange(a, b, self.seed))
+        return out or [IndexRange(lo, lo, self.seed)]
+
+    def read(self, partition: IndexRange):
+        for i in range(partition.start, partition.end):
+            r = page_record(i, partition.seed)
+            yield (r["url"], r["warc_ts"], r["html"], r["text"], r["lang"])
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing upstream to ack; checkpoint holds the offset
+
+
 class SyntheticPagesDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -87,6 +142,9 @@ class SyntheticPagesDataSource(DataSource):
 
     def reader(self, schema) -> SyntheticPagesReader:
         return SyntheticPagesReader(self.options)
+
+    def streamReader(self, schema) -> SyntheticPagesStreamReader:
+        return SyntheticPagesStreamReader(self.options)
 
 
 def register(spark) -> None:

@@ -51,3 +51,56 @@ def test_partition_planning(spark):
 def test_bad_options_fail_loudly(spark):
     with pytest.raises(Exception):
         spark.read.format("synthpages").option("partitions", 0).load().count()
+
+
+def test_stream_reader_exactly_once_across_restart(spark, tmp_path):
+    """readStream.format('synthpages'): offset-managed micro-batches
+    (rows_per_batch per trigger), checkpointed file sink, and a
+    mid-stream restart — the final table must hold each page exactly
+    once and equal the batch reader's corpus. Also exercises the
+    self-healing rate-limit cursor documented in latestOffset."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    N = 600
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def start():
+        return (
+            spark.readStream.format("synthpages")
+            .option("n", N)
+            .option("rows_per_batch", 200)
+            .option("partitions", 2)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+    def rows_written() -> int:
+        try:
+            return spark.read.parquet(out).count()
+        except Exception:
+            return 0
+
+    q = start()
+    deadline = time.time() + 120
+    while rows_written() < 200 and time.time() < deadline:
+        time.sleep(0.5)
+    q.stop()
+    assert rows_written() >= 200  # partial progress before the "crash"
+
+    q2 = start()
+    deadline = time.time() + 180
+    while rows_written() < N and time.time() < deadline:
+        time.sleep(0.5)
+    q2.stop()
+
+    got = spark.read.parquet(out)
+    assert got.count() == N  # exactly once: no gaps, no replays
+    assert got.select(F.countDistinct("url")).first()[0] == N
+    batch = {tuple(r) for r in spark.read.format("synthpages").option("n", N).load().collect()}
+    assert {tuple(r) for r in got.collect()} == batch
