@@ -1100,7 +1100,131 @@ FROM per_doc GROUP BY lang ORDER BY lang
 """
 
 
+# --- bigram-LM quality scoring (the CCNet perplexity-filter shape) ----------
+
+LM_SCALE = 1_000_000
+
+
+def doc_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality scoring, the CCNet recipe shape: fit a
+    bigram LM on the in-domain ('en') slice, score every document by
+    how well the model predicts its token sequence, aggregate per
+    language (out-of-domain text scores low — the filter signal).
+
+    Cross-engine exactness (same trick as DSIR/kmeans): instead of
+    summed log-probabilities (libm log ULPs differ between JVM and C),
+    each bigram contributes the QUANTIZED Laplace-smoothed probability
+    q = round(S·(cnt(c,w)+1)/(cnt(c)+V)) — one exact-operand IEEE
+    division then round, identical in both engines — and the document
+    score is the exact BIGINT sum of its bigrams' q (mean reported as
+    sum/n, both exact ints). Unseen bigram → q = round(S·1/(cnt(c)+V));
+    unseen context → round(S·1/V).
+
+    Scale shape: bigram extraction is the shuffle-free
+    transform(sequence) pattern (kg_cooccurrence_edges); the LM is two
+    partial-aggregated counts; scoring joins the doc bigram stream to
+    the (ctx, w) count table — an equi-join that shuffles the distinct
+    bigram vocabulary, NOT the corpus; production prunes the LM to a
+    top-K table + default (the CCNet practice), making the join
+    broadcast."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].withColumn(
+        "_toks", F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
+    )
+    bigrams = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(_toks) - 1, 0)),"
+                " i -> struct(_toks[i-1] AS ctx, _toks[i] AS w))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "lang", "bg.ctx", "bg.w")
+
+    en = bigrams.where(F.col("lang") == "en")
+    cw = en.groupBy("ctx", "w").agg(F.count(F.lit(1)).alias("n_cw"))
+    c = en.groupBy("ctx").agg(F.count(F.lit(1)).alias("n_c"))
+    vocab = (
+        docs.where(F.col("lang") == "en")
+        .select(F.explode("_toks").alias("tok"))
+        .agg(F.countDistinct("tok").alias("_V"))
+    )
+
+    scored = (
+        bigrams.join(cw, ["ctx", "w"], "left")
+        .join(c, ["ctx"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "lang",
+            F.round(
+                F.lit(LM_SCALE)
+                * (F.coalesce(F.col("n_cw"), F.lit(0)) + 1)
+                / (F.coalesce(F.col("n_c"), F.lit(0)) + F.col("_V")),
+                0,
+            )
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id", "lang").agg(
+        F.sum("q").cast("long").alias("sum_q"), F.count(F.lit(1)).alias("n_bg")
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("sum_q").cast("long").alias("total_q"),
+            F.sum("n_bg").cast("long").alias("total_bigrams"),
+            F.max("sum_q").alias("max_doc_q"),
+            F.min("sum_q").alias("min_doc_q"),
+        )
+        .orderBy("lang")
+    )
+
+
+DOC_BIGRAM_LM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         string_split(lower(trim(regexp_replace(text,'\\s+',' ','g'))), ' ') AS tk
+  FROM documents
+), bigrams AS (
+  SELECT doc_id, lang, bg.ctx AS ctx, bg.w AS w FROM (
+    SELECT doc_id, lang,
+           unnest(list_transform(generate_series(1, greatest(len(tk) - 1, 0)),
+                  i -> struct_pack(ctx := tk[i], w := tk[i+1]))) AS bg
+    FROM toks)
+), cw AS (
+  SELECT ctx, w, COUNT(*) AS n_cw FROM bigrams WHERE lang = 'en' GROUP BY ctx, w
+), c AS (
+  SELECT ctx, COUNT(*) AS n_c FROM bigrams WHERE lang = 'en' GROUP BY ctx
+), v AS (
+  SELECT COUNT(DISTINCT tok) AS _V FROM (
+    SELECT unnest(tk) AS tok FROM toks WHERE lang = 'en')
+), scored AS (
+  SELECT b.doc_id, b.lang,
+         CAST(ROUND({LM_SCALE} * (COALESCE(cw.n_cw, 0) + 1.0)
+                    / (COALESCE(c.n_c, 0) + v._V), 0) AS BIGINT) AS q
+  FROM bigrams b
+  LEFT JOIN cw ON cw.ctx = b.ctx AND cw.w = b.w
+  LEFT JOIN c ON c.ctx = b.ctx
+  CROSS JOIN v
+), per_doc AS (
+  SELECT doc_id, lang, CAST(SUM(q) AS BIGINT) AS sum_q, COUNT(*) AS n_bg
+  FROM scored GROUP BY doc_id, lang
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(sum_q) AS BIGINT) AS total_q,
+       CAST(SUM(n_bg) AS BIGINT) AS total_bigrams,
+       MAX(sum_q) AS max_doc_q,
+       MIN(sum_q) AS min_doc_q
+FROM per_doc GROUP BY lang ORDER BY lang
+"""
+
+
 TEXT_QUERIES: dict[str, tuple] = {
+    "doc_bigram_lm_score": (doc_bigram_lm_score, DOC_BIGRAM_LM_SQL),
     "doc_dsir_weights": (doc_dsir_weights, DOC_DSIR_SQL),
     "doc_token_stats": (doc_token_stats, DOC_TOKEN_STATS_SQL),
     "doc_bpe_token_count": (doc_bpe_token_count, DOC_BPE_SQL),

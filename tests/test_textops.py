@@ -1,0 +1,36 @@
+"""Text-op properties beyond the oracle hash: the bigram LM actually
+carries the in-domain signal the CCNet-style filter relies on."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from csv_to_jsonld_processor_spark.session import get_spark
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    return get_spark("textops", cpus=8)
+
+
+def test_bigram_lm_prefers_in_domain_text(spark):
+    """The 'en'-trained bigram LM must assign a strictly higher mean
+    per-bigram probability to en documents than to every other
+    language — the discriminative signal that makes LM scoring a
+    usable quality filter (measured gap at sf0.01: ~6%)."""
+    from csv_to_jsonld_processor_spark.operators.textops import doc_bigram_lm_score
+
+    rows = {r.lang: r for r in doc_bigram_lm_score(spark, SF).collect()}
+    assert set(rows) == {"en", "de", "es", "fr", "zh"}
+    mean_q = {lang: r.total_q / r.total_bigrams for lang, r in rows.items()}
+    for lang, mq in mean_q.items():
+        if lang != "en":
+            assert mean_q["en"] > mq * 1.02, (lang, mean_q)
+    # scores are exact integers; totals reconcile
+    for r in rows.values():
+        assert r.min_doc_q <= r.max_doc_q and r.total_q > 0
