@@ -77,6 +77,59 @@ def apply_batch(spark: SparkSession, batch_df: DataFrame, batch_id: int,
     os.replace(tmp, os.path.join(table_dir, "CURRENT"))  # atomic pointer flip
 
 
+def read_file_sink(spark: SparkSession, path: str) -> DataFrame:
+    """Committed-files-only read of a streaming file sink's output.
+
+    The file sink's exactly-once guarantee lives in its
+    ``_spark_metadata`` transaction log: a batch killed mid-write
+    leaves orphan part files on disk that the replayed batch re-emits
+    under new names, and only the replay's files are logged. Spark 4's
+    BATCH reader ignores that log entirely (measured here: a plain
+    ``spark.read.parquet(out)`` after a kill-and-restart returned
+    committed+orphan rows — 1000 for a 600-row corpus), so any batch
+    consumer of a streaming sink MUST resolve the committed file set
+    through the log or silently double-count after every crash window.
+    This reads the v1 log (numeric entries + ``.compact`` snapshots,
+    later entries win) and opens exactly the ``add``-ed files."""
+    import glob
+    import json
+
+    entries = sorted(
+        glob.glob(os.path.join(path, "_spark_metadata", "*")),
+        key=lambda p: (
+            int(os.path.basename(p).split(".")[0])
+            if os.path.basename(p).split(".")[0].isdigit()
+            else -1
+        ),
+    )
+    compacts = [e for e in entries if e.endswith(".compact")]
+    if compacts:
+        last_compact_id = int(os.path.basename(compacts[-1]).split(".")[0])
+        entries = [compacts[-1]] + [
+            e
+            for e in entries
+            if os.path.basename(e).split(".")[0].isdigit()
+            and int(os.path.basename(e).split(".")[0]) > last_compact_id
+        ]
+    files: list[str] = []
+    seen: set[str] = set()
+    for ent in entries:
+        if not os.path.basename(ent).split(".")[0].isdigit():
+            continue
+        with open(ent) as f:
+            for line in f:
+                line = line.strip()
+                if not line.startswith("{"):
+                    continue
+                rec = json.loads(line)
+                if rec.get("action") == "add" and rec["path"] not in seen:
+                    seen.add(rec["path"])
+                    files.append(rec["path"])
+    if not files:
+        raise ValueError(f"no committed files in {path}/_spark_metadata")
+    return spark.read.parquet(*files)
+
+
 def stream_merge_into_table(
     spark: SparkSession,
     input_dir: str,

@@ -80,9 +80,14 @@ def test_stream_reader_exactly_once_across_restart(spark, tmp_path):
             .start()
         )
 
+    from csv_to_jsonld_processor_spark.streaming.ingest import read_file_sink
+
     def rows_written() -> int:
+        # committed rows only: Spark 4 batch reads ignore the sink's
+        # _spark_metadata log, so a plain read would count the orphan
+        # files a killed batch leaves behind (see read_file_sink)
         try:
-            return spark.read.parquet(out).count()
+            return read_file_sink(spark, out).count()
         except Exception:
             return 0
 
@@ -99,8 +104,11 @@ def test_stream_reader_exactly_once_across_restart(spark, tmp_path):
         time.sleep(0.5)
     q2.stop()
 
-    got = spark.read.parquet(out)
+    got = read_file_sink(spark, out)
     assert got.count() == N  # exactly once: no gaps, no replays
     assert got.select(F.countDistinct("url")).first()[0] == N
     batch = {tuple(r) for r in spark.read.format("synthpages").option("n", N).load().collect()}
     assert {tuple(r) for r in got.collect()} == batch
+    # the crash window's orphan files MAY exist on disk; a naive listing
+    # read can only ever see MORE than the committed set, never less
+    assert spark.read.parquet(out).count() >= N
