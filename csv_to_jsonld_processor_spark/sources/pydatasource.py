@@ -23,8 +23,8 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
-    DataSourceStreamReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 from .pages import PAGES_SCHEMA, page_record
@@ -82,51 +82,55 @@ class SyntheticPagesReader(DataSourceReader):
             )
 
 
-class SyntheticPagesStreamReader(DataSourceStreamReader):
+class SyntheticPagesStreamReader(SimpleDataSourceStreamReader):
     """Streaming form of the connector: a crawl-feed that emits pages in
-    index order, ``rows_per_batch`` per micro-batch up to ``n``. Offsets
-    are plain dicts ({"index": k}) checkpointed by the engine — restart
-    resumes from the committed offset, and replayed (start, end) ranges
-    regenerate identical rows (deterministic page function), which is
-    the exactly-once contract a custom streaming connector must hold.
-    Partition planning splits each micro-batch's index range across
-    ``partitions`` tasks, same as the batch reader."""
+    index order, ``rows_per_batch`` per micro-batch up to ``n``, through
+    Spark 4's SIMPLE stream-reader API — ``read(start)`` returns the
+    batch's rows AND its end offset, so the reader is the offset
+    authority and the engine can never plan a range the reader didn't
+    declare. That property is load-bearing: this source first shipped on
+    the partitioned ``DataSourceStreamReader`` API, whose engine-driven
+    ``latestOffset`` contract broke exactly-once in two measured ways —
+    (1) after a restart the engine records a fresh rate-limit cursor's
+    stale ``latestOffset`` into the WAL even when it is BEHIND the
+    committed offset, then re-emits the gap (800 rows from a 600-row
+    corpus); (2) ``partitions()`` is invoked more than once per batch
+    and with out-of-order probe ranges at restart, so any in-reader
+    high-water-mark guard either double-plans or clamps a replayed
+    batch to empty (400 rows from a 600-row corpus). With the simple
+    API, replay is engine-managed through ``readBetweenOffsets`` over
+    checkpointed (start, end) pairs, and the deterministic page
+    function regenerates identical rows — exactly-once across restarts
+    is pinned by tests/test_pydatasource.py. The trade: batches are
+    single-partition prefetch (fine for a feed; the partitioned batch
+    reader above carries the parallel-scan story)."""
 
     def __init__(self, options: dict):
         self.n = int(options.get("n", 1000))
         self.seed = int(options.get("seed", 42))
         self.rows_per_batch = int(options.get("rows_per_batch", 250))
-        self.num_partitions = int(options.get("partitions", 4))
-        self._cursor = 0  # rate-limit state, driver-side
 
     def initialOffset(self) -> dict:
         return {"index": 0}
 
-    def latestOffset(self) -> dict:
-        # rate limiting lives HERE (the engine plans (committed, latest)
-        # as one batch, so clamping anywhere else would desync the
-        # checkpoint): an internal cursor advances rows_per_batch per
-        # call. After a restart the fresh cursor trails the checkpointed
-        # offset and the first trigger(s) plan empty batches until it
-        # catches up — self-healing, because offsets only ever move
-        # forward and ranges regenerate identically.
-        self._cursor = min(self._cursor + self.rows_per_batch, self.n)
-        return {"index": self._cursor}
-
-    def partitions(self, start: dict, end: dict):
-        lo, hi = int(start["index"]), int(end["index"])
-        per = -(-(hi - lo) // self.num_partitions) if hi > lo else 0
+    def _rows(self, lo: int, hi: int):
+        # a LIST iterator, not a generator: the engine's prefetch cache
+        # copy.copy()s the iterator to allow re-consumption, and
+        # generators aren't copyable (measured planPartitions failure)
         out = []
-        for p in range(self.num_partitions):
-            a, b = lo + p * per, min(lo + (p + 1) * per, hi)
-            if a < b:
-                out.append(IndexRange(a, b, self.seed))
-        return out or [IndexRange(lo, lo, self.seed)]
+        for i in range(lo, hi):
+            r = page_record(i, self.seed)
+            out.append((r["url"], r["warc_ts"], r["html"], r["text"], r["lang"]))
+        return iter(out)
 
-    def read(self, partition: IndexRange):
-        for i in range(partition.start, partition.end):
-            r = page_record(i, partition.seed)
-            yield (r["url"], r["warc_ts"], r["html"], r["text"], r["lang"])
+    def read(self, start: dict):
+        lo = int(start["index"])
+        hi = min(lo + self.rows_per_batch, self.n)
+        return self._rows(lo, hi), {"index": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # deterministic regeneration — the replay contract
+        return self._rows(int(start["index"]), int(end["index"]))
 
     def commit(self, end: dict) -> None:
         pass  # nothing upstream to ack; checkpoint holds the offset
@@ -143,7 +147,7 @@ class SyntheticPagesDataSource(DataSource):
     def reader(self, schema) -> SyntheticPagesReader:
         return SyntheticPagesReader(self.options)
 
-    def streamReader(self, schema) -> SyntheticPagesStreamReader:
+    def simpleStreamReader(self, schema) -> SyntheticPagesStreamReader:
         return SyntheticPagesStreamReader(self.options)
 
 
