@@ -761,7 +761,151 @@ ORDER BY term
 """.replace("{LEX}", repr(LEXICON))
 
 
+# --- fuzzy string matching (approximate entity resolution) ------------------
+
+FUZZY_MIN_LEN = 5
+FUZZY_MAX_DIST = 2
+FUZZY_QGRAM = 3
+
+
+def kg_fuzzy_token_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate string matching with q-gram blocking — the ER
+    operator that links misspelled surface forms to a canonical
+    vocabulary without an all-pairs edit-distance scan.
+
+    Workload (fully deterministic, corpus-derived): every distinct
+    document token of length ≥{FUZZY_MIN_LEN} becomes a probe with ONE
+    planted deletion typo (position chosen by md5), then is linked back
+    against the clean vocabulary: candidates must share ≥1 character
+    {FUZZY_QGRAM}-gram (the blocking equi-join — the 100 TB path where
+    levenshtein over all V² pairs is impossible), survivors are scored
+    with levenshtein ≤{FUZZY_MAX_DIST} (bit-identical builtin in both
+    engines), and the best candidate per probe is min-distance with a
+    lexicographic tiebreak. Output: per token length, how many probes
+    matched and how many recovered their original.
+
+    Scale notes: blocking fan-out concentrates on stop-grams ('ing',
+    'ion') exactly like hot shingles in the MinHash path — the same
+    count-based cap (bucket bigger than B → pair with the bucket
+    minimum only) bounds it; the oracled query keeps the exact default
+    at gate scale."""
+    t = load_tables(spark, sf_dir)
+    vocab = (
+        t["documents"]
+        .select(F.explode(F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")).alias("tok"))
+        .where(F.length("tok") >= FUZZY_MIN_LEN)
+        .distinct()
+    )
+    probes, best = fuzzy_link_best(vocab)
+    return (
+        probes.join(best.select("orig", "cand", "dist"), "orig", "left")
+        .groupBy(F.length("orig").cast("int").alias("token_len"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_probes"),
+            F.sum(F.col("cand").isNotNull().cast("int")).cast("long").alias("n_matched"),
+            F.sum((F.col("cand") == F.col("orig")).cast("int")).cast("long").alias("n_correct"),
+            F.sum((F.col("dist") == 0).cast("int")).cast("long").alias("n_exact_collision"),
+        )
+        .orderBy("token_len")
+    )
+
+
+def fuzzy_link_best(vocab: DataFrame, gram_cap: int | None = None) -> tuple[DataFrame, DataFrame]:
+    """The fuzzy-link core over a (tok) vocabulary relation: returns
+    (probes(orig, dirty), best(orig, cand, dist)). Factored so the
+    stress pytest can drive it over a large synthetic wordlist.
+
+    ``gram_cap`` is the 100 TB escape hatch: a stop-gram ('ing', 'ion')
+    whose vocabulary bucket exceeds the cap would fan the blocking join
+    out by |bucket| rows *per probe occurrence* — the same hot-key
+    hazard as hot shingles in the MinHash path (operators/dedup.py).
+    With a cap set, grams whose vocab frequency > cap are dropped from
+    BOTH sides before the join (classic stop-gram pruning): the join
+    fan-out per surviving gram is bounded by the cap, at the cost of
+    missing only tokens composed *entirely* of ultra-common grams.
+    Frequencies come from one extra agg over v_grams — no collect; the
+    filter rides as a broadcast-able (gram) anti-set via a join."""
+    # planted deletion: drop the (h % len)+1-th character
+    probes = vocab.select(
+        F.col("tok").alias("orig"),
+        F.expr(
+            "concat(substring(tok, 1, CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT) % length(tok)),"
+            " substring(tok, CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT) % length(tok) + 2))"
+        ).alias("dirty"),
+    )
+    grams = "transform(sequence(1, length({c}) - {q} + 1), i -> substring({c}, i, {q}))"
+    p_grams = probes.select(
+        "orig", "dirty", F.explode(F.expr(grams.format(c="dirty", q=FUZZY_QGRAM))).alias("gram")
+    ).distinct()
+    v_grams = vocab.select(
+        F.col("tok").alias("cand"), F.explode(F.expr(grams.format(c="tok", q=FUZZY_QGRAM))).alias("gram")
+    ).distinct()
+    if gram_cap is not None:
+        hot = (
+            v_grams.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > gram_cap)
+            .select("gram")
+        )
+        v_grams = v_grams.join(F.broadcast(hot), "gram", "left_anti")
+        p_grams = p_grams.join(F.broadcast(hot), "gram", "left_anti")
+    cands = (
+        p_grams.join(v_grams, "gram")
+        .select("orig", "dirty", "cand")
+        .distinct()
+        .withColumn("dist", F.levenshtein("dirty", "cand"))
+        .where(F.col("dist") <= FUZZY_MAX_DIST)
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("orig", "dirty").orderBy(F.asc("dist"), F.asc("cand"))
+    best = cands.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    return probes, best
+
+
+KG_FUZZY_SQL = f"""
+WITH vocab AS (
+  SELECT DISTINCT tok FROM (
+    SELECT unnest(string_split(lower(trim(regexp_replace(text,'\\s+',' ','g'))), ' ')) AS tok
+    FROM documents)
+  WHERE length(tok) >= {FUZZY_MIN_LEN}
+), probes AS (
+  SELECT tok AS orig,
+         substring(tok, 1, CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) % length(tok))
+         || substring(tok, CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) % length(tok) + 2) AS dirty
+  FROM vocab
+), p_grams AS (
+  SELECT DISTINCT orig, dirty,
+         unnest(list_transform(generate_series(1, length(dirty) - {FUZZY_QGRAM} + 1),
+                i -> substring(dirty, i, {FUZZY_QGRAM}))) AS gram
+  FROM probes
+), v_grams AS (
+  SELECT DISTINCT tok AS cand,
+         unnest(list_transform(generate_series(1, length(tok) - {FUZZY_QGRAM} + 1),
+                i -> substring(tok, i, {FUZZY_QGRAM}))) AS gram
+  FROM vocab
+), cands AS (
+  SELECT DISTINCT orig, dirty, cand, levenshtein(dirty, cand) AS dist
+  FROM p_grams JOIN v_grams USING (gram)
+  WHERE levenshtein(dirty, cand) <= {FUZZY_MAX_DIST}
+), best AS (
+  SELECT orig, cand, dist FROM (
+    SELECT orig, cand, dist,
+           ROW_NUMBER() OVER (PARTITION BY orig, dirty ORDER BY dist ASC, cand ASC) AS rn
+    FROM cands) WHERE rn = 1
+)
+SELECT CAST(length(p.orig) AS INT) AS token_len,
+       COUNT(*) AS n_probes,
+       CAST(SUM(CASE WHEN b.cand IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       CAST(SUM(CASE WHEN b.cand = p.orig THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       CAST(SUM(CASE WHEN b.dist = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_collision
+FROM probes p LEFT JOIN best b ON b.orig = p.orig
+GROUP BY 1 ORDER BY token_len
+"""
+
+
 KG_QUERIES: dict[str, tuple] = {
+    "kg_fuzzy_token_link": (kg_fuzzy_token_link, KG_FUZZY_SQL),
     "kg_triangle_counts": (kg_triangle_counts, KG_TRIANGLES_SQL),
     "kg_clustering_coefficient": (kg_clustering_coefficient, KG_CLUSTERING_SQL),
     "kg_mention_counts": (kg_mention_counts, KG_MENTIONS_SQL),

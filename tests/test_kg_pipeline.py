@@ -379,3 +379,46 @@ def test_triangle_degree_orientation(spark):
     # out-degree 0, so only the leaf-level wedges survive.
     assert w_id >= 900  # planted blow-up is present under id ordering
     assert w_deg * 50 <= w_id  # >=50x fan-out reduction from degree orientation
+
+
+def test_fuzzy_link_recovers_planted_typos(spark):
+    """fuzzy_link_best over a distinctive wordlist: every planted
+    single-deletion probe must link back to its own original (q-gram
+    blocking keeps >=1 shared gram after one deletion when len>=5 and
+    q=3), and the hot-gram cap must bound blocking fan-out without
+    losing recall on tokens that still carry a rare gram."""
+    from pyspark.sql import functions as F
+
+    from csv_to_jsonld_processor_spark.kg.queries import fuzzy_link_best
+
+    # 200 distinctive words: 'wordXYZab' style, pairwise edit distance > 2
+    vocab = spark.range(200).select(
+        F.concat(
+            F.lit("tok"),
+            F.lpad(F.col("id").cast("string"), 3, "0"),
+            F.substring(F.md5(F.col("id").cast("string")), 1, 4),
+        ).alias("tok")
+    )
+    probes, best = fuzzy_link_best(vocab)
+    got = (
+        probes.join(best.select("orig", "cand", "dist"), "orig", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("cand") == F.col("orig")).cast("int")).alias("n_correct"),
+        )
+        .first()
+    )
+    assert got["n"] == 200
+    assert got["n_correct"] == 200  # every typo recovered
+
+    # hot-gram cap: 'tok' + digit grams are shared by ~all 200 words;
+    # capping at 50 drops them, yet the md5 suffix grams are rare, so
+    # recall holds while the candidate pair count shrinks.
+    p_u, b_u = fuzzy_link_best(vocab)
+    p_c, b_c = fuzzy_link_best(vocab, gram_cap=50)
+    n_correct_capped = (
+        p_c.join(b_c.select("orig", "cand"), "orig", "left")
+        .where(F.col("cand") == F.col("orig"))
+        .count()
+    )
+    assert n_correct_capped == 200
