@@ -340,7 +340,64 @@ FROM p GROUP BY 1 ORDER BY event_type
 """
 
 
+def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for each (from_type, to_type) pair of CONSECUTIVE events
+    of the same user (ordered by ts, event_id as the deterministic
+    tiebreak), the transition count and the row-normalized probability.
+    The behavioral generalization of the ordered funnel: the funnel
+    checks one path, this measures the whole transition structure.
+
+    Plan: one window lag over (user_id) — a single hash partition by
+    user that AQE sizes; then a partial-aggregated groupBy on the
+    (from,to) pair whose cardinality is |types|², independent of corpus
+    size. Probability = count / row_total via a broadcast of the
+    |types|-row totals. No Python, no second scan of events."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        t["events"]
+        .select("user_id", "ts", "event_id", "event_type")
+        .withColumn("from_type", F.lag("event_type").over(w))
+        .where(F.col("from_type").isNotNull())
+        .groupBy("from_type", F.col("event_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n_transitions").alias("_row_total"))
+    return (
+        pairs.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            F.round(F.col("n_transitions") / F.col("_row_total"), 6).alias("p_transition"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+EVENTS_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT event_type AS to_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+  FROM events
+), pairs AS (
+  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+  FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2
+), totals AS (
+  SELECT from_type, SUM(n_transitions) AS row_total FROM pairs GROUP BY 1
+)
+SELECT p.from_type, p.to_type, p.n_transitions,
+       ROUND(CAST(p.n_transitions AS DOUBLE) / t.row_total, 6) AS p_transition
+FROM pairs p JOIN totals t USING (from_type)
+ORDER BY from_type, to_type
+"""
+
+
 EVENTOPS_QUERIES: dict[str, tuple] = {
+    "events_type_transitions": (events_type_transitions, EVENTS_TRANSITIONS_SQL),
     "events_props_variant": (events_props_variant, EVENTS_PROPS_VARIANT_SQL),
     "events_purchase_anomalies": (events_purchase_anomalies, EVENTS_ANOMALY_SQL),
     "events_funnel": (events_funnel, EVENTS_FUNNEL_SQL),

@@ -941,6 +941,128 @@ ORDER BY lang
 """
 
 
+# temperature-scaled multilingual sampling (the mT5/XLM alpha-sampling
+# family, alpha = 0.5): p_l proportional to available_l^alpha, which
+# up-weights low-resource languages relative to proportional sampling.
+TEMP_BUDGET_FRAC = 0.6  # sample 60% of the corpus under the tempered mix
+TEMP_W_SCALE = 1_000_000  # sqrt quantization: w_l = floor(sqrt(n_l)*1e6)
+
+
+def doc_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language mixing at alpha = 0.5: each language's
+    target share is sqrt(available_l) / sum_l sqrt(available_l), the
+    budget is floor({TEMP_BUDGET_FRAC} * corpus), and each language
+    contributes its floor(budget * share) (capped at its availability —
+    tempering can over-allocate an extreme tail) smallest-md5-rank docs —
+    deterministic, content-independent, same set on every engine.
+
+    Cross-engine determinism: alpha is 0.5 *specifically* because IEEE
+    sqrt is correctly rounded in both JVM and C libm (pow(x, 0.3) is
+    not); the sqrt is then quantized to BIGINT w_l = floor(sqrt*1e6) so
+    the share denominator is an exact integer sum with no float
+    accumulation order. budget*w_l fits BIGINT through ~1e9 docs/lang;
+    past that the product moves to DECIMAL(38,0) (same discipline as
+    the money aggregates). Scale shape mirrors doc_mixture_sample: the
+    per-lang report rank is a window; the production selection is a
+    hash-threshold two-pass needing no total order."""
+    t = load_tables(spark, sf_dir)
+    from pyspark.sql import Window
+
+    docs = t["documents"].select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))), " ")).alias(
+            "n_tokens"
+        ),
+    )
+    avail = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("available"))
+    w = avail.withColumn(
+        "w", F.floor(F.sqrt(F.col("available").cast("double")) * TEMP_W_SCALE).cast("long")
+    )
+    tot = w.agg(
+        F.sum("w").alias("_W"),
+        F.floor(F.sum("available") * F.lit(TEMP_BUDGET_FRAC)).cast("long").alias("_B"),
+    )
+    quota = (
+        w.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "quota",
+            # clamp: an extreme-tail language's tempered share can exceed
+            # what it actually has (1-doc lang in a 1M corpus gets ~600)
+            F.least(
+                F.floor(F.col("_B") * F.col("w") / F.col("_W")).cast("long"),
+                F.col("available").cast("long"),
+            ),
+        )
+        .withColumn("target_frac", F.round(F.col("w").cast("double") / F.col("_W"), 6))
+        .select("lang", "available", "quota", "target_frac")
+    )
+    ranked = docs.withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        ),
+    )
+    picked = (
+        ranked.join(F.broadcast(quota.select("lang", "quota")), "lang")
+        .where(F.col("_rk") <= F.col("quota"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("sampled"),
+            F.sum("n_tokens").cast("long").alias("sampled_tokens"),
+        )
+    )
+    return (
+        quota.join(picked, "lang")
+        .select(
+            "lang",
+            F.col("available").cast("long").alias("available"),
+            "quota",
+            "target_frac",
+            "sampled",
+            "sampled_tokens",
+        )
+        .orderBy("lang")
+    )
+
+
+DOC_TEMP_MIXTURE_SQL = rf"""
+WITH docs AS (
+  SELECT doc_id, lang,
+         len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS n_tokens
+  FROM documents
+), avail AS (
+  SELECT lang, COUNT(*) AS available FROM docs GROUP BY lang
+), w AS (
+  SELECT lang, available, CAST(floor(sqrt(CAST(available AS DOUBLE)) * {TEMP_W_SCALE}) AS BIGINT) AS w
+  FROM avail
+), tot AS (
+  SELECT CAST(SUM(w) AS BIGINT) AS tw,
+         CAST(floor(SUM(available) * {TEMP_BUDGET_FRAC}) AS BIGINT) AS b
+  FROM w
+), quota AS (
+  SELECT lang, available,
+         LEAST(CAST(floor((SELECT b FROM tot) * w / (SELECT tw FROM tot)) AS BIGINT),
+               CAST(available AS BIGINT)) AS quota,
+         ROUND(CAST(w AS DOUBLE) / (SELECT tw FROM tot), 6) AS target_frac
+  FROM w
+), ranked AS (
+  SELECT doc_id, lang, n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM docs
+), picked AS (
+  SELECT r.lang, CAST(COUNT(*) AS BIGINT) AS sampled, CAST(SUM(n_tokens) AS BIGINT) AS sampled_tokens
+  FROM ranked r JOIN quota q ON r.lang = q.lang
+  WHERE r.rk <= q.quota
+  GROUP BY r.lang
+)
+SELECT q.lang AS lang, CAST(q.available AS BIGINT) AS available, q.quota, q.target_frac,
+       p.sampled, p.sampled_tokens
+FROM quota q JOIN picked p ON q.lang = p.lang
+ORDER BY lang
+"""
+
+
 def doc_source_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus audit: doc counts, language breadth, token
     volume, and a SCHEMA-CONSISTENCY check — rows where the recorded
@@ -1242,5 +1364,6 @@ TEXT_QUERIES: dict[str, tuple] = {
     "doc_train_val_test_split": (doc_train_val_test_split, DOC_SPLIT_SQL),
     "doc_zipf_quality_buckets": (doc_zipf_quality_buckets, DOC_ZIPF_SQL),
     "doc_mixture_sample": (doc_mixture_sample, DOC_MIXTURE_SQL),
+    "doc_temperature_mixture": (doc_temperature_mixture, DOC_TEMP_MIXTURE_SQL),
     "doc_source_audit": (doc_source_audit, DOC_SOURCE_AUDIT_SQL),
 }

@@ -96,3 +96,20 @@ def test_props_variant_coercion_contract(spark):
     assert by_type["d"] == ("d", 6, 0, 0, -3, 100, 149)
     # group a: 7, -3, 3.5->3, "7"->7 (variant coerces; from_json did not)
     assert by_type["a"] == ("a", 4, 0, 0, -3, 7, 14)
+
+
+def test_transition_matrix_rows_are_distributions(spark):
+    """Each from_type row of the Markov matrix must be a probability
+    distribution (sums to 1 within rounding) and the matrix must cover
+    every event type observed as a transition source."""
+    from csv_to_jsonld_processor_spark.operators.eventops import events_type_transitions
+
+    rows = events_type_transitions(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    by_from = {}
+    for r in rows:
+        by_from.setdefault(r["from_type"], []).append(r)
+    for ft, rs in by_from.items():
+        s = sum(r["p_transition"] for r in rs)
+        assert abs(s - 1.0) < 1e-4, (ft, s)
+        assert sum(r["n_transitions"] for r in rs) > 0

@@ -416,3 +416,38 @@ def test_dsir_two_scans_broadcast_scores(spark):
     assert plan.count("Scan parquet") == 2
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_fuzzy_blocking_is_equi_join_no_cartesian(spark):
+    """Fuzzy linking must pair candidates through the q-gram equi-join;
+    an all-pairs levenshtein (cartesian) plan is the 100 TB failure."""
+    from csv_to_jsonld_processor_spark.kg.queries import kg_fuzzy_token_link
+
+    plan = plan_of(kg_fuzzy_token_link(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kcore_pushes_quantity_filter_and_prunes(spark):
+    """The peel's edge build must push l_quantity to the lineitem scan
+    and read only the two lineitem columns it needs."""
+    from csv_to_jsonld_processor_spark.kg.queries import _purchase_edges
+
+    plan = plan_of(_purchase_edges(spark, SF))
+    assert "PushedFilters:" in plan
+    assert "l_quantity" in plan.split("PushedFilters:")[1].split("]")[0]
+    read_schema = [s for s in plan.split("ReadSchema:")[1:] if "l_" in s][0].splitlines()[0]
+    assert "l_comment" not in read_schema and "l_extendedprice" not in read_schema
+
+
+def test_transitions_single_window_then_bounded_agg(spark):
+    """The Markov matrix plan: exactly one window exchange (the per-user
+    lag) feeding partial-aggregated groupBys — no cartesian, no extra
+    scan of events."""
+    from csv_to_jsonld_processor_spark.operators.eventops import events_type_transitions
+
+    plan = plan_of(events_type_transitions(spark, SF))
+    assert plan.count("Window") >= 1
+    assert "CartesianProduct" not in plan
+    # one events scan only: lag + agg reuse it, totals joins the agg output
+    assert plan.count("events.parquet") <= 1 or plan.count("Scan parquet") <= 2

@@ -34,3 +34,27 @@ def test_bigram_lm_prefers_in_domain_text(spark):
     # scores are exact integers; totals reconcile
     for r in rows.values():
         assert r.min_doc_q <= r.max_doc_q and r.total_q > 0
+
+
+def test_temperature_mixture_upweights_low_resource(spark):
+    """alpha=0.5 tempering must give every low-resource language a
+    target share ABOVE its proportional share (and the head language a
+    share below it), with quotas never exceeding availability and the
+    total draw within the budget."""
+    from csv_to_jsonld_processor_spark.operators.textops import (
+        TEMP_BUDGET_FRAC,
+        doc_temperature_mixture,
+    )
+
+    rows = {r["lang"]: r for r in doc_temperature_mixture(spark, SF).collect()}
+    total_avail = sum(r["available"] for r in rows.values())
+    head = max(rows.values(), key=lambda r: r["available"])
+    for r in rows.values():
+        prop = r["available"] / total_avail
+        if r is head:
+            assert r["target_frac"] < prop  # head language down-weighted
+        else:
+            assert r["target_frac"] > prop  # tail languages up-weighted
+        assert r["quota"] <= r["available"]
+        assert r["sampled"] == r["quota"]
+    assert sum(r["sampled"] for r in rows.values()) <= int(total_avail * TEMP_BUDGET_FRAC)
