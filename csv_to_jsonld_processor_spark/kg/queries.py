@@ -1007,7 +1007,106 @@ GROUP BY 1, 2 ORDER BY side, degree""")
 KG_KCORE_SQL = _kcore_cte_chain()
 
 
+# --- deterministic random walks (DeepWalk/node2vec sampling shape) ----------
+
+WALK_STEPS = 4
+
+
+def kg_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-to-sequence sampling: one deterministic {WALK_STEPS}-step
+    walk per customer vertex of the purchase graph — the corpus-
+    generation stage of DeepWalk/node2vec, with md5-derived next-hop
+    choices instead of RNG so the walk set is identical on every
+    engine, partitioning, and cluster size. Next hop from vertex v at
+    step s of the walk started at u: the neighbor whose dst-sorted rank
+    is hash(u + '#' + s) mod degree(v). Output: walks histogrammed by
+    how many distinct vertices they visited, with terminal-vertex
+    diversity and return-to-start counts.
+
+    Scale shape: adjacency is ranked once (one window over src, the
+    same exchange the join reuses); each step is ONE equi-join probing
+    adj on src with the rank predicate evaluated inside the join — the
+    walk frontier never materializes a neighbor fan-out. Path state is
+    a bounded {WALK_STEPS}+1 array riding the rows. At cluster scale
+    both sides stay hash-partitioned on the join key so steps after the
+    first shuffle only the frontier."""
+    e = _purchase_edges(spark, sf_dir)
+    adj = e.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    from pyspark.sql import Window
+
+    adj = (
+        adj.withColumn("rnk", F.row_number().over(Window.partitionBy("src").orderBy("dst")))
+        .withColumn("deg", F.count(F.lit(1)).over(Window.partitionBy("src")))
+        .localCheckpoint()  # ranked once, probed by all steps
+    )
+    walk = (
+        adj.select("src")
+        .distinct()
+        .where(F.col("src").startswith("c"))
+        .select(F.col("src").alias("start"), F.col("src").alias("cur"), F.array("src").alias("path"))
+    )
+    for step in range(1, WALK_STEPS + 1):
+        h = F.expr(
+            f"CAST(conv(substring(md5(concat(start, '#{step}')), 1, 8), 16, 10) AS BIGINT)"
+        )
+        walk = (
+            walk.withColumn("_h", h)
+            .join(adj, (F.col("cur") == F.col("src"))
+                  & (F.col("rnk") == F.col("_h") % F.col("deg") + 1))
+            .select("start", F.col("dst").alias("cur"), F.concat("path", F.array("dst")).alias("path"))
+        )
+    return (
+        walk.select(
+            "start", "cur", F.size(F.array_distinct("path")).cast("int").alias("n_distinct_vertices")
+        )
+        .groupBy("n_distinct_vertices")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_walks"),
+            F.countDistinct("cur").cast("long").alias("n_terminals"),
+            F.sum((F.col("cur") == F.col("start")).cast("int")).cast("long").alias("n_returned"),
+        )
+        .orderBy("n_distinct_vertices")
+    )
+
+
+def _walks_sql() -> str:
+    parts = [f"""
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT 'c' || o.o_custkey AS a, 'p' || l.l_partkey AS b
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_quantity >= {KCORE_QTY}),
+adj AS MATERIALIZED (
+  SELECT src, dst,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rnk,
+         COUNT(*) OVER (PARTITION BY src) AS deg
+  FROM (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e)),
+w0 AS MATERIALIZED (
+  SELECT src AS start, src AS cur, [src] AS path
+  FROM (SELECT DISTINCT src FROM adj) WHERE src LIKE 'c%')"""]
+    for s in range(1, WALK_STEPS + 1):
+        parts.append(f""",
+w{s} AS MATERIALIZED (
+  SELECT w.start, a.dst AS cur, list_append(w.path, a.dst) AS path
+  FROM w{s-1} w JOIN adj a
+    ON a.src = w.cur
+   AND a.rnk = CAST(('0x' || substring(md5(w.start || '#{s}'), 1, 8)) AS BIGINT) % a.deg + 1)""")
+    parts.append(f"""
+SELECT CAST(len(list_distinct(path)) AS INT) AS n_distinct_vertices,
+       COUNT(*) AS n_walks,
+       CAST(COUNT(DISTINCT cur) AS BIGINT) AS n_terminals,
+       CAST(SUM(CASE WHEN cur = start THEN 1 ELSE 0 END) AS BIGINT) AS n_returned
+FROM w{WALK_STEPS}
+GROUP BY 1 ORDER BY n_distinct_vertices""")
+    return "".join(parts)
+
+
+KG_WALKS_SQL = _walks_sql()
+
+
 KG_QUERIES: dict[str, tuple] = {
+    "kg_random_walks": (kg_random_walks, KG_WALKS_SQL),
     "kg_kcore": (kg_kcore, KG_KCORE_SQL),
     "kg_fuzzy_token_link": (kg_fuzzy_token_link, KG_FUZZY_SQL),
     "kg_triangle_counts": (kg_triangle_counts, KG_TRIANGLES_SQL),

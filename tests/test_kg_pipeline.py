@@ -451,3 +451,32 @@ def test_kcore_reaches_fixpoint_and_mincut_degree(spark):
     )
     n_core = sum(r["n_vertices"] for r in hist)
     assert n_core < n0
+
+
+def test_random_walks_cover_every_start_and_stay_bounded(spark):
+    """Every customer vertex yields exactly one completed walk (inner
+    steps never drop a frontier row — each vertex in the edge set has a
+    neighbor), and distinct-vertex counts stay within the 2..L+1 range
+    a 4-step bipartite walk allows."""
+    from pyspark.sql import functions as F
+
+    from csv_to_jsonld_processor_spark.kg.queries import (
+        WALK_STEPS,
+        _purchase_edges,
+        kg_random_walks,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    hist = kg_random_walks(spark, sf).collect()
+    e = _purchase_edges(spark, sf)
+    n_cust = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .where(F.col("v").startswith("c"))
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_walks"] for r in hist) == n_cust
+    for r in hist:
+        assert 2 <= r["n_distinct_vertices"] <= WALK_STEPS + 1
+        assert r["n_terminals"] <= r["n_walks"]
