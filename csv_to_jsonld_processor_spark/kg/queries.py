@@ -1105,7 +1105,237 @@ GROUP BY 1 ORDER BY n_distinct_vertices""")
 KG_WALKS_SQL = _walks_sql()
 
 
+# --- canonical-label election (anchor texts → entity display names) --------
+
+_GOLDEN_LABELS = _os.path.join(
+    _os.path.dirname(_GOLDEN_EDGES), "kg_anchor_labels.csv"
+)
+
+
+def kg_anchor_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical display-name election — the KG-construction step after
+    linking: each linked entity's anchor label is its most frequent
+    surface form across all mentions (subject and object sides), ties
+    broken by lexicographically smallest surface. The web-scale analog
+    of Wikipedia anchor-text label aggregation.
+
+    Truth-anchored oracle: tests/golden/kg_anchor_labels.csv is derived
+    by tools/regen_anchor_labels_golden.py purely from the generator's
+    own per-fact alias picks (sources/pages.py page_facts), never from
+    a pipeline run — agreement proves extraction+linking is surface-
+    exact, not just entity-exact (which kg_webtext_edges already pins).
+
+    Scale shape: ONE (entity, surface) groupBy with map-side partial
+    aggregation, then election + totals in a single window family over
+    the same entity hash-partitioning (one exchange total after the
+    count). Surface cardinality per entity is bounded by the alias
+    inventory, so the window partitions are tiny regardless of corpus
+    size; no collect, no driver loop."""
+    from pyspark.sql import Window
+
+    from ..sources.pages import ENTITIES, PREDICATES, generate_pages
+    from .link import kb_index
+    from .mentions import extract_link_from_html
+
+    pages = generate_pages(spark, 1000, seed=42, partitions=8)
+    surfaces = [p[0] for p in PREDICATES]
+    gazetteer = [a for _c, aliases, _cls in ENTITIES for a in aliases]
+    linked = extract_link_from_html(pages, surfaces, gazetteer, kb_index(ENTITIES))
+
+    pairs = linked.select(
+        F.col("subj_mention_entity").alias("entity"), F.col("subj_mention").alias("surface")
+    ).unionAll(
+        linked.select(
+            F.col("obj_mention_entity").alias("entity"), F.col("obj_mention").alias("surface")
+        )
+    )
+    counts = (
+        pairs.where(F.col("entity").isNotNull())
+        .groupBy("entity", "surface")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("entity")
+    elected = (
+        counts.withColumn(
+            "_rk",
+            F.row_number().over(w.orderBy(F.desc("n"), F.asc("surface"))),
+        )
+        .withColumn("n_total_mentions", F.sum("n").over(w))
+        .withColumn("n_surfaces", F.count(F.lit(1)).over(w))
+        .where(F.col("_rk") == 1)
+    )
+    return elected.select(
+        "entity",
+        F.col("surface").alias("anchor_label"),
+        F.col("n").cast("long").alias("n_label_mentions"),
+        F.col("n_total_mentions").cast("long").alias("n_total_mentions"),
+        F.col("n_surfaces").cast("long").alias("n_surfaces"),
+    ).orderBy("entity")
+
+
+KG_ANCHOR_LABELS_SQL = f"""
+SELECT entity, anchor_label,
+       CAST(n_label_mentions AS BIGINT) AS n_label_mentions,
+       CAST(n_total_mentions AS BIGINT) AS n_total_mentions,
+       CAST(n_surfaces AS BIGINT) AS n_surfaces
+FROM read_csv('{_GOLDEN_LABELS}', header=true)
+ORDER BY entity
+"""
+
+
+# --- synchronous label propagation (community detection) --------------------
+
+LPA_ROUNDS = 4
+
+
+def kg_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation on the
+    purchase graph: every vertex starts labeled with its own id; each
+    round it adopts the most frequent label among its neighbors, ties
+    broken by the lexicographically smallest label — the deterministic
+    variant of Raghavan et al.'s LPA (async LPA's visit order is not
+    reproducible across partitionings, so the synchronous form is the
+    only one that can be hash-gated). A fixed {LPA_ROUNDS} rounds keeps
+    the operator scale-independent; on the bipartite purchase graph an
+    even round count lands labels back on their own side. Output: the
+    community-size histogram after the final round.
+
+    Scale shape (per round): ONE equi-join of the static adjacency
+    against the label frontier (both hash-partitioned on the join key
+    at cluster scale — only the frontier shuffles), ONE partially-
+    aggregated (vertex, label) count, then the argmax resolved inside
+    the same vertex partitioning (window max + min-label groupBy reuse
+    the exchange). localCheckpoint truncates the lineage exactly like
+    the PageRank/k-core loops. No collect; convergence is not driver-
+    checked."""
+    from pyspark.sql import Window
+
+    e = _purchase_edges(spark, sf_dir)
+    adj = e.select(F.col("a").alias("v"), F.col("b").alias("nbr")).unionAll(
+        e.select(F.col("b").alias("v"), F.col("a").alias("nbr"))
+    ).localCheckpoint()
+    labels = adj.select("v").distinct().withColumn("label", F.col("v"))
+    for _ in range(LPA_ROUNDS):
+        msgs = adj.join(
+            labels.withColumnRenamed("v", "nbr"), "nbr"
+        ).select("v", "label")
+        cnt = msgs.groupBy("v", "label").agg(F.count(F.lit(1)).alias("c"))
+        mx = F.max("c").over(Window.partitionBy("v"))
+        labels = (
+            cnt.withColumn("_mx", mx)
+            .where(F.col("c") == F.col("_mx"))
+            .groupBy("v")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+    return (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .groupBy(F.col("sz").cast("int").alias("community_size"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_communities"))
+        .orderBy("community_size")
+    )
+
+
+def _lpa_cte_chain() -> str:
+    """Unrolled {LPA_ROUNDS}-round synchronous LPA as MATERIALIZED CTEs
+    (inlining deep chains explodes the DuckDB planner — kmeans/kcore
+    lesson)."""
+    parts = [f"""
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT 'c' || o.o_custkey AS a, 'p' || l.l_partkey AS b
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_quantity >= {KCORE_QTY}),
+adj AS MATERIALIZED (
+  SELECT a AS v, b AS nbr FROM e UNION ALL SELECT b, a FROM e),
+l0 AS MATERIALIZED (SELECT DISTINCT v, v AS label FROM adj)"""]
+    for r in range(1, LPA_ROUNDS + 1):
+        parts.append(f""",
+cnt{r} AS MATERIALIZED (
+  SELECT adj.v, l.label, COUNT(*) AS c
+  FROM adj JOIN l{r-1} l ON l.v = adj.nbr
+  GROUP BY adj.v, l.label),
+l{r} AS MATERIALIZED (
+  SELECT v, MIN(label) AS label
+  FROM (SELECT v, label, c, MAX(c) OVER (PARTITION BY v) AS mx FROM cnt{r})
+  WHERE c = mx GROUP BY v)""")
+    parts.append(f"""
+SELECT CAST(sz AS INT) AS community_size, COUNT(*) AS n_communities
+FROM (SELECT label, COUNT(*) AS sz FROM l{LPA_ROUNDS} GROUP BY label)
+GROUP BY 1 ORDER BY community_size""")
+    return "".join(parts)
+
+
+KG_LPA_SQL = _lpa_cte_chain()
+
+
+# --- link prediction (resource-allocation index over common neighbors) -----
+
+RA_DEG_CAP = 40  # parts shared by more customers than this are hubs: skipped
+RA_SCALE = 10**8  # fixed-point weight = RA_SCALE // deg (integer-exact sums)
+RA_TOPK = 20
+
+
+def kg_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the bipartite purchase graph: for each
+    customer pair sharing at least one part, the resource-allocation
+    index  RA(a,b) = Σ_w 1/deg(w)  over common neighbor parts w — the
+    integer-exact member of the Adamic-Adar family (weights are
+    RA_SCALE // deg, so sums are order-independent BIGINTs; AA's
+    1/ln(deg) would put a libm ULP inside the hash gate). Returns the
+    top {RA_TOPK} pairs by score with deterministic tie-break.
+
+    Scale shape: the candidate generator is the classic common-neighbor
+    self-join on the shared part — fan-out is C(deg(w), 2), so parts
+    with deg > {RA_DEG_CAP} are excluded up front (the standard hub cap:
+    a part bought by everyone predicts nothing and would otherwise
+    dominate the shuffle). With the cap, work is Σ min(deg,cap)² —
+    linear in edges for power-law graphs. Degree computation and the
+    pair aggregation are both partially aggregated; the final top-k is
+    a TakeOrdered, not a full sort."""
+    e = _purchase_edges(spark, sf_dir)  # a = customer, b = part
+    deg = e.groupBy("b").agg(F.count(F.lit(1)).alias("d"))
+    ew = (
+        e.join(deg, "b")
+        .where((F.col("d") >= 2) & (F.col("d") <= RA_DEG_CAP))
+        .select("b", "a", F.expr(f"CAST({RA_SCALE} AS BIGINT) DIV d").alias("w"))
+    )
+    x, y = ew.alias("x"), ew.alias("y")
+    pairs = (
+        x.join(y, (F.col("x.b") == F.col("y.b")) & (F.col("x.a") < F.col("y.a")))
+        .groupBy(F.col("x.a").alias("cust_a"), F.col("y.a").alias("cust_b"))
+        .agg(
+            F.sum("x.w").cast("long").alias("ra_score_fp"),
+            F.count(F.lit(1)).cast("long").alias("n_common_parts"),
+        )
+    )
+    return pairs.orderBy(
+        F.desc("ra_score_fp"), "cust_a", "cust_b"
+    ).limit(RA_TOPK)
+
+
+KG_LINK_PRED_SQL = f"""
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT 'c' || o.o_custkey AS a, 'p' || l.l_partkey AS b
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_quantity >= {KCORE_QTY}),
+deg AS (SELECT b, COUNT(*) AS d FROM e GROUP BY b),
+ew AS (SELECT e.b, e.a, CAST({RA_SCALE} AS BIGINT) // d AS w
+       FROM e JOIN deg USING (b) WHERE d BETWEEN 2 AND {RA_DEG_CAP})
+SELECT x.a AS cust_a, y.a AS cust_b,
+       CAST(SUM(x.w) AS BIGINT) AS ra_score_fp,
+       CAST(COUNT(*) AS BIGINT) AS n_common_parts
+FROM ew x JOIN ew y ON x.b = y.b AND x.a < y.a
+GROUP BY x.a, y.a
+ORDER BY ra_score_fp DESC, cust_a, cust_b
+LIMIT {RA_TOPK}
+"""
+
+
 KG_QUERIES: dict[str, tuple] = {
+    "kg_anchor_labels": (kg_anchor_labels, KG_ANCHOR_LABELS_SQL),
+    "kg_label_propagation": (kg_label_propagation, KG_LPA_SQL),
+    "kg_link_prediction": (kg_link_prediction, KG_LINK_PRED_SQL),
     "kg_random_walks": (kg_random_walks, KG_WALKS_SQL),
     "kg_kcore": (kg_kcore, KG_KCORE_SQL),
     "kg_fuzzy_token_link": (kg_fuzzy_token_link, KG_FUZZY_SQL),

@@ -958,7 +958,85 @@ ORDER BY doc_a, doc_b
 """
 
 
+# --- chunk-level exact dedup (sub-document granularity) ---------------------
+
+CHUNK_K = 4  # tokens per chunk; trailing partial chunks are dropped
+
+
+def dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup at fixed {CHUNK_K}-token chunk
+    granularity — the scalable approximation of Lee et al. 2021's
+    suffix-array substring dedup (a chunk duplicated verbatim across
+    documents is boilerplate/template text that whole-doc hashing
+    misses). Each document is cut into consecutive non-overlapping
+    {CHUNK_K}-token chunks (trailing partial dropped); a chunk instance
+    is *duplicated* when its text occurs in ≥2 distinct documents.
+    Output: documents histogrammed by dup-chunk-ratio decile, with
+    chunk totals per bucket.
+
+    Scale shape: chunking is pure expression work riding the scan
+    (slice over the token array — no shuffle, no Python); the global
+    chunk census is ONE groupBy on the chunk key with map-side combine
+    (at 100 TB you'd group on xxhash64(chunk) to shrink the shuffle key
+    to 8 bytes — identical counts, the string key here keeps the oracle
+    byte-comparable); the per-doc roll-up joins census back on the same
+    key then ONE groupBy doc_id. Hot chunks (boilerplate that appears
+    everywhere) are bounded: the join fan-out is |instances|, never
+    |instances|² — there is no pair generation at this granularity."""
+    t = load_tables(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    chunks = F.when(
+        F.size(toks) >= CHUNK_K,
+        F.transform(
+            F.sequence(F.lit(0), (F.size(toks) / CHUNK_K).cast("int") - 1),
+            lambda i: F.array_join(F.slice(toks, i * CHUNK_K + 1, CHUNK_K), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    inst = t["documents"].select("doc_id", F.explode(chunks).alias("chunk"))
+    census = inst.groupBy("chunk").agg(F.countDistinct("doc_id").alias("nd"))
+    per_doc = (
+        inst.join(census, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("nd") > 1).cast("long")).alias("n_dup"),
+        )
+    )
+    return (
+        per_doc.groupBy(
+            F.least(F.lit(9), (F.col("n_dup") * 10 / F.col("n_chunks")).cast("int")).alias(
+                "dup_decile"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chunks").cast("long").alias("n_chunks"),
+            F.sum("n_dup").cast("long").alias("n_dup_chunks"),
+        )
+        .orderBy("dup_decile")
+    )
+
+
+DEDUP_CHUNKS_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+inst AS (
+  SELECT doc_id, array_to_string(t[i*{CHUNK_K}+1 : i*{CHUNK_K}+{CHUNK_K}], ' ') AS chunk
+  FROM toks, UNNEST(range(0, len(t)//{CHUNK_K})) AS u(i)),
+census AS (SELECT chunk, COUNT(DISTINCT doc_id) AS nd FROM inst GROUP BY chunk),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_chunks,
+         SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS n_dup
+  FROM inst JOIN census USING (chunk) GROUP BY doc_id)
+SELECT CAST(LEAST(9, n_dup * 10 // n_chunks) AS INT) AS dup_decile,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chunks) AS BIGINT) AS n_chunks,
+       CAST(SUM(n_dup) AS BIGINT) AS n_dup_chunks
+FROM per_doc GROUP BY 1 ORDER BY dup_decile
+"""
+
+
 DEDUP_QUERIES: dict[str, tuple] = {
+    "dedup_chunks": (dedup_chunks, DEDUP_CHUNKS_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),

@@ -105,10 +105,13 @@ def _entity_pool(idx: int, seed: int):
     return pick
 
 
-def page_sentences(idx: int, seed: int) -> list[tuple]:
-    """Ground-truth facts for page idx → list of
-    (sentence, subj_canonical, pred_canonical, obj_canonical) — filler
-    sentences carry Nones."""
+def page_facts(idx: int, seed: int) -> list[tuple]:
+    """Ground-truth facts for page idx INCLUDING the surface-form
+    choices → list of (sentence, subj_canonical, pred_canonical,
+    obj_canonical, s_alias, o_alias) — filler sentences carry Nones
+    in every slot but the sentence. The alias slots let truth-anchored
+    goldens (e.g. anchor-label election) be derived without re-parsing
+    the generated text."""
     n_facts = 2 + _h(seed, "nf", idx) % 4
     pick = _entity_pool(idx, seed)
     out = []
@@ -124,10 +127,19 @@ def page_sentences(idx: int, seed: int) -> list[tuple]:
         s_alias = subj[1][_h(seed, "sa", idx, j) % len(subj[1])]
         o_alias = obj[1][_h(seed, "oa", idx, j) % len(obj[1])]
         sentence = f"{s_alias} {surface} {o_alias}."
-        out.append((sentence, subj[0], canon, obj[0]))
+        out.append((sentence, subj[0], canon, obj[0], s_alias, o_alias))
         if _h(seed, "fill", idx, j) % 3 == 0:
-            out.append((_FILLER[_h(seed, "fi", idx, j) % len(_FILLER)] + ".", None, None, None))
+            out.append(
+                (_FILLER[_h(seed, "fi", idx, j) % len(_FILLER)] + ".", None, None, None, None, None)
+            )
     return out
+
+
+def page_sentences(idx: int, seed: int) -> list[tuple]:
+    """Ground-truth facts for page idx → list of
+    (sentence, subj_canonical, pred_canonical, obj_canonical) — filler
+    sentences carry Nones."""
+    return [(s, su, p, o) for s, su, p, o, _sa, _oa in page_facts(idx, seed)]
 
 
 def page_record(idx: int, seed: int = 42) -> dict:

@@ -98,3 +98,45 @@ def test_incremental_equals_restricted_full_chain(spark):
     }
     assert inc == full and len(inc) > 0
     assert all(b >= thresh and a < b for a, b, _, _ in inc)
+
+
+def test_chunk_dedup_matches_python_recompute(spark):
+    """Full exact recompute of the chunk-dedup histogram in plain
+    Python at gate scale — pins chunking (non-overlapping K-token
+    windows, trailing partial dropped), the >=2-distinct-docs dup rule,
+    and the decile bucketing."""
+    from collections import Counter, defaultdict
+
+    from csv_to_jsonld_processor_spark.operators.dedup import CHUNK_K, dedup_chunks
+    from csv_to_jsonld_processor_spark.session import load_tables
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_tables(spark, sf)["documents"].select("doc_id", "text").collect()
+    chunk_docs: dict[str, set] = defaultdict(set)
+    per_doc: dict[int, list] = {}
+    for r in docs:
+        toks = r["text"].split(" ")
+        chunks = [
+            " ".join(toks[i * CHUNK_K:(i + 1) * CHUNK_K])
+            for i in range(len(toks) // CHUNK_K)
+        ]
+        per_doc[r["doc_id"]] = chunks
+        for c in chunks:
+            chunk_docs[c].add(r["doc_id"])
+    hist = Counter()
+    totals = Counter()
+    dups = Counter()
+    for doc_id, chunks in per_doc.items():
+        if not chunks:
+            continue
+        n_dup = sum(1 for c in chunks if len(chunk_docs[c]) > 1)
+        b = min(9, n_dup * 10 // len(chunks))
+        hist[b] += 1
+        totals[b] += len(chunks)
+        dups[b] += n_dup
+    got = {r["dup_decile"]: r for r in dedup_chunks(spark, sf).collect()}
+    assert set(got) == set(hist)
+    for b in hist:
+        assert got[b]["n_docs"] == hist[b]
+        assert got[b]["n_chunks"] == totals[b]
+        assert got[b]["n_dup_chunks"] == dups[b]

@@ -480,3 +480,93 @@ def test_random_walks_cover_every_start_and_stay_bounded(spark):
     for r in hist:
         assert 2 <= r["n_distinct_vertices"] <= WALK_STEPS + 1
         assert r["n_terminals"] <= r["n_walks"]
+
+
+def test_anchor_labels_match_truth_and_alias_inventory(spark):
+    """The elected label per entity equals the truth-derived golden AND
+    is a legal alias of that entity (catches surface corruption that a
+    count-only check would miss)."""
+    import csv as _csv
+
+    from csv_to_jsonld_processor_spark.kg.queries import _GOLDEN_LABELS, kg_anchor_labels
+    from csv_to_jsonld_processor_spark.sources.pages import ENTITIES
+
+    aliases = {canonical: set(al) for canonical, al, _cls in ENTITIES}
+    got = kg_anchor_labels(spark, "/root/testdata/sf0.001").collect()
+    with open(_GOLDEN_LABELS) as f:
+        want = {r["entity"]: r for r in _csv.DictReader(f)}
+    assert len(got) == len(want)
+    for r in got:
+        w = want[r["entity"]]
+        assert r["anchor_label"] == w["anchor_label"]
+        assert r["anchor_label"] in aliases[r["entity"]]
+        assert r["n_total_mentions"] == int(w["n_total_mentions"])
+
+
+def test_label_propagation_partitions_vertices(spark):
+    """LPA output is a partition of the vertex set: community sizes sum
+    to |V|, and a rerun under a different shuffle partitioning gives the
+    identical histogram (synchronous updates + min-label tie-break make
+    the operator partitioning-independent)."""
+    from pyspark.sql import functions as F
+
+    from csv_to_jsonld_processor_spark.kg.queries import (
+        _purchase_edges,
+        kg_label_propagation,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    hist = kg_label_propagation(spark, sf).collect()
+    e = _purchase_edges(spark, sf)
+    n_v = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .distinct()
+        .count()
+    )
+    assert sum(r["community_size"] * r["n_communities"] for r in hist) == n_v
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        hist2 = kg_label_propagation(spark, sf).collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert sorted(map(tuple, hist)) == sorted(map(tuple, hist2))
+
+
+def test_link_prediction_matches_bruteforce(spark):
+    """Exact brute-force recompute of the capped resource-allocation
+    top-k in plain Python at gate scale — pins the hub cap, the
+    fixed-point weight, and the tie-break ordering."""
+    from collections import Counter, defaultdict
+    from itertools import combinations
+
+    from csv_to_jsonld_processor_spark.kg.queries import (
+        RA_DEG_CAP,
+        RA_SCALE,
+        RA_TOPK,
+        _purchase_edges,
+        kg_link_prediction,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    edges = _purchase_edges(spark, sf).collect()
+    by_part = defaultdict(set)
+    for r in edges:
+        by_part[r["b"]].add(r["a"])
+    score = Counter()
+    n_common = Counter()
+    for part, custs in by_part.items():
+        d = len(custs)
+        if not (2 <= d <= RA_DEG_CAP):
+            continue
+        w = RA_SCALE // d
+        for a, b in combinations(sorted(custs), 2):
+            score[(a, b)] += w
+            n_common[(a, b)] += 1
+    want = sorted(score, key=lambda p: (-score[p], p))[:RA_TOPK]
+    got = kg_link_prediction(spark, sf).collect()
+    assert [(r["cust_a"], r["cust_b"]) for r in got] == want
+    for r in got:
+        assert r["ra_score_fp"] == score[(r["cust_a"], r["cust_b"])]
+        assert r["n_common_parts"] == n_common[(r["cust_a"], r["cust_b"])]
