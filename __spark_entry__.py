@@ -106,6 +106,12 @@ def _registry() -> dict[str, tuple]:
     except ImportError:
         pass
     try:
+        from csv_to_jsonld_processor_spark.kg.reasoning import KG_REASONING_QUERIES
+
+        reg.update(KG_REASONING_QUERIES)
+    except ImportError:
+        pass
+    try:
         from csv_to_jsonld_processor_spark.streaming.events import STREAMING_QUERIES
 
         reg.update(STREAMING_QUERIES)

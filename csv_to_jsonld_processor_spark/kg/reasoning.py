@@ -1,0 +1,341 @@
+"""KG reasoning over the constructed graph: RDFS subclass-closure type
+inference, functional-property conflict resolution, and temporal
+(recrawl) fact versioning.
+
+These extend the reference's vocabulary semantics past materialization:
+the reference resolves subclass references at ingest
+(``csv-to-jsonld-lib/src/instance/processor.rs`` subclass steps) and
+detects vocabulary-term conflicts at compile time
+(``vocabulary/types.rs`` ``update_with`` conflict accumulation); here
+the same two ideas run over the INSTANCE graph at corpus scale — infer
+every entity's full rdf:type set through an ontology closure, and
+resolve contradictory values of functional predicates by evidence
+count. The temporal query adds what a Common-Crawl-style source forces:
+the same url observed at multiple crawl times with drifting facts, and
+a latest-crawl-wins point-in-time view.
+
+Scale notes (100 TB): the ontology (T-Box) is small — thousands of
+classes — so its transitive closure is computed with the iterative
+DataFrame self-join below (rounds = hierarchy depth, data never leaves
+a handful of partitions) and then BROADCAST against the billion-row
+instance table; the instance side never shuffles for typing. Conflict
+resolution is one groupBy on (subj, pred, obj) followed by a window
+over the SAME (subj, pred) partitioning — a single shuffle. The
+temporal diff shuffles on url (the natural partition key of a crawl
+store) for the latest-crawl election, then joins the two snapshots on
+the full fact key; both sides are co-partitioned by the same key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+import os as _os
+
+_GOLDEN_RECRAWLS = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    "tests", "golden", "kg_recrawl_obs.csv",
+)
+
+# --- T-Box: the class hierarchy above the generator's three classes ---------
+# (sub, sup) direct rdfs:subClassOf edges; depth 3 so the closure is
+# non-trivial (Person ⊑ NaturalAgent ⊑ Agent ⊑ Entity).
+SUBCLASS_OF: list[tuple[str, str]] = [
+    ("Person", "NaturalAgent"),
+    ("NaturalAgent", "Agent"),
+    ("Organization", "LegalAgent"),
+    ("LegalAgent", "Agent"),
+    ("Agent", "Entity"),
+    ("Place", "Location"),
+    ("Location", "Entity"),
+]
+
+MAX_CLOSURE_ROUNDS = 10  # bound on hierarchy depth; loop exits at fixpoint
+
+
+def subclass_closure(spark: SparkSession, pairs: list[tuple[str, str]]) -> DataFrame:
+    """Transitive closure of rdfs:subClassOf via iterative self-join.
+
+    Semi-naive style: each round joins only the NEWLY discovered pairs
+    against the direct edges, unions non-duplicates, and stops at
+    fixpoint (bounded by hierarchy depth, not |pairs|). localCheckpoint
+    per round truncates the growing lineage — the same discipline as
+    the connected-components and PageRank loops. For a T-Box this data
+    is tiny; the function exists so ontologies of any depth close
+    correctly before being broadcast at the instance join.
+    """
+    direct = spark.createDataFrame(pairs, "sub string, sup string")
+    closure = direct.localCheckpoint(eager=True)
+    frontier = closure
+    for _ in range(MAX_CLOSURE_ROUNDS):
+        stepped = (
+            frontier.alias("f")
+            .join(direct.alias("d"), F.col("f.sup") == F.col("d.sub"))
+            .select(F.col("f.sub").alias("sub"), F.col("d.sup").alias("sup"))
+        )
+        new = stepped.exceptAll(closure).distinct().localCheckpoint(eager=True)
+        if new.isEmpty():
+            break
+        closure = closure.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+    return closure
+
+
+def kg_type_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDFS type inference over the flagship pipeline's entity table:
+    every entity carries its direct class plus every superclass in the
+    SUBCLASS_OF closure. Output per type: distinct entities holding it,
+    split into directly-asserted vs closure-inherited.
+
+    The entity table comes from the real extract→link→canonicalize run
+    on the seed-42 corpus (all 19 KB entities appear in its edges —
+    the same anchoring kg_entity_table uses), so the oracle can derive
+    the identical answer from the public ENTITIES constant plus a
+    WITH RECURSIVE closure of the same SUBCLASS_OF list: closure logic
+    is exercised independently on both engines.
+
+    Scale: closure rounds touch only T-Box rows; the instance join is
+    an explicit broadcast of the closed T-Box against the entity table
+    — zero instance-side shuffle before the final per-type count.
+    """
+    from ..sources.pages import generate_pages
+    from .pipeline import build_kg
+
+    pages = generate_pages(spark, 1000, seed=42, partitions=8)
+    edges = build_kg(spark, pages)["edges"]
+    entities = (
+        edges.select(F.col("subj").alias("iri"), F.col("subj_class").alias("cls"))
+        .unionByName(
+            edges.select(F.col("obj").alias("iri"), F.col("obj_class").alias("cls"))
+        )
+        .dropDuplicates(["iri"])
+    )
+    closure = subclass_closure(spark, SUBCLASS_OF)
+    direct = entities.select("iri", F.col("cls").alias("type"), F.lit(True).alias("is_direct"))
+    inherited = (
+        entities.join(F.broadcast(closure), entities["cls"] == closure["sub"])
+        .select("iri", F.col("sup").alias("type"), F.lit(False).alias("is_direct"))
+    )
+    typed = direct.unionByName(inherited)
+    return (
+        typed.groupBy("type")
+        .agg(
+            F.countDistinct("iri").alias("n_entities"),
+            F.countDistinct(F.when(F.col("is_direct"), F.col("iri"))).alias("n_direct"),
+            F.countDistinct(F.when(~F.col("is_direct"), F.col("iri"))).alias("n_inherited"),
+        )
+        .orderBy("type")
+    )
+
+
+def _type_inference_sql() -> str:
+    from ..iri import to_kebab_case
+    from ..sources.pages import ENTITIES
+
+    ent_rows = ", ".join(
+        f"('http://example.org/kg/ids/{to_kebab_case(cls)}/{to_kebab_case(canonical)}', '{cls}')"
+        for canonical, _aliases, cls in ENTITIES
+    )
+    onto_rows = ", ".join(f"('{sub}', '{sup}')" for sub, sup in SUBCLASS_OF)
+    return f"""
+WITH RECURSIVE onto(sub, sup) AS (SELECT * FROM (VALUES {onto_rows}) t(sub, sup)),
+closure(sub, sup) AS (
+  SELECT sub, sup FROM onto
+  UNION
+  SELECT c.sub, o.sup FROM closure c JOIN onto o ON c.sup = o.sub
+),
+ent(iri, cls) AS (SELECT * FROM (VALUES {ent_rows}) t(iri, cls)),
+typed AS (
+  SELECT iri, cls AS type, TRUE AS is_direct FROM ent
+  UNION ALL
+  SELECT e.iri, c.sup AS type, FALSE AS is_direct
+  FROM ent e JOIN closure c ON e.cls = c.sub
+)
+SELECT type,
+       CAST(COUNT(DISTINCT iri) AS BIGINT) AS n_entities,
+       CAST(COUNT(DISTINCT CASE WHEN is_direct THEN iri END) AS BIGINT) AS n_direct,
+       CAST(COUNT(DISTINCT CASE WHEN NOT is_direct THEN iri END) AS BIGINT) AS n_inherited
+FROM typed GROUP BY type ORDER BY type
+"""
+
+
+KG_TYPE_INFERENCE_SQL = _type_inference_sql()
+
+
+def kg_functional_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-property conflict RESOLUTION over the flagship edges:
+    where kg_shacl_cardinality only flags subjects whose functional
+    predicate (birthPlace, headquarters) carries >1 distinct object,
+    this query elects a winner by evidence — the object asserted by the
+    most (url, sentence) observations, ties to the lexicographically
+    smallest object — the instance-scale analog of the reference's
+    vocabulary conflict accumulation (``update_with``), which keeps the
+    first value and records the clash.
+
+    Output per conflicted (subj, pred): number of distinct competing
+    objects, total supporting observations, the winning object and its
+    support. Oracle derives the identical election from the
+    generator-anchored golden edge table, so the resolution logic runs
+    independently on both engines.
+
+    Scale: one partial-aggregated groupBy on (subj, pred, obj), then
+    the election window over (subj, pred). The window's exchange moves
+    only the ALREADY-AGGREGATED support rows (one per distinct object),
+    which beats the one-shuffle alternative — repartitioning the raw
+    edge stream by (subj, pred) up front would satisfy both operators'
+    clustering but forfeits map-side combine on the wide input. The
+    row_number is WindowGroupLimit-pruned (top-1 per group, no full
+    sort materialization); plan-gated in tests/test_plan_quality.py.
+    """
+    from .pipeline import MAX_COUNTS
+    from .queries import kg_webtext_edges
+
+    edges = kg_webtext_edges(spark, sf_dir)
+    support = (
+        edges.where(F.col("pred").isin(list(MAX_COUNTS)))
+        .groupBy("subj", "pred", "obj")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    w = Window.partitionBy("subj", "pred")
+    ranked = support.select(
+        "subj", "pred", "obj", "support",
+        F.count(F.lit(1)).over(w).alias("n_values"),
+        F.sum("support").over(w).cast("long").alias("total_support"),
+        F.row_number()
+        .over(w.orderBy(F.desc("support"), F.asc("obj")))
+        .alias("rk"),
+    )
+    return (
+        ranked.where((F.col("n_values") > 1) & (F.col("rk") == 1))
+        .select(
+            "subj", "pred",
+            F.col("n_values").cast("long").alias("n_values"),
+            "total_support",
+            F.col("obj").alias("winner_obj"),
+            F.col("support").cast("long").alias("winner_support"),
+        )
+        .orderBy("subj", "pred")
+    )
+
+
+def _functional_conflicts_sql() -> str:
+    from .queries import _GOLDEN_EDGES
+    from .pipeline import MAX_COUNTS
+
+    preds = ", ".join(f"'{p}'" for p in sorted(MAX_COUNTS))
+    return f"""
+WITH support AS (
+  SELECT subj, pred, obj, COUNT(*) AS support
+  FROM read_csv('{_GOLDEN_EDGES}', header=true, all_varchar=true)
+  WHERE pred IN ({preds})
+  GROUP BY 1, 2, 3
+), ranked AS (
+  SELECT subj, pred, obj, support,
+         COUNT(*) OVER (PARTITION BY subj, pred) AS n_values,
+         SUM(support) OVER (PARTITION BY subj, pred) AS total_support,
+         ROW_NUMBER() OVER (PARTITION BY subj, pred
+                            ORDER BY support DESC, obj ASC) AS rk
+  FROM support
+)
+SELECT subj, pred, CAST(n_values AS BIGINT) AS n_values,
+       CAST(total_support AS BIGINT) AS total_support,
+       obj AS winner_obj, CAST(support AS BIGINT) AS winner_support
+FROM ranked WHERE n_values > 1 AND rk = 1
+ORDER BY subj, pred
+"""
+
+
+KG_FUNCTIONAL_CONFLICTS_SQL = _functional_conflicts_sql()
+
+
+N_RECRAWL_URLS = 400
+
+
+def kg_fact_versioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal KG over a recrawl stream: the same url observed at 1-3
+    crawl times with facts drifting between crawls (updates, deletes,
+    additions — sources/pages.py::recrawl_facts). The current graph is
+    the latest-crawl-wins snapshot per url; this query diffs it against
+    the first-crawl snapshot and reports, per predicate, how the web
+    churned: facts still standing (stable), newly asserted (added), and
+    retracted (removed), plus the current live count.
+
+    Oracle: the golden CSV holds the RAW observation stream (written by
+    tools/regen_recrawls_golden.py straight from the generator — the
+    input, not the answer); DuckDB recomputes the latest-crawl election
+    and the full-outer snapshot diff independently.
+
+    Scale: the latest-crawl election is max(crawl_id) per url — one
+    partial-aggregated groupBy on url, the natural partition key of a
+    crawl store — joined back on url (co-partitioned). The snapshot
+    diff is a full-outer join on the complete fact key; both inputs
+    descend from the same url partitioning. No driver materialization
+    anywhere; observations are generated on executors.
+    """
+    from ..sources.pages import generate_recrawls
+
+    obs = generate_recrawls(spark, N_RECRAWL_URLS, seed=42, partitions=8)
+    latest = obs.groupBy("url").agg(F.max("crawl_id").alias("max_crawl"))
+    snap_last = (
+        obs.join(latest, "url")
+        .where(F.col("crawl_id") == F.col("max_crawl"))
+        .select("url", "subj", "pred", "obj")
+    )
+    snap_first = obs.where(F.col("crawl_id") == 0).select("url", "subj", "pred", "obj")
+    key = ["url", "subj", "pred", "obj"]
+    f, l = snap_first.alias("f"), snap_last.alias("l")
+    diff = f.join(l, key, "full_outer").select(
+        F.coalesce(F.col("f.pred"), F.col("l.pred")).alias("pred"),
+        F.col("f.url").isNotNull().alias("in_first"),
+        F.col("l.url").isNotNull().alias("in_last"),
+    )
+    return (
+        diff.groupBy("pred")
+        .agg(
+            F.sum(F.when(F.col("in_last"), 1).otherwise(0)).cast("long").alias("n_current"),
+            F.sum(F.when(F.col("in_first") & F.col("in_last"), 1).otherwise(0))
+            .cast("long").alias("n_stable"),
+            F.sum(F.when(~F.col("in_first") & F.col("in_last"), 1).otherwise(0))
+            .cast("long").alias("n_added"),
+            F.sum(F.when(F.col("in_first") & ~F.col("in_last"), 1).otherwise(0))
+            .cast("long").alias("n_removed"),
+        )
+        .orderBy("pred")
+    )
+
+
+KG_FACT_VERSIONING_SQL = f"""
+WITH obs AS (
+  SELECT url, CAST(crawl_id AS INT) AS crawl_id, subj, pred, obj
+  FROM read_csv('{_GOLDEN_RECRAWLS}', header=true, all_varchar=true)
+), latest AS (
+  SELECT url, MAX(crawl_id) AS max_crawl FROM obs GROUP BY url
+), snap_last AS (
+  SELECT o.url, o.subj, o.pred, o.obj
+  FROM obs o JOIN latest l ON o.url = l.url AND o.crawl_id = l.max_crawl
+), snap_first AS (
+  SELECT url, subj, pred, obj FROM obs WHERE crawl_id = 0
+), diff AS (
+  SELECT COALESCE(f.pred, l.pred) AS pred,
+         f.url IS NOT NULL AS in_first,
+         l.url IS NOT NULL AS in_last
+  FROM snap_first f
+  FULL OUTER JOIN snap_last l
+    ON f.url = l.url AND f.subj = l.subj AND f.pred = l.pred AND f.obj = l.obj
+)
+SELECT pred,
+       CAST(SUM(CASE WHEN in_last THEN 1 ELSE 0 END) AS BIGINT) AS n_current,
+       CAST(SUM(CASE WHEN in_first AND in_last THEN 1 ELSE 0 END) AS BIGINT) AS n_stable,
+       CAST(SUM(CASE WHEN NOT in_first AND in_last THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+       CAST(SUM(CASE WHEN in_first AND NOT in_last THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+FROM diff GROUP BY pred ORDER BY pred
+"""
+
+
+KG_REASONING_QUERIES: dict[str, tuple] = {
+    "kg_type_inference": (kg_type_inference, KG_TYPE_INFERENCE_SQL),
+    "kg_functional_conflicts": (kg_functional_conflicts, KG_FUNCTIONAL_CONFLICTS_SQL),
+    "kg_fact_versioning": (kg_fact_versioning, KG_FACT_VERSIONING_SQL),
+}

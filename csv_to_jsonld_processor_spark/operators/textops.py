@@ -846,6 +846,10 @@ def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc set on every engine and every cluster size. Output: per-lang
     availability, quota, sampled tokens, and the achieved fraction.
 
+    Languages absent from MIX_TARGET are EXCLUDED from the mixture (the
+    map lookup is NULL, so they enter neither the T computation nor the
+    output); both engines implement that same exclusion.
+
     Scale: the per-lang rank is a window over the lang partition — fine
     while |langs| is small relative to cores ONLY because the output is
     a per-lang REPORT; the production selection path replaces

@@ -206,3 +206,89 @@ def ground_truth_triples(spark: SparkSession, n: int, seed: int = 42) -> DataFra
             yield pd.DataFrame.from_records(rows, columns=["url", "subj", "pred", "obj"])
 
     return rng.mapInPandas(gen, schema="url string, subj string, pred string, obj string")
+
+
+# --- recrawl stream (temporal KG input) -------------------------------------
+
+RECRAWL_TS0 = 1700000000
+RECRAWL_STEP_S = 2_592_000  # 30 days between recrawls of the same url
+
+
+def recrawl_facts(idx: int, seed: int = 42) -> list[tuple]:
+    """Deterministic recrawl history for url idx: the same page observed
+    at 1-3 crawl times, with facts mutating between crawls the way web
+    pages actually drift (object updated, fact deleted, fact added).
+
+    Pure function of (idx, seed) → list of
+    ``(url, crawl_id, crawl_ts_epoch, subj, pred, obj)`` with canonical
+    names (IRI-ification is the shared F10 rule, applied downstream).
+    Per crawl k>0, each fact of crawl k-1 independently: r%5==0 →
+    dropped, r%5==1 → object replaced by the next same-class pool
+    entity (an UPDATE), else carried; one brand-new fact is appended
+    when a separate draw hits. Within-crawl duplicates are collapsed
+    and facts emitted in sorted order so the history is a set sequence.
+    """
+    url = f"https://{_zipf_host(seed, idx)}/page/{idx}"
+    base = [
+        (s, p, o)
+        for _sent, s, p, o, _sa, _oa in page_facts(idx, seed)
+        if s is not None
+    ]
+    pools = {
+        "Person": [e[0] for e in _PEOPLE],
+        "Organization": [e[0] for e in _ORGS],
+        "Place": [e[0] for e in _PLACES],
+    }
+    obj_class = {canon: o_cls for _s, canon, _sc, o_cls in PREDICATES}
+    n_crawls = 1 + _h(seed, "nc", idx) % 3
+    ts0 = RECRAWL_TS0 + _h(seed, "rts", idx) % 1_000_000
+    cur = sorted(set(base))
+    out = []
+    for k in range(n_crawls):
+        if k > 0:
+            nxt = []
+            for j, (s, p, o) in enumerate(cur):
+                r = _h(seed, "mut", idx, k, j)
+                if r % 5 == 0:
+                    continue  # fact removed in this recrawl
+                if r % 5 == 1:
+                    pool = pools[obj_class[p]]
+                    o = pool[(pool.index(o) + 1) % len(pool)]
+                    if o == s:
+                        o = pool[(pool.index(o) + 1) % len(pool)]
+                nxt.append((s, p, o))
+            if _h(seed, "add", idx, k) % 2 == 0:
+                pred_i = _h(seed, "addp", idx, k) % len(PREDICATES)
+                _surface, canon, s_cls, o_cls = PREDICATES[pred_i]
+                s = pools[s_cls][_h(seed, "adds", idx, k) % len(pools[s_cls])]
+                o = pools[o_cls][_h(seed, "addo", idx, k) % len(pools[o_cls])]
+                if s != o:
+                    nxt.append((s, canon, o))
+            cur = sorted(set(nxt))
+        ts = ts0 + k * RECRAWL_STEP_S
+        out.extend((url, k, ts, s, p, o) for s, p, o in cur)
+    return out
+
+
+RECRAWL_SCHEMA = (
+    "url string, crawl_id int, crawl_ts_epoch bigint, "
+    "subj string, pred string, obj string"
+)
+
+
+def generate_recrawls(spark: SparkSession, n_urls: int, seed: int = 42,
+                      partitions: int | None = None) -> DataFrame:
+    """Distributed recrawl-observation stream: spark.range → mapInPandas,
+    each executor expands its own url range. Same no-driver-materialize
+    contract as generate_pages."""
+    import pandas as pd
+
+    rng = spark.range(0, n_urls, 1, partitions or spark.sparkContext.defaultParallelism)
+    cols = ["url", "crawl_id", "crawl_ts_epoch", "subj", "pred", "obj"]
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [t for i in pdf["id"] for t in recrawl_facts(int(i), seed)]
+            yield pd.DataFrame.from_records(rows, columns=cols)
+
+    return rng.mapInPandas(gen, schema=RECRAWL_SCHEMA)

@@ -1,0 +1,126 @@
+"""KG reasoning: subclass closure, type inference, functional-conflict
+resolution, and temporal fact versioning — each checked against an
+independent plain-Python recompute."""
+
+import csv
+import os
+import sys
+from collections import Counter, defaultdict
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from csv_to_jsonld_processor_spark.session import get_spark
+from csv_to_jsonld_processor_spark.kg.reasoning import (
+    N_RECRAWL_URLS,
+    SUBCLASS_OF,
+    kg_fact_versioning,
+    kg_functional_conflicts,
+    kg_type_inference,
+    subclass_closure,
+)
+from csv_to_jsonld_processor_spark.sources.pages import ENTITIES, recrawl_facts
+
+SF = "/root/testdata/sf0.01"
+
+GOLDEN_EDGES = os.path.join(os.path.dirname(__file__), "golden", "kg_webtext_edges.csv")
+
+
+@pytest.fixture(scope="module")
+def spark():
+    return get_spark("kg-reasoning", cpus=8)
+
+
+def _py_closure(pairs):
+    clo = set(pairs)
+    while True:
+        new = {(a, d) for a, b in clo for c, d in pairs if b == c} - clo
+        if not new:
+            return clo
+        clo |= new
+
+
+def test_subclass_closure_matches_python_fixpoint(spark):
+    got = {(r.sub, r.sup) for r in subclass_closure(spark, SUBCLASS_OF).collect()}
+    assert got == _py_closure(SUBCLASS_OF)
+    # the depth-3 chain actually closes transitively
+    assert ("Person", "Entity") in got and ("Place", "Entity") in got
+
+
+def test_closure_handles_diamond_and_depth(spark):
+    pairs = [("A", "B"), ("A", "C"), ("B", "D"), ("C", "D"), ("D", "E"), ("E", "F")]
+    got = {(r.sub, r.sup) for r in subclass_closure(spark, pairs).collect()}
+    assert got == _py_closure(pairs)
+    assert ("A", "F") in got
+
+
+def test_type_inference_counts_match_kb(spark):
+    rows = {r.type: r for r in kg_type_inference(spark, SF).collect()}
+    by_cls = Counter(cls for _c, _a, cls in ENTITIES)
+    clo = _py_closure(SUBCLASS_OF)
+    expect_inherited = defaultdict(int)
+    for cls, n in by_cls.items():
+        for sub, sup in clo:
+            if sub == cls:
+                expect_inherited[sup] += n
+    for cls, n in by_cls.items():  # direct classes
+        assert rows[cls].n_direct == n and rows[cls].n_inherited == 0
+        assert rows[cls].n_entities == n
+    for sup, n in expect_inherited.items():
+        assert rows[sup].n_inherited == n
+        # no entity is directly asserted at a superclass
+        assert rows[sup].n_entities == n
+    assert rows["Entity"].n_entities == len(ENTITIES)
+
+
+def _golden_edge_rows():
+    with open(GOLDEN_EDGES) as f:
+        return list(csv.DictReader(f))
+
+
+def test_functional_conflicts_match_bruteforce(spark):
+    got = [
+        (r.subj, r.pred, r.n_values, r.total_support, r.winner_obj, r.winner_support)
+        for r in kg_functional_conflicts(spark, SF).collect()
+    ]
+    assert got, "generator draws objects independently — conflicts must exist"
+    funcs = {
+        "http://example.org/kg/terms/birthPlace",
+        "http://example.org/kg/terms/headquarters",
+    }
+    support = Counter(
+        (e["subj"], e["pred"], e["obj"]) for e in _golden_edge_rows() if e["pred"] in funcs
+    )
+    per_sp = defaultdict(dict)
+    for (s, p, o), n in support.items():
+        per_sp[(s, p)][o] = n
+    expect = []
+    for (s, p), objs in sorted(per_sp.items()):
+        if len(objs) > 1:
+            winner = min(objs, key=lambda o: (-objs[o], o))
+            expect.append((s, p, len(objs), sum(objs.values()), winner, objs[winner]))
+    assert got == expect
+
+
+def test_fact_versioning_matches_bruteforce(spark):
+    got = {r.pred: (r.n_current, r.n_stable, r.n_added, r.n_removed)
+           for r in kg_fact_versioning(spark, SF).collect()}
+    first, last = defaultdict(set), defaultdict(set)
+    for i in range(N_RECRAWL_URLS):
+        rows = recrawl_facts(i)
+        max_k = max(r[1] for r in rows)
+        for url, k, _ts, s, p, o in rows:
+            if k == 0:
+                first[p].add((url, s, o))
+            if k == max_k:
+                last[p].add((url, s, o))
+    expect = {}
+    for p in set(first) | set(last):
+        f, l = first[p], last[p]
+        expect[p] = (len(l), len(f & l), len(l - f), len(f - l))
+    assert got == expect
+    # churn is non-degenerate: every status occurs somewhere
+    assert any(v[2] > 0 for v in got.values()), "no added facts"
+    assert any(v[3] > 0 for v in got.values()), "no removed facts"
+    assert any(v[1] > 0 for v in got.values()), "no stable facts"

@@ -451,3 +451,47 @@ def test_transitions_single_window_then_bounded_agg(spark):
     assert "CartesianProduct" not in plan
     # one events scan only: lag + agg reuse it, totals joins the agg output
     assert plan.count("events.parquet") <= 1 or plan.count("Scan parquet") <= 2
+
+
+def test_type_inference_tbox_broadcast(spark):
+    """RDFS typing joins the closed T-Box against the instance table as
+    a BROADCAST — the instance side must not shuffle for the typing
+    join (a SortMergeJoin on the entity table would be the 100 TB
+    regression; only aggregation exchanges are expected downstream)."""
+    from csv_to_jsonld_processor_spark.kg.reasoning import kg_type_inference
+
+    plan = plan_of(kg_type_inference(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_functional_conflicts_election_plan(spark):
+    """Conflict resolution adds exactly two hash exchanges past the
+    edges stage: the partial-aggregated (subj, pred, obj) support
+    groupBy, then the (subj, pred) election window whose exchange moves
+    only aggregated rows. The top-1 row_number must be pruned by
+    WindowGroupLimit (no full per-group sort materialization)."""
+    from csv_to_jsonld_processor_spark.kg.reasoning import kg_functional_conflicts
+    from csv_to_jsonld_processor_spark.kg.queries import kg_webtext_edges
+
+    full = plan_of(kg_functional_conflicts(spark, SF))
+    base = plan_of(
+        kg_webtext_edges(spark, SF).where("pred like '%birthPlace'")
+    )
+    added_hash = full.count("hashpartitioning") - base.count("hashpartitioning")
+    assert added_hash <= 2, f"election added {added_hash} hash exchanges"
+    assert "WindowGroupLimit" in full
+    assert "CartesianProduct" not in full
+
+
+def test_fact_versioning_no_nested_loop(spark):
+    """The temporal snapshot diff is equi-join-only: latest-crawl
+    election joins back on url and the full-outer diff joins on the
+    complete fact key — never a nested-loop/cartesian fallback."""
+    from csv_to_jsonld_processor_spark.kg.reasoning import kg_fact_versioning
+
+    plan = plan_of(kg_fact_versioning(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FullOuter" in plan or "full_outer" in plan.lower()
