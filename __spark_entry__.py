@@ -112,6 +112,12 @@ def _registry() -> dict[str, tuple]:
     except ImportError:
         pass
     try:
+        from csv_to_jsonld_processor_spark.kg.graphalgs import KG_GRAPHALG_QUERIES
+
+        reg.update(KG_GRAPHALG_QUERIES)
+    except ImportError:
+        pass
+    try:
         from csv_to_jsonld_processor_spark.kg.reasoning import KG_REASONING_QUERIES
 
         reg.update(KG_REASONING_QUERIES)

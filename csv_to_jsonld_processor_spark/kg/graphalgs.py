@@ -1,0 +1,326 @@
+"""Distributed graph algorithms over the KG's materialized edge tables
+— the analytics layer a KG-construction pipeline feeds (reference
+analog: the emitted triple graph of csv-to-jsonld's instance output;
+here the graphs are the purchase bipartite graph and the nation-level
+trade rollup so the DuckDB gate can check every value exactly).
+
+Three classic algorithms, each expressed so the fixed-iteration loop is
+EXACT cross-engine (integer/set arithmetic only — no float accumulation
+order to diverge):
+
+- ``kg_bfs_distance``: multi-source BFS shortest hop counts. Each round
+  is one equi-join of the current distance table against the adjacency
+  list plus a min-groupBy — the canonical Pregel superstep as DataFrame
+  algebra. Distances are INTs, so min-merge is order-free.
+- ``kg_hits``: HITS hubs/authorities on the directed customer→part
+  graph in UNNORMALIZED integer form: with hub₀ ≡ 1, every subsequent
+  auth/hub score is a pure BIGINT sum — bit-exact on every engine — and
+  per-iteration normalization (a float hazard) is deferred to the final
+  ranking, which only needs relative order. Rounds are kept small
+  because unnormalized scores grow like deg^(2k).
+- ``kg_scc``: strongly connected components of the nation trade graph
+  via transitive-closure squaring (R ∪ R∘R, {SCC_SQUARINGS} doublings
+  covers any path up to 2^{SCC_SQUARINGS} hops > |nations|); SCC id of
+  v is min{{w : v→*w and w→*v}}. Sets under DISTINCT are exact.
+
+Scale notes (the 100 TB story): BFS and HITS supersteps keep both join
+sides hash-partitioned on the vertex key, so after the first exchange
+each round shuffles only the frontier/score table, never the adjacency;
+``localCheckpoint`` truncates the per-round lineage exactly like the
+PageRank loop (kg/queries.py:199). Closure-squaring is reserved for
+label-level graphs whose closure is bounded by |labels|² (here 25
+nations — the nation rollup of the entity graph); a 10^12-vertex entity
+graph would use FW-BW pivot decomposition with these same BFS
+supersteps as its inner primitive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_tables
+from .queries import KCORE_QTY, _purchase_edges
+
+BFS_ROUNDS = 6
+BFS_SEED_MOD = 97
+HITS_ITERS = 2  # unnormalized scores grow ~deg^(2k); 2 keeps BIGINT headroom
+HITS_TOPN = 10
+SCC_QTY = 46
+SCC_SQUARINGS = 5
+
+# The purchase-graph edge set as SQL, identical to _purchase_edges
+# (kg/queries.py:914) — shared by the BFS and HITS oracles.
+_EDGE_SQL = f"""
+  SELECT DISTINCT 'c' || o.o_custkey AS a, 'p' || l.l_partkey AS b
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_quantity >= {KCORE_QTY}"""
+
+_SEED_PRED = f"substring(v, 1, 1) = 'c' AND CAST(substring(v, 2) AS BIGINT) % {BFS_SEED_MOD} = 0"
+
+
+def kg_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS: hop distance from the seed set (customers with
+    custkey ≡ 0 mod {BFS_SEED_MOD}) to every vertex of the purchase
+    graph, {BFS_ROUNDS} supersteps, unreached vertices reported at
+    distance -1. Output: (side, dist, n_vertices) histogram.
+
+    Per round: ONE equi-join (distance table probing adjacency on the
+    src key) + ONE min-groupBy on the destination — both partial-
+    aggregated; the distance table is the only thing that moves. The
+    round count bounds the result independent of cluster size, and INT
+    min is order-free, so the histogram is exact on any partitioning.
+    """
+    e = _purchase_edges(spark, sf_dir)
+    adj = (
+        e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(e.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .localCheckpoint()
+    )
+    verts = adj.select(F.col("src").alias("v")).distinct().localCheckpoint()
+    dist = verts.where(F.expr(_SEED_PRED)).withColumn("d", F.lit(0))
+    for _ in range(BFS_ROUNDS):
+        hop = (
+            adj.join(dist, adj.src == dist.v)
+            .select(F.col("dst").alias("v"), (F.col("d") + 1).alias("d"))
+        )
+        dist = (
+            dist.unionByName(hop).groupBy("v").agg(F.min("d").alias("d")).localCheckpoint()
+        )
+    full = verts.join(dist, "v", "left").select(
+        "v", F.coalesce(F.col("d"), F.lit(-1)).alias("d")
+    )
+    return (
+        full.groupBy(
+            F.substring("v", 1, 1).alias("side"), F.col("d").cast("int").alias("dist")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vertices"))
+        .orderBy("side", "dist")
+    )
+
+
+def _bfs_sql() -> str:
+    parts = [f"""
+WITH e0 AS MATERIALIZED ({_EDGE_SQL}),
+adj AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0
+),
+verts AS MATERIALIZED (SELECT DISTINCT src AS v FROM adj),
+d0 AS MATERIALIZED (SELECT v, 0 AS d FROM verts WHERE {_SEED_PRED})"""]
+    for r in range(1, BFS_ROUNDS + 1):
+        parts.append(f""",
+d{r} AS MATERIALIZED (
+  SELECT v, MIN(d) AS d FROM (
+    SELECT v, d FROM d{r-1}
+    UNION ALL
+    SELECT adj.dst AS v, p.d + 1 AS d FROM d{r-1} p JOIN adj ON adj.src = p.v
+  ) GROUP BY v)""")
+    parts.append(f"""
+SELECT substring(v, 1, 1) AS side, CAST(d AS INT) AS dist, CAST(COUNT(*) AS BIGINT) AS n_vertices
+FROM (
+  SELECT verts.v, COALESCE(d{BFS_ROUNDS}.d, -1) AS d
+  FROM verts LEFT JOIN d{BFS_ROUNDS} ON verts.v = d{BFS_ROUNDS}.v
+) GROUP BY 1, 2 ORDER BY side, dist""")
+    return "".join(parts)
+
+
+KG_BFS_SQL = _bfs_sql()
+
+
+def kg_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS on the directed customer→part purchase graph, {HITS_ITERS}
+    full iterations in unnormalized BIGINT arithmetic (hub₀ ≡ 1;
+    auth_k(p) = Σ_in hub_{{k-1}}, hub_k(c) = Σ_out auth_k): customers
+    are hubs, parts authorities. The top-{HITS_TOPN} of each role by
+    final score (ties broken by vertex id) — relative order is all the
+    ranking needs, so the float normalization step of textbook HITS is
+    dropped and every engine computes identical integers.
+
+    Per half-iteration: ONE equi-join + ONE partial-aggregated sum-
+    groupBy, score table moving, adjacency static — identical shuffle
+    shape to the BFS superstep."""
+    e = _purchase_edges(spark, sf_dir).localCheckpoint()
+    hub = e.select(F.col("a").alias("v")).distinct().withColumn("s", F.lit(1).cast("long"))
+    for _ in range(HITS_ITERS):
+        auth = (
+            e.join(hub, e.a == hub.v)
+            .groupBy(F.col("b").alias("v"))
+            .agg(F.sum("s").cast("long").alias("s"))
+            .localCheckpoint()
+        )
+        hub = (
+            e.join(auth, e.b == auth.v)
+            .groupBy(F.col("a").alias("v"))
+            .agg(F.sum("s").cast("long").alias("s"))
+            .localCheckpoint()
+        )
+    from pyspark.sql import Window
+
+    ranked = (
+        hub.withColumn("role", F.lit("hub"))
+        .unionByName(auth.withColumn("role", F.lit("authority")))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("role").orderBy(F.desc("s"), F.asc("v"))
+            ),
+        )
+        .where(F.col("rank") <= HITS_TOPN)
+    )
+    return ranked.select(
+        "role", F.col("rank").cast("int").alias("rank"), F.col("v").alias("vertex"),
+        F.col("s").alias("score"),
+    ).orderBy("role", "rank")
+
+
+def _hits_sql() -> str:
+    parts = [f"""
+WITH e0 AS MATERIALIZED ({_EDGE_SQL}),
+hub0 AS MATERIALIZED (SELECT DISTINCT a AS v, CAST(1 AS BIGINT) AS s FROM e0)"""]
+    for k in range(1, HITS_ITERS + 1):
+        parts.append(f""",
+auth{k} AS MATERIALIZED (
+  SELECT e0.b AS v, CAST(SUM(h.s) AS BIGINT) AS s
+  FROM e0 JOIN hub{k-1} h ON e0.a = h.v GROUP BY e0.b),
+hub{k} AS MATERIALIZED (
+  SELECT e0.a AS v, CAST(SUM(a2.s) AS BIGINT) AS s
+  FROM e0 JOIN auth{k} a2 ON e0.b = a2.v GROUP BY e0.a)""")
+    parts.append(f"""
+SELECT role, CAST(rank AS INT) AS rank, vertex, score FROM (
+  SELECT role, v AS vertex, s AS score,
+         ROW_NUMBER() OVER (PARTITION BY role ORDER BY s DESC, v ASC) AS rank
+  FROM (
+    SELECT 'hub' AS role, v, s FROM hub{HITS_ITERS}
+    UNION ALL
+    SELECT 'authority' AS role, v, s FROM auth{HITS_ITERS}
+  )
+) WHERE rank <= {HITS_TOPN} ORDER BY role, rank""")
+    return "".join(parts)
+
+
+KG_HITS_SQL = _hits_sql()
+
+
+def kg_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of the nation-level trade graph
+    (edge: supplier's nation → customer's nation for any lineitem with
+    l_quantity >= {SCC_QTY}). Transitive closure by {SCC_SQUARINGS}
+    squarings R ← R ∪ R∘R (path length 2^{SCC_SQUARINGS} = 32 > 25
+    nations, so the closure is complete, not approximately converged);
+    SCC id of v = min{{w : v→*w ∧ w→*v}} with v counted as reaching
+    itself. Output: one row per component with its size and the sorted
+    member list.
+
+    The edge rollup itself is the KG shape: a four-way join
+    (lineitem→orders→customer, lineitem→supplier, each →nation) where
+    the three dimension sides broadcast, then DISTINCT onto ≤ 25² label
+    pairs — the closure never touches more than |labels|² rows no
+    matter the corpus size. Entity-level SCC at 10^12 vertices would
+    use FW-BW pivot decomposition built on the kg_bfs_distance
+    superstep instead."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].where(F.col("l_quantity") >= SCC_QTY).select(
+        "l_orderkey", "l_suppkey"
+    )
+    cust_nation = (
+        t["orders"].select("o_orderkey", "o_custkey")
+        .join(F.broadcast(t["customer"].select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("o_orderkey", F.col("n_name").alias("dst"))
+    )
+    supp_nation = (
+        F.broadcast(t["supplier"].select("s_suppkey", "s_nationkey"))
+        .join(F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("src"))
+    )
+    edges = (
+        li.join(cust_nation, li.l_orderkey == cust_nation.o_orderkey)
+        .join(F.broadcast(supp_nation), li.l_suppkey == supp_nation.s_suppkey)
+        .select("src", "dst")
+        .distinct()
+        # deterministic 1/16 edge thinning: the raw trade rollup is near-
+        # complete (one giant SCC — degenerate), and md5 is engine-shared
+        .where(F.expr("substring(md5(concat(src, '>', dst)), 1, 1) = '0'"))
+    )
+    nodes = (
+        edges.select(F.col("src").alias("u")).unionAll(edges.select("dst")).distinct()
+    )
+    reach = edges.select(F.col("src").alias("u"), F.col("dst").alias("w")).unionAll(
+        nodes.select("u", F.col("u").alias("w"))
+    ).distinct().localCheckpoint()
+    for _ in range(SCC_SQUARINGS):
+        sq = (
+            reach.alias("l")
+            .join(reach.alias("r"), F.col("l.w") == F.col("r.u"))
+            .select(F.col("l.u").alias("u"), F.col("r.w").alias("w"))
+        )
+        reach = reach.unionAll(sq).distinct().localCheckpoint()
+    mutual = (
+        reach.alias("f")
+        .join(
+            reach.alias("b"),
+            (F.col("f.u") == F.col("b.w")) & (F.col("f.w") == F.col("b.u")),
+        )
+        .select(F.col("f.u").alias("u"), F.col("f.w").alias("w"))
+    )
+    comp = mutual.groupBy("u").agg(F.min("w").alias("scc_id"))
+    return (
+        comp.groupBy("scc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nations"),
+            F.array_join(F.array_sort(F.collect_list("u")), ",").alias("members"),
+        )
+        .orderBy("scc_id")
+    )
+
+
+def _scc_sql() -> str:
+    parts = [f"""
+WITH edges AS MATERIALIZED (
+  SELECT DISTINCT ns.n_name AS src, nc.n_name AS dst
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+  WHERE l.l_quantity >= {SCC_QTY}
+),
+thinned AS MATERIALIZED (
+  SELECT src, dst FROM edges WHERE substring(md5(src || '>' || dst), 1, 1) = '0'
+),
+nodes AS MATERIALIZED (SELECT DISTINCT u FROM (SELECT src AS u FROM thinned UNION ALL SELECT dst FROM thinned)),
+r0 AS MATERIALIZED (
+  SELECT DISTINCT u, w FROM (
+    SELECT src AS u, dst AS w FROM thinned UNION ALL SELECT u, u FROM nodes
+  ))"""]
+    for k in range(1, SCC_SQUARINGS + 1):
+        parts.append(f""",
+r{k} AS MATERIALIZED (
+  SELECT DISTINCT u, w FROM (
+    SELECT u, w FROM r{k-1}
+    UNION ALL
+    SELECT l.u, r.w FROM r{k-1} l JOIN r{k-1} r ON l.w = r.u
+  ))""")
+    parts.append(f""",
+mutual AS (
+  SELECT f.u, f.w FROM r{SCC_SQUARINGS} f JOIN r{SCC_SQUARINGS} b ON f.u = b.w AND f.w = b.u
+),
+comp AS (SELECT u, MIN(w) AS scc_id FROM mutual GROUP BY u)
+SELECT scc_id, CAST(COUNT(*) AS BIGINT) AS n_nations,
+       string_agg(u, ',' ORDER BY u) AS members
+FROM comp GROUP BY scc_id ORDER BY scc_id""")
+    return "".join(parts)
+
+
+KG_SCC_SQL = _scc_sql()
+
+
+KG_GRAPHALG_QUERIES: dict[str, tuple] = {
+    "kg_bfs_distance": (kg_bfs_distance, KG_BFS_SQL),
+    "kg_hits": (kg_hits, KG_HITS_SQL),
+    "kg_scc": (kg_scc, KG_SCC_SQL),
+}

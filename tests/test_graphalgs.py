@@ -1,0 +1,120 @@
+"""Graph algorithms (kg/graphalgs.py): independent NetworkX-free Python
+recomputes of BFS / HITS / SCC on the same deterministic graphs, plus
+invariants that a broken superstep would violate."""
+
+import os
+import sys
+from collections import defaultdict, deque
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from csv_to_jsonld_processor_spark.session import get_spark
+from csv_to_jsonld_processor_spark.kg.graphalgs import (
+    BFS_ROUNDS,
+    BFS_SEED_MOD,
+    HITS_ITERS,
+    HITS_TOPN,
+    kg_bfs_distance,
+    kg_hits,
+    kg_scc,
+)
+from csv_to_jsonld_processor_spark.kg.queries import _purchase_edges
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    return get_spark("graphalgs", cpus=8)
+
+
+@pytest.fixture(scope="module")
+def edges(spark):
+    return [(r.a, r.b) for r in _purchase_edges(spark, SF).collect()]
+
+
+def _python_bfs(edges):
+    adj = defaultdict(list)
+    for a, b in edges:
+        adj[a].append(b)
+        adj[b].append(a)
+    dist = {}
+    q = deque()
+    for v in adj:
+        if v.startswith("c") and int(v[1:]) % BFS_SEED_MOD == 0:
+            dist[v] = 0
+            q.append(v)
+    while q:
+        u = q.popleft()
+        if dist[u] >= BFS_ROUNDS:
+            continue
+        for w in adj[u]:
+            if w not in dist:
+                dist[w] = dist[u] + 1
+                q.append(w)
+    hist = defaultdict(int)
+    for v in adj:
+        hist[(v[0], dist.get(v, -1))] += 1
+    return dict(hist)
+
+
+def test_bfs_matches_python_recompute(spark, edges):
+    got = {
+        (r.side, r.dist): r.n_vertices for r in kg_bfs_distance(spark, SF).collect()
+    }
+    assert got == _python_bfs(edges)
+
+
+def test_bfs_has_multiple_rings_and_seeds(spark):
+    rows = kg_bfs_distance(spark, SF).collect()
+    dists = {r.dist for r in rows}
+    assert 0 in dists, "seed ring missing"
+    assert len(dists - {-1, 0}) >= 2, "BFS never expanded past the seeds"
+    # bipartite invariant: odd distances are parts, even are customers
+    for r in rows:
+        if r.dist > 0:
+            assert (r.dist % 2 == 1) == (r.side == "p")
+
+
+def _python_hits(edges):
+    out_adj = defaultdict(list)
+    in_adj = defaultdict(list)
+    for a, b in edges:
+        out_adj[a].append(b)
+        in_adj[b].append(a)
+    hub = {a: 1 for a in out_adj}
+    for _ in range(HITS_ITERS):
+        auth = {p: sum(hub[c] for c in in_adj[p]) for p in in_adj}
+        hub = {c: sum(auth[p] for p in out_adj[c]) for c in out_adj}
+    top = lambda d: sorted(d.items(), key=lambda kv: (-kv[1], kv[0]))[:HITS_TOPN]
+    return top(hub), top(auth)
+
+def test_hits_matches_python_recompute(spark, edges):
+    exp_hub, exp_auth = _python_hits(edges)
+    rows = kg_hits(spark, SF).collect()
+    got_hub = [(r.vertex, r.score) for r in rows if r.role == "hub"]
+    got_auth = [(r.vertex, r.score) for r in rows if r.role == "authority"]
+    assert got_hub == exp_hub
+    assert got_auth == exp_auth
+
+
+def test_hits_scores_have_bigint_headroom(spark, edges):
+    # the unnormalized-integer design is only sound while deg^(2k) fits
+    # comfortably in int64; assert 3 orders of magnitude of slack
+    rows = kg_hits(spark, SF).collect()
+    assert max(r.score for r in rows) < 2**63 / 1000
+
+
+def test_scc_members_are_mutually_reachable(spark):
+    rows = kg_scc(spark, SF).collect()
+    assert sum(r.n_nations for r in rows) <= 25
+    assert all(r.scc_id == r.members.split(",")[0] for r in rows)
+    assert all(r.members == ",".join(sorted(r.members.split(","))) for r in rows)
+    # every member list is disjoint
+    seen = set()
+    for r in rows:
+        ms = set(r.members.split(","))
+        assert not (ms & seen)
+        seen |= ms
