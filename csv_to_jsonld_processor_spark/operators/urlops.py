@@ -36,12 +36,20 @@ _SPARK_FNS = {
     "FILTER": "filter",
     "SORT": "array_sort",
     "JOIN": "array_join",
+    "REVERSE": "reverse",
+    "DOT": "'\\\\.'",  # Spark split() takes a regex
+    "SLICE3_OPEN": "slice(",
+    "SLICE3_CLOSE": ", 1, 3)",
 }
 _DUCK_FNS = {
     "SPLIT": "string_split",
     "FILTER": "list_filter",
     "SORT": "list_sort",
     "JOIN": "array_to_string",
+    "REVERSE": "list_reverse",
+    "DOT": "'.'",  # DuckDB string_split takes a literal
+    "SLICE3_OPEN": "(",
+    "SLICE3_CLOSE": ")[1:3]",  # 1-based inclusive slice
 }
 
 # messy-URL synthesis: two raw observations per document, variant B
@@ -98,6 +106,19 @@ _STEPS: list[tuple[str, str]] = [
 ]
 
 
+# SURT (Sort-friendly URI Reordering Transform) — the Common-Crawl CDX
+# index key: host labels reversed comma-joined, then ')' + path + query,
+# so a lexicographic sort clusters every URL under its domain subtree.
+_SURT_STEPS: list[tuple[str, str]] = [
+    ("surt_host", "{JOIN}({REVERSE}({SPLIT}(host, {DOT})), ',')"),
+    ("surt", "surt_host || ')' || path || "
+             "CASE WHEN kept_params <> '' THEN '?' || kept_params ELSE '' END"),
+    # index shard key: the first three reversed labels (tld,domain,sub)
+    ("surt_prefix",
+     "{JOIN}({SLICE3_OPEN}{SPLIT}(surt_host, ','){SLICE3_CLOSE}, ',')"),
+]
+
+
 def canonicalize_url_cols(df: DataFrame) -> DataFrame:
     """Render the canonicalization template as Spark column algebra over
     a ``raw_url`` column (adds ``canonical_url``; intermediates kept for
@@ -136,6 +157,66 @@ def doc_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_url_surt_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX-style capture index over the canonicalized crawl frontier:
+    every canonical URL keyed by its SURT form, summarized per index
+    shard (the 3-label surt_host prefix). Output per shard: capture and
+    distinct-URL counts plus the shard's first/last SURT key — exactly
+    the secondary-index row a CDX(J) reader binary-searches on.
+
+    Scale: SURT keys are per-row column algebra on the scan; the shard
+    rollup is one partial-aggregated groupBy. The production layout
+    writes the captures repartitionByRange(surt) so each output file is
+    a sorted CDX shard and this query is its footer metadata."""
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id")
+    raw = (
+        docs.select("doc_id", F.explode(F.array(F.lit(0), F.lit(1))).alias("v"))
+        .withColumn("raw_url", F.expr(_SYNTH))
+    )
+    df = canonicalize_url_cols(raw)
+    for name, tmpl in _SURT_STEPS:
+        df = df.withColumn(name, F.expr(tmpl.format(**_SPARK_FNS)))
+    return (
+        df.groupBy("surt_prefix")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_captures"),
+            F.countDistinct("surt").cast("long").alias("n_urls"),
+            F.min("surt").alias("first_key"),
+            F.max("surt").alias("last_key"),
+        )
+        .orderBy("surt_prefix")
+    )
+
+
+def _render_duck_chain(steps: list[tuple[str, str]], prev: str) -> tuple[str, str]:
+    rendered = []
+    for name, tmpl in steps:
+        rendered.append(
+            f"s_{name} AS (SELECT *, {tmpl.format(**_DUCK_FNS)} AS {name} FROM {prev})"
+        )
+        prev = f"s_{name}"
+    return ",\n".join(rendered), prev
+
+
+def _url_surt_sql() -> str:
+    chain1, prev = _render_duck_chain(_STEPS, "raw")
+    chain2, prev = _render_duck_chain(_SURT_STEPS, prev)
+    return f"""
+WITH raw AS (
+  SELECT doc_id, v, {_SYNTH} AS raw_url
+  FROM documents CROSS JOIN (SELECT UNNEST([0, 1]) AS v)
+),
+{chain1},
+{chain2}
+SELECT surt_prefix,
+       CAST(COUNT(*) AS BIGINT) AS n_captures,
+       CAST(COUNT(DISTINCT surt) AS BIGINT) AS n_urls,
+       MIN(surt) AS first_key,
+       MAX(surt) AS last_key
+FROM {prev} GROUP BY surt_prefix ORDER BY surt_prefix
+"""
+
+
 def _url_dedup_sql() -> str:
     steps = []
     prev = "raw"
@@ -167,6 +248,10 @@ FROM per_canon GROUP BY 1 ORDER BY domain
 DOC_URL_DEDUP_SQL = _url_dedup_sql()
 
 
+DOC_URL_SURT_SQL = _url_surt_sql()
+
+
 URL_QUERIES: dict[str, tuple] = {
     "doc_url_dedup": (doc_url_dedup, DOC_URL_DEDUP_SQL),
+    "doc_url_surt_index": (doc_url_surt_index, DOC_URL_SURT_SQL),
 }

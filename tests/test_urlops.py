@@ -13,6 +13,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from csv_to_jsonld_processor_spark.session import get_spark, load_tables
 from csv_to_jsonld_processor_spark.operators.urlops import (
+    _SPARK_FNS,
+    _SURT_STEPS,
     canonicalize_url_cols,
     doc_url_dedup,
 )
@@ -72,6 +74,27 @@ def test_canonicalizer_agrees_with_urllib(spark):
     got = {r.raw_url: r.canonical_url for r in canonicalize_url_cols(df).collect()}
     for raw, _expected in VECTORS:
         assert got[raw] == _stdlib_canonical(raw), raw
+
+
+def test_surt_key_vectors(spark):
+    """SURT = reversed comma-joined host labels + ')' + path [+ '?' query];
+    prefix = first three reversed labels. Mirrors the Common-Crawl CDX
+    key so a lexicographic sort clusters a domain subtree."""
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("https://www.a.example.org/p/1?b=2&a=1",
+         "org,example,a,www)/p/1?a=1&b=2", "org,example,a"),
+        ("https://a.example.org/p/1", "org,example,a)/p/1", "org,example,a"),
+        ("https://example.org/", "org,example)/", "org,example"),
+    ]
+    df = canonicalize_url_cols(
+        spark.createDataFrame([(r,) for r, _s, _p in cases], "raw_url string"))
+    for name, tmpl in _SURT_STEPS:
+        df = df.withColumn(name, F.expr(tmpl.format(**_SPARK_FNS)))
+    got = {r.raw_url: (r.surt, r.surt_prefix) for r in df.collect()}
+    for raw, surt, prefix in cases:
+        assert got[raw] == (surt, prefix), raw
 
 
 def test_url_dedup_collapse_matches_bruteforce(spark):
