@@ -124,6 +124,12 @@ def _registry() -> dict[str, tuple]:
     except ImportError:
         pass
     try:
+        from csv_to_jsonld_processor_spark.kg.triplestore import KG_TRIPLESTORE_QUERIES
+
+        reg.update(KG_TRIPLESTORE_QUERIES)
+    except ImportError:
+        pass
+    try:
         from csv_to_jsonld_processor_spark.streaming.events import STREAMING_QUERIES
 
         reg.update(STREAMING_QUERIES)
