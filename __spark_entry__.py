@@ -136,6 +136,18 @@ def _registry() -> dict[str, tuple]:
     except ImportError:
         pass
     try:
+        from csv_to_jsonld_processor_spark.operators.search import SEARCH_QUERIES
+
+        reg.update(SEARCH_QUERIES)
+    except ImportError:
+        pass
+    try:
+        from csv_to_jsonld_processor_spark.kg.bgp import KG_BGP_QUERIES
+
+        reg.update(KG_BGP_QUERIES)
+    except ImportError:
+        pass
+    try:
         from csv_to_jsonld_processor_spark.sources.multimodal import MULTIMODAL_QUERIES
 
         reg.update(MULTIMODAL_QUERIES)

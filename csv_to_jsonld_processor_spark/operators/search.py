@@ -1,0 +1,301 @@
+"""Corpus retrieval + tokenizer-training operators over ``documents``:
+integer-exact BM25 search and BPE merge learning.
+
+Both are first-class training-data-pipeline ops (the retrieval side of
+decontamination / data selection, and the *train* side of the tokenizer
+whose *apply* side is ``textops.doc_bpe_token_count``).
+
+Cross-engine discipline (house rules from the relational suite): every
+ranking quantity is BIGINT arithmetic — integer division (``DIV`` /
+DuckDB ``//``) instead of float division, saturation caps instead of
+``ln`` — so Spark and DuckDB agree bit-for-bit and the driver's value
+hash is meaningful.  The float-free BM25 variant is a documented
+deviation: idf is the Robertson ratio ``(N-df+1)/(df+1)`` scaled to a
+capped integer weight (the RA-family trick used by
+``kg_link_prediction``) rather than its logarithm; ranking order is
+preserved for any fixed query because the map is monotone in df.
+
+Scale shape (100 TB):
+
+- ``doc_bm25_search``: per-doc term frequencies are column expressions
+  riding the scan (no explode, no shuffle); the corpus statistics
+  (N, total tokens, per-term df) reduce in ONE partial-aggregated pass
+  to a single row that is broadcast back; the final top-k is
+  ``orderBy().limit(k)`` = per-partition TakeOrdered + driver merge of
+  k rows, never a full sort.  Two scans of the corpus total — the price
+  of exact global df, same as any two-pass ranking job.
+- ``doc_bpe_train``: the corpus is touched ONCE (word census, partial
+  agg); all merge rounds run on the vocab-sized census (Zipf-bounded),
+  each round = one vocab-local pair census + a 1-row TakeOrdered — the
+  same corpus-once/vocab-iterate split real BPE trainers
+  (sentencepiece, HF tokenizers) use to scale.
+
+Reference parity: the reference has no retrieval/tokenizer surface;
+these extend the engine per the training-data-pipeline brief (compare
+``csv-to-jsonld-lib`` scope, which stops at vocabulary mapping).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_tables
+
+# ---------------------------------------------------------------------------
+# BM25 (integer-exact)
+# ---------------------------------------------------------------------------
+
+# Mixed-df query: "dup" is rare in the synthetic vocab (~0.1% of term
+# mass), the rest are head terms — exercises the idf spread.
+QUERY_TERMS = ["spark", "dup", "window", "merge"]
+
+# k1 = 1.2, b = 0.75 (the standard Okapi constants) as exact rationals:
+#   denom = tf + k1*(1-b) + k1*b*dl/avgdl
+#         = (10*A*tf + 3*A + 9*dl) / (10*A)          with A = avgdl
+# so with integer A = T DIV N (floor-avgdl deviation, documented):
+#   tf_part*TF_SCALE = (TF_SCALE*tf*10*A) DIV (10*A*tf + 3*A + 9*dl)
+TF_SCALE = 1_000_000
+IDF_SCALE = 1_000_000
+# Saturation cap on the integer idf weight (the BM25+ delta analog):
+# bounds idf*tf products within BIGINT at any corpus size.
+IDF_CAP = 1_000_000_000
+BM25_TOP_K = 20
+
+
+def _eq_lit(q: str):
+    # single-arg closure: a default-arg lambda would present two params
+    # and PySpark's higher-order filter would bind the second to the
+    # element INDEX
+    return lambda x: x == F.lit(q)
+
+
+def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k BM25 retrieval for the fixed ``QUERY_TERMS`` query.
+
+    All-BIGINT scoring: per-term contribution is
+    ``(idf_int * tf_part_scaled) DIV TF_SCALE`` with
+    ``idf_int = min(IDF_CAP, IDF_SCALE*(N-df+1) DIV (df+1))`` — exact
+    on both engines, no float ever materialized.
+    """
+    t = load_tables(spark, sf_dir)
+    tokens = F.split(F.col("text"), " ")
+    base = t["documents"].select(
+        "doc_id",
+        F.size(tokens).cast("long").alias("dl"),
+        *[
+            F.size(F.filter(tokens, _eq_lit(q))).cast("long").alias(f"tf_{i}")
+            for i, q in enumerate(QUERY_TERMS)
+        ],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").alias("total_tokens"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(QUERY_TERMS))
+        ],
+    ).withColumn("avgdl_i", F.expr("total_tokens DIV n_docs"))
+    scored = base.crossJoin(F.broadcast(stats))
+    contribs = [
+        F.expr(
+            f"(LEAST(CAST({IDF_CAP} AS BIGINT),"
+            f"       ({IDF_SCALE} * (n_docs - df_{i} + 1)) DIV (df_{i} + 1))"
+            f" * (({TF_SCALE} * tf_{i} * 10 * avgdl_i)"
+            f"     DIV (10 * avgdl_i * tf_{i} + 3 * avgdl_i + 9 * dl))"
+            f") DIV {TF_SCALE}"
+        )
+        for i in range(len(QUERY_TERMS))
+    ]
+    matched = [
+        (F.col(f"tf_{i}") > 0).cast("long") for i in range(len(QUERY_TERMS))
+    ]
+    out = scored.select(
+        "doc_id",
+        sum(contribs[1:], contribs[0]).alias("score"),
+        "dl",
+        sum(matched[1:], matched[0]).alias("n_matched"),
+    )
+    return (
+        out.where(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(BM25_TOP_K)
+    )
+
+
+def _bm25_sql() -> str:
+    qt = QUERY_TERMS
+    tf_cols = ",\n         ".join(
+        "CAST(len(list_filter(string_split(text,' '), x -> x = '%s')) AS BIGINT) AS tf_%d"
+        % (q.replace("'", "''"), i)
+        for i, q in enumerate(qt)
+    )
+    df_cols = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{i}"
+        for i in range(len(qt))
+    )
+    contribs = "\n       + ".join(
+        f"(LEAST(CAST({IDF_CAP} AS BIGINT),"
+        f" ({IDF_SCALE} * (n_docs - df_{i} + 1)) // (df_{i} + 1))"
+        f" * (({TF_SCALE} * tf_{i} * 10 * avgdl_i)"
+        f" // (10 * avgdl_i * tf_{i} + 3 * avgdl_i + 9 * dl))) // {TF_SCALE}"
+        for i in range(len(qt))
+    )
+    matched = " + ".join(
+        f"CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END" for i in range(len(qt))
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(string_split(text,' ')) AS BIGINT) AS dl,
+         {tf_cols}
+  FROM documents
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS total_tokens,
+         CAST(SUM(dl) AS BIGINT) // COUNT(*) AS avgdl_i,
+         {df_cols}
+  FROM base
+)
+SELECT doc_id,
+       CAST({contribs} AS BIGINT) AS score,
+       dl,
+       CAST({matched} AS BIGINT) AS n_matched
+FROM base CROSS JOIN stats
+WHERE {contribs} > 0
+ORDER BY score DESC, doc_id
+LIMIT {BM25_TOP_K}
+"""
+
+
+DOC_BM25_SQL = _bm25_sql()
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training
+# ---------------------------------------------------------------------------
+
+BPE_ROUNDS = 6
+EOW = "</w>"
+
+# Merge application = leftmost non-overlapping literal replace, run
+# REPLACE_PASSES times.  Identical builtin semantics on Spark
+# (java.lang.String.replace), DuckDB (replace) and Python
+# (str.replace); equal to sequential HF-BPE apply except on runs of
+# >=3 identical symbols sharing separator spaces — absent from this
+# vocab and pinned by the real-BPE recompute test.  Both engines use
+# the same pass count, so the cross-engine hash is exact regardless.
+REPLACE_PASSES = 2
+
+
+def _word_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(seq, cnt): space-joined character symbols + end-of-word marker,
+    weighted by corpus frequency.  The ONE corpus-scale job."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            F.concat(
+                F.concat_ws(" ", F.regexp_extract_all("word", F.lit("."), 0)),
+                F.lit(" " + EOW),
+            ).alias("seq"),
+            "cnt",
+        )
+    )
+
+
+def _adjacent_pairs(seq_col):
+    syms = F.split(seq_col, " ")
+    n = F.size(syms)
+    return F.zip_with(
+        F.slice(syms, 1, n - 1),
+        F.slice(syms, F.lit(2), n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+
+
+def doc_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first ``BPE_ROUNDS`` BPE merges from the corpus.
+
+    Each round: vocab-local adjacent-pair census (overlapping pairs
+    counted, standard BPE), argmax by (count DESC, pair ASC) — the
+    lexicographic tie-break makes the learned table a pure function of
+    the corpus — then merge application on the census.  Driver state is
+    one (pair, count) row per round: bounded, house-allowed.
+
+    Returns (round, pair, merged, pair_count), one row per merge.
+    """
+    census = _word_census(spark, sf_dir).localCheckpoint()
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(1, BPE_ROUNDS + 1):
+        best = (
+            census.select(F.explode(_adjacent_pairs(F.col("seq"))).alias("pair"), "cnt")
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), "pair")
+            .limit(1)
+            .collect()[0]
+        )
+        pair, merged = best["pair"], best["pair"].replace(" ", "")
+        merges.append((r, pair, merged, int(best["pair_count"])))
+        seq = F.concat(F.lit(" "), F.col("seq"), F.lit(" "))
+        for _ in range(REPLACE_PASSES):
+            seq = F.replace(seq, F.lit(f" {pair} "), F.lit(f" {merged} "))
+        census = census.select(F.trim(seq).alias("seq"), "cnt").localCheckpoint()
+    return spark.createDataFrame(
+        merges, "round int, pair string, merged string, pair_count bigint"
+    )
+
+
+def _bpe_sql() -> str:
+    parts = [
+        """
+WITH census_0 AS MATERIALIZED (
+  SELECT array_to_string(regexp_extract_all(word, '.'), ' ') || ' """
+        + EOW
+        + """' AS seq,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split(text,' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word
+)"""
+    ]
+    for r in range(1, BPE_ROUNDS + 1):
+        prev = f"census_{r - 1}"
+        repl = "' ' || seq || ' '"
+        for _ in range(REPLACE_PASSES):
+            repl = (
+                f"replace({repl}, ' ' || (SELECT pair FROM best_{r}) || ' ', "
+                f"' ' || (SELECT replace(pair, ' ', '') FROM best_{r}) || ' ')"
+            )
+        parts.append(
+            f""", pairs_{r} AS MATERIALIZED (
+  SELECT s[i] || ' ' || s[i+1] AS pair, CAST(SUM(cnt) AS BIGINT) AS pair_count
+  FROM (SELECT unnest(range(1, len(s))) AS i, s, cnt
+        FROM (SELECT string_split(seq, ' ') AS s, cnt FROM {prev}))
+  GROUP BY 1
+), best_{r} AS MATERIALIZED (
+  SELECT pair, pair_count FROM pairs_{r} ORDER BY pair_count DESC, pair LIMIT 1
+), census_{r} AS MATERIALIZED (
+  SELECT trim({repl}) AS seq, cnt FROM {prev}
+)"""
+        )
+    rows = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, pair, replace(pair, ' ', '') AS merged,"
+        f" pair_count FROM best_{r}"
+        for r in range(1, BPE_ROUNDS + 1)
+    )
+    parts.append(f"\nSELECT * FROM (\n{rows}\n) ORDER BY round")
+    return "".join(parts)
+
+
+DOC_BPE_TRAIN_SQL = _bpe_sql()
+
+
+SEARCH_QUERIES: dict[str, tuple] = {
+    "doc_bm25_search": (doc_bm25_search, DOC_BM25_SQL),
+    "doc_bpe_train": (doc_bpe_train, DOC_BPE_TRAIN_SQL),
+}

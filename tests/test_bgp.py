@@ -1,0 +1,125 @@
+"""BGP compiler semantics beyond the oracle hash: pattern shapes the
+registered query doesn't exercise (constant subj/obj, repeated vars,
+stats ordering, disconnected rejection) against brute-force Python
+joins over a hand-built edge set."""
+
+import os
+import sys
+from itertools import product
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from csv_to_jsonld_processor_spark.session import get_spark
+
+EDGES = [
+    ("a", "knows", "b"),
+    ("a", "knows", "c"),
+    ("b", "knows", "c"),
+    ("c", "worksFor", "acme"),
+    ("b", "worksFor", "acme"),
+    ("a", "worksFor", "globex"),
+    ("acme", "locatedIn", "berlin"),
+    ("globex", "locatedIn", "paris"),
+    ("loop", "self", "loop"),
+]
+
+
+@pytest.fixture(scope="module")
+def spark():
+    return get_spark("bgp", cpus=8)
+
+
+@pytest.fixture(scope="module")
+def edges(spark):
+    return spark.createDataFrame(EDGES, "subj string, pred string, obj string")
+
+
+def brute(patterns, project):
+    """All variable bindings via nested loops over EDGES."""
+    results = set()
+    for rows in product(EDGES, repeat=len(patterns)):
+        binding = {}
+        ok = True
+        for (s, p, o), row in zip(patterns, rows):
+            for term, val in zip((s, p, o), row):
+                if isinstance(term, str):
+                    if term != val:
+                        ok = False
+                else:
+                    if binding.setdefault(term.name, val) != val:
+                        ok = False
+            if not ok:
+                break
+        if ok:
+            results.add(tuple(binding[v] for v in project))
+    return results
+
+
+def run(edges, patterns, project, **kw):
+    from csv_to_jsonld_processor_spark.kg.bgp import bgp_query
+
+    return {tuple(r) for r in bgp_query(edges, patterns, project, **kw).collect()}
+
+
+def test_chain_with_constant_object(edges):
+    from csv_to_jsonld_processor_spark.kg.bgp import Var
+
+    pats = [
+        (Var("p"), "worksFor", Var("o")),
+        (Var("o"), "locatedIn", "berlin"),
+    ]
+    assert run(edges, pats, ["p", "o"]) == brute(pats, ["p", "o"]) == {
+        ("c", "acme"),
+        ("b", "acme"),
+    }
+
+
+def test_triangle_and_stats_ordering_agree(edges):
+    from csv_to_jsonld_processor_spark.kg.bgp import Var
+
+    pats = [
+        (Var("x"), "knows", Var("y")),
+        (Var("y"), "knows", Var("z")),
+        (Var("x"), "knows", Var("z")),
+    ]
+    want = brute(pats, ["x", "y", "z"])
+    assert run(edges, pats, ["x", "y", "z"]) == want == {("a", "b", "c")}
+    assert run(edges, pats, ["x", "y", "z"], use_stats=True) == want
+
+
+def test_repeated_variable_self_edge(edges):
+    from csv_to_jsonld_processor_spark.kg.bgp import Var
+
+    pats = [(Var("x"), Var("pr"), Var("x"))]
+    assert run(edges, pats, ["x", "pr"]) == {("loop", "self")}
+
+
+def test_variable_predicate(edges):
+    from csv_to_jsonld_processor_spark.kg.bgp import Var
+
+    pats = [("a", Var("pr"), Var("o"))]
+    assert run(edges, pats, ["pr", "o"]) == brute(pats, ["pr", "o"])
+
+
+def test_disconnected_bgp_refused(edges):
+    from csv_to_jsonld_processor_spark.kg.bgp import Var, bgp_query
+
+    pats = [
+        (Var("x"), "knows", Var("y")),
+        (Var("a"), "locatedIn", Var("b")),
+    ]
+    with pytest.raises(ValueError, match="cartesian"):
+        bgp_query(edges, pats, ["x", "a"])
+
+
+def test_bgp_plan_equi_joins_only(edges):
+    """Compiled plan: no cartesian/nested-loop, constant filters present
+    before the joins (pushed into the pattern scans)."""
+    from csv_to_jsonld_processor_spark.kg.bgp import BGP_LIVES_AT_HQ, bgp_query
+
+    df = bgp_query(edges, BGP_LIVES_AT_HQ, ["person", "org", "city"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -495,3 +495,34 @@ def test_fact_versioning_no_nested_loop(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "FullOuter" in plan or "full_outer" in plan.lower()
+
+
+def test_bm25_rides_the_scan_no_explode(spark):
+    """BM25 term frequencies are per-doc column expressions: no
+    Generate (explode) of the token stream, no hash shuffle of the
+    corpus — the only exchanges are the single-row stats broadcast, and
+    the top-k is a fused TakeOrdered, never a global sort."""
+    from csv_to_jsonld_processor_spark.operators.search import doc_bm25_search
+
+    plan = plan_of(doc_bm25_search(spark, SF))
+    assert "Generate" not in plan
+    assert "hashpartitioning" not in plan
+    assert "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bpe_train_corpus_scanned_once(spark):
+    """BPE training touches the corpus exactly once (the word census);
+    every merge round must plan against the vocab-sized checkpointed
+    census, not re-read documents.parquet."""
+    from csv_to_jsonld_processor_spark.operators.search import doc_bpe_train
+
+    df = doc_bpe_train(spark, SF)
+    # the returned merge table is driver-built from bounded state; the
+    # census scan count is observable via the query it came from: rerun
+    # the census builder and assert its plan reads parquet once
+    from csv_to_jsonld_processor_spark.operators.search import _word_census
+
+    census_plan = plan_of(_word_census(spark, SF))
+    assert census_plan.count("FileScan parquet") == 1
+    assert df.count() > 0

@@ -1,0 +1,134 @@
+"""Truth anchoring for the retrieval/tokenizer-training ops beyond the
+oracle hash: independent Python recomputes from the raw parquet (BM25
+with the same integer math; BPE with REAL sequential HF-style apply, so
+the leftmost-replace merge rule is proven equivalent on this corpus)."""
+
+import os
+import sys
+from collections import Counter
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from csv_to_jsonld_processor_spark.session import get_spark
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    return get_spark("search-ops", cpus=8)
+
+
+@pytest.fixture(scope="module")
+def texts():
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    con.close()
+    return rows
+
+
+def test_bm25_matches_python_recompute(spark, texts):
+    from csv_to_jsonld_processor_spark.operators.search import (
+        BM25_TOP_K,
+        IDF_CAP,
+        IDF_SCALE,
+        QUERY_TERMS,
+        TF_SCALE,
+        doc_bm25_search,
+    )
+
+    docs = [(did, t.split(" ")) for did, t in texts]
+    n = len(docs)
+    total = sum(len(tok) for _d, tok in docs)
+    a = total // n
+    df = {q: sum(1 for _d, tok in docs if q in tok) for q in QUERY_TERMS}
+    idf = {
+        q: min(IDF_CAP, (IDF_SCALE * (n - df[q] + 1)) // (df[q] + 1))
+        for q in QUERY_TERMS
+    }
+    expected = []
+    for did, tok in docs:
+        dl = len(tok)
+        c = Counter(tok)
+        score = sum(
+            (
+                idf[q]
+                * ((TF_SCALE * c[q] * 10 * a) // (10 * a * c[q] + 3 * a + 9 * dl))
+            )
+            // TF_SCALE
+            for q in QUERY_TERMS
+        )
+        if score > 0:
+            expected.append((-score, did, dl, sum(1 for q in QUERY_TERMS if c[q])))
+    expected.sort()
+    expected = [(d, -s, dl, m) for s, d, dl, m in expected[:BM25_TOP_K]]
+
+    got = [
+        (r.doc_id, r.score, r.dl, r.n_matched)
+        for r in doc_bm25_search(spark, SF).collect()
+    ]
+    assert got == expected
+    # rare-term dominance: the top hit must contain the rare query term
+    rare = min(df, key=df.get)
+    top_tokens = dict(texts)[got[0][0]].split(" ")
+    assert rare in top_tokens
+
+
+def test_bm25_idf_monotone_and_capped():
+    from csv_to_jsonld_processor_spark.operators.search import IDF_CAP, IDF_SCALE
+
+    n = 10_000
+    weights = [
+        min(IDF_CAP, (IDF_SCALE * (n - df + 1)) // (df + 1)) for df in range(n + 1)
+    ]
+    assert all(a >= b for a, b in zip(weights, weights[1:]))
+    assert weights[0] == IDF_CAP  # df=0 saturates at the cap
+
+
+def _real_bpe_apply(symbols: list[str], pair: tuple[str, str]) -> list[str]:
+    """Sequential leftmost merge — the HF/sentencepiece apply rule."""
+    out, i = [], 0
+    while i < len(symbols):
+        if i + 1 < len(symbols) and (symbols[i], symbols[i + 1]) == pair:
+            out.append(symbols[i] + symbols[i + 1])
+            i += 2
+        else:
+            out.append(symbols[i])
+            i += 1
+    return out
+
+
+def test_bpe_train_matches_real_sequential_bpe(spark, texts):
+    from csv_to_jsonld_processor_spark.operators.search import (
+        BPE_ROUNDS,
+        EOW,
+        doc_bpe_train,
+    )
+
+    words = Counter(w for _d, t in texts for w in t.split(" ") if w)
+    census = {tuple(list(w) + [EOW]): c for w, c in words.items()}
+    expected = []
+    for r in range(1, BPE_ROUNDS + 1):
+        pairs = Counter()
+        for syms, c in census.items():
+            for x, y in zip(syms, syms[1:]):
+                pairs[(x, y)] += c
+        # max count, min pair lexicographic on the space-joined string
+        best = min(pairs.items(), key=lambda kv: (-kv[1], " ".join(kv[0])))
+        (x, y), cnt = best
+        expected.append((r, f"{x} {y}", x + y, cnt))
+        census = {
+            tuple(_real_bpe_apply(list(s), (x, y))): c for s, c in census.items()
+        }
+
+    got = [
+        (r.round, r.pair, r.merged, r.pair_count)
+        for r in doc_bpe_train(spark, SF).collect()
+    ]
+    assert got == expected
+    assert len({m for _r, _p, m, _c in got}) == BPE_ROUNDS  # merges distinct
