@@ -129,8 +129,14 @@ def bgp_query(
     project: list[str],
     distinct: bool = True,
     use_stats: bool = False,
+    optionals: list[list[Pattern]] | None = None,
 ) -> DataFrame:
-    """Compile and run a conjunctive BGP over an edge DataFrame."""
+    """Compile and run a conjunctive BGP over an edge DataFrame.
+
+    ``optionals``: SPARQL OPTIONAL groups — each group is itself a
+    (connected) BGP, compiled independently and LEFT-joined to the
+    required part on its shared variables, so unmatched bindings
+    surface as NULLs instead of dropping rows."""
     if not patterns:
         raise ValueError("empty BGP")
     ordered = _order_patterns(edges, patterns, use_stats)
@@ -141,8 +147,61 @@ def bgp_query(
         shared = sorted(bound & set(_pattern_vars(pat)))
         acc = acc.join(pdf, on=shared, how="inner")
         bound |= set(_pattern_vars(pat))
+    for group in optionals or []:
+        g_ordered = _order_patterns(edges, group, use_stats)
+        gdf = _pattern_df(edges, g_ordered[0])
+        g_bound = set(_pattern_vars(g_ordered[0]))
+        for pat in g_ordered[1:]:
+            shared = sorted(g_bound & set(_pattern_vars(pat)))
+            gdf = gdf.join(_pattern_df(edges, pat), on=shared, how="inner")
+            g_bound |= set(_pattern_vars(pat))
+        # OPTIONAL-group duplicates must not multiply required rows
+        gdf = gdf.dropDuplicates()
+        shared = sorted(bound & g_bound)
+        if not shared:
+            raise ValueError(
+                "OPTIONAL group shares no variable with the required BGP"
+            )
+        acc = acc.join(gdf, on=shared, how="left")
+        bound |= g_bound
     out = acc.select(*project)
     return out.dropDuplicates() if distinct else out
+
+
+def path_query(
+    edges: DataFrame,
+    pred: str,
+    min_len: int,
+    max_len: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """SPARQL property path ``pred{min_len,max_len}``: distinct (src,
+    dst) pairs connected by a directed pred-chain of length in
+    [min_len, max_len].  Bounded iterative expansion — one equi-join
+    per extra hop on the pred-filtered edge set (dictionary-encoded +
+    pred-pruned at scale), unioned per admissible length; semi-naive /
+    pointer-jumping is the unbounded ``pred*`` upgrade path (see
+    ``kg_type_inference`` / ``kg_sameas_resolve``)."""
+    if not (1 <= min_len <= max_len):
+        raise ValueError("need 1 <= min_len <= max_len")
+    step = (
+        edges.where(F.col("pred") == F.lit(pred))
+        .select(F.col("subj").alias(src), F.col("obj").alias(dst))
+        .dropDuplicates()
+    )
+    hop = step
+    out = step if min_len == 1 else None
+    for length in range(2, max_len + 1):
+        hop = (
+            hop.withColumnRenamed(dst, "_mid")
+            .join(step.withColumnRenamed(src, "_mid"), on="_mid", how="inner")
+            .select(src, dst)
+            .dropDuplicates()
+        )
+        if length >= min_len:
+            out = hop if out is None else out.unionByName(hop)
+    return out.dropDuplicates()
 
 
 # ---------------------------------------------------------------------------
@@ -169,6 +228,42 @@ def kg_sparql_bgp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BGP_WORKS_OPTIONAL_BIRTH: list[Pattern] = [
+    (Var("person"), TERMS + "worksFor", Var("org")),
+]
+BGP_OPTIONAL_GROUP: list[Pattern] = [
+    (Var("person"), TERMS + "birthPlace", Var("city")),
+]
+
+
+def kg_sparql_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL OPTIONAL: every (person, org) employment binding, plus
+    the person's birth city when known — NULL otherwise (left join,
+    never dropping unmatched persons)."""
+    from .queries import kg_webtext_edges
+
+    edges = kg_webtext_edges(spark, sf_dir)
+    return bgp_query(
+        edges,
+        BGP_WORKS_OPTIONAL_BIRTH,
+        ["person", "org", "city"],
+        optionals=[BGP_OPTIONAL_GROUP],
+    ).orderBy("person", "org", "city")
+
+
+PATH_PRED = TERMS + "acquired"
+PATH_MIN, PATH_MAX = 1, 3
+
+
+def kg_sparql_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL property path ``kg:acquired{1,3}``: acquisition chains up
+    to 3 deep — distinct (src, dst) org pairs."""
+    from .queries import kg_webtext_edges
+
+    edges = kg_webtext_edges(spark, sf_dir)
+    return path_query(edges, PATH_PRED, PATH_MIN, PATH_MAX).orderBy("src", "dst")
+
+
 def _bgp_sql() -> str:
     from .queries import _GOLDEN_EDGES
 
@@ -185,6 +280,35 @@ ORDER BY person, org, city
 """
 
 
+def _optional_sql() -> str:
+    from .queries import _GOLDEN_EDGES
+
+    return f"""
+WITH e AS (SELECT * FROM read_csv('{_GOLDEN_EDGES}', header=true, all_varchar=true)),
+w AS (SELECT DISTINCT subj AS person, obj AS org FROM e WHERE pred = '{TERMS}worksFor'),
+b AS (SELECT DISTINCT subj AS person, obj AS city FROM e WHERE pred = '{TERMS}birthPlace')
+SELECT DISTINCT w.person, w.org, b.city
+FROM w LEFT JOIN b USING (person)
+ORDER BY person, org, city
+"""
+
+
+def _path_sql() -> str:
+    from .queries import _GOLDEN_EDGES
+
+    return f"""
+WITH e AS (SELECT * FROM read_csv('{_GOLDEN_EDGES}', header=true, all_varchar=true)),
+s AS (SELECT DISTINCT subj AS src, obj AS dst FROM e WHERE pred = '{PATH_PRED}'),
+h2 AS (SELECT DISTINCT a.src, b.dst FROM s a JOIN s b ON a.dst = b.src),
+h3 AS (SELECT DISTINCT a.src, b.dst FROM h2 a JOIN s b ON a.dst = b.src)
+SELECT DISTINCT src, dst
+FROM (SELECT * FROM s UNION ALL SELECT * FROM h2 UNION ALL SELECT * FROM h3)
+ORDER BY src, dst
+"""
+
+
 KG_BGP_QUERIES: dict[str, tuple] = {
     "kg_sparql_bgp": (kg_sparql_bgp, _bgp_sql()),
+    "kg_sparql_optional": (kg_sparql_optional, _optional_sql()),
+    "kg_sparql_path": (kg_sparql_path, _path_sql()),
 }

@@ -123,3 +123,35 @@ def test_bgp_plan_equi_joins_only(edges):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_optional_left_join_semantics(edges):
+    """OPTIONAL keeps unmatched required bindings with NULL city; the
+    optional group never multiplies or filters required rows."""
+    from csv_to_jsonld_processor_spark.kg.bgp import Var, bgp_query
+
+    pats = [(Var("p"), "worksFor", Var("o"))]
+    opt = [[(Var("p"), "knows", Var("q"))]]
+    got = {tuple(r) for r in bgp_query(edges, pats, ["p", "o", "q"], optionals=opt).collect()}
+    want = set()
+    for s, pr, o in EDGES:
+        if pr != "worksFor":
+            continue
+        matches = [oo for ss, pp, oo in EDGES if pp == "knows" and ss == s]
+        for m in matches or [None]:
+            want.add((s, o, m))
+    assert got == want
+    assert ("c", "acme", None) in got  # c knows nobody → NULL, row kept
+
+
+def test_path_query_bounded_lengths(edges):
+    from csv_to_jsonld_processor_spark.kg.bgp import path_query
+
+    got = {tuple(r) for r in path_query(edges, "knows", 1, 2).collect()}
+    one = {(s, o) for s, p, o in EDGES if p == "knows"}
+    two = {(s1, o2) for s1, _p, o1 in EDGES if _p == "knows"
+           for s2, p2, o2 in EDGES if p2 == "knows" and s2 == o1}
+    assert got == one | two
+    # min_len=2 excludes direct edges not reachable in 2 hops
+    got2 = {tuple(r) for r in path_query(edges, "knows", 2, 2).collect()}
+    assert got2 == two
