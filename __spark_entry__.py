@@ -148,6 +148,12 @@ def _registry() -> dict[str, tuple]:
     except ImportError:
         pass
     try:
+        from csv_to_jsonld_processor_spark.sources.warc import WARC_QUERIES
+
+        reg.update(WARC_QUERIES)
+    except ImportError:
+        pass
+    try:
         from csv_to_jsonld_processor_spark.sources.multimodal import MULTIMODAL_QUERIES
 
         reg.update(MULTIMODAL_QUERIES)
