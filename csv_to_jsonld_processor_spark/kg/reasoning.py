@@ -334,8 +334,90 @@ FROM diff GROUP BY pred ORDER BY pred
 """
 
 
+def kg_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history over the recrawl
+    stream: each fact's presence across crawls is segmented into
+    validity intervals by the gaps-and-islands rule (island =
+    crawl_id − row_number over the fact's presence sequence — a fact
+    that disappears and later reappears opens a NEW version, exactly
+    SCD2 semantics), then summarized per predicate: version count,
+    currently-open versions (valid_to = the url's latest crawl), total
+    covered crawl-slots, longest version, and versions that are closed
+    or late-opening (churn signal).
+
+    Scale: the island window partitions by the full fact key — the
+    same key the crawl store would cluster on — so sessionizing is one
+    shuffle; everything after is partial-aggregated.  This is the
+    interval-building complement to ``kg_fact_versioning``'s
+    first-vs-last diff (same truth-anchored RAW-observation oracle).
+    """
+    from pyspark.sql import Window
+
+    from ..sources.pages import generate_recrawls
+
+    obs = generate_recrawls(spark, N_RECRAWL_URLS, seed=42, partitions=8)
+    key = ["url", "subj", "pred", "obj"]
+    pres = obs.select(*key, "crawl_id").dropDuplicates()
+    w = Window.partitionBy(*key).orderBy("crawl_id")
+    vers = (
+        pres.withColumn("island", F.col("crawl_id") - F.row_number().over(w))
+        .groupBy(*key, "island")
+        .agg(
+            F.min("crawl_id").alias("valid_from"),
+            F.max("crawl_id").alias("valid_to"),
+        )
+    )
+    mx = obs.groupBy("url").agg(F.max("crawl_id").alias("max_crawl"))
+    v = vers.join(mx, "url")
+    length = F.col("valid_to") - F.col("valid_from") + 1
+    return (
+        v.groupBy("pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_versions"),
+            F.sum((F.col("valid_to") == F.col("max_crawl")).cast("long")).alias("n_current"),
+            F.sum(length).cast("long").alias("total_version_crawls"),
+            F.max(length).cast("long").alias("max_version_len"),
+            F.sum(
+                ((F.col("valid_from") > 0) | (F.col("valid_to") < F.col("max_crawl"))).cast("long")
+            ).alias("n_closed_or_late"),
+        )
+        .orderBy("pred")
+    )
+
+
+KG_SCD2_SQL = f"""
+WITH obs AS (
+  SELECT url, CAST(crawl_id AS INT) AS crawl_id, subj, pred, obj
+  FROM read_csv('{_GOLDEN_RECRAWLS}', header=true, all_varchar=true)
+), pres AS (
+  SELECT DISTINCT url, subj, pred, obj, crawl_id FROM obs
+), isl AS (
+  SELECT url, subj, pred, obj, crawl_id,
+         crawl_id - ROW_NUMBER() OVER (
+           PARTITION BY url, subj, pred, obj ORDER BY crawl_id) AS island
+  FROM pres
+), vers AS (
+  SELECT url, subj, pred, obj,
+         MIN(crawl_id) AS valid_from, MAX(crawl_id) AS valid_to
+  FROM isl GROUP BY url, subj, pred, obj, island
+), mx AS (
+  SELECT url, MAX(crawl_id) AS max_crawl FROM obs GROUP BY url
+)
+SELECT pred,
+       CAST(COUNT(*) AS BIGINT) AS n_versions,
+       CAST(SUM(CASE WHEN v.valid_to = m.max_crawl THEN 1 ELSE 0 END) AS BIGINT) AS n_current,
+       CAST(SUM(v.valid_to - v.valid_from + 1) AS BIGINT) AS total_version_crawls,
+       CAST(MAX(v.valid_to - v.valid_from + 1) AS BIGINT) AS max_version_len,
+       CAST(SUM(CASE WHEN v.valid_from > 0 OR v.valid_to < m.max_crawl
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_closed_or_late
+FROM vers v JOIN mx m USING (url)
+GROUP BY pred ORDER BY pred
+"""
+
+
 KG_REASONING_QUERIES: dict[str, tuple] = {
     "kg_type_inference": (kg_type_inference, KG_TYPE_INFERENCE_SQL),
     "kg_functional_conflicts": (kg_functional_conflicts, KG_FUNCTIONAL_CONFLICTS_SQL),
     "kg_fact_versioning": (kg_fact_versioning, KG_FACT_VERSIONING_SQL),
+    "kg_scd2_versions": (kg_scd2_versions, KG_SCD2_SQL),
 }

@@ -124,3 +124,52 @@ def test_fact_versioning_matches_bruteforce(spark):
     assert any(v[2] > 0 for v in got.values()), "no added facts"
     assert any(v[3] > 0 for v in got.values()), "no removed facts"
     assert any(v[1] > 0 for v in got.values()), "no stable facts"
+
+
+def test_scd2_versions_match_python_islands(spark):
+    """SCD2 interval construction vs a brute-force Python
+    gaps-and-islands recompute from the generator's own recrawl
+    stream; also pins that reappearing facts really open a second
+    version (the property separating SCD2 from first/last diffing)."""
+    from collections import defaultdict
+
+    from csv_to_jsonld_processor_spark.kg.reasoning import (
+        N_RECRAWL_URLS,
+        kg_scd2_versions,
+    )
+    from csv_to_jsonld_processor_spark.sources.pages import recrawl_facts
+
+    pres = defaultdict(set)  # (url,s,p,o) -> {crawl_id}
+    url_max = defaultdict(int)
+    for i in range(N_RECRAWL_URLS):
+        for url, k, _ts, s, p, o in recrawl_facts(i, seed=42):
+            pres[(url, s, p, o)].add(k)
+            url_max[url] = max(url_max[url], k)
+    agg = defaultdict(lambda: [0, 0, 0, 0, 0])
+    saw_reopened = False
+    for (url, _s, p, _o), crawls in pres.items():
+        ks = sorted(crawls)
+        islands = []
+        start = prev = ks[0]
+        for k in ks[1:]:
+            if k == prev + 1:
+                prev = k
+            else:
+                islands.append((start, prev))
+                start = prev = k
+        islands.append((start, prev))
+        saw_reopened = saw_reopened or len(islands) > 1
+        a = agg[p]
+        for lo, hi in islands:
+            a[0] += 1
+            a[1] += 1 if hi == url_max[url] else 0
+            a[2] += hi - lo + 1
+            a[3] = max(a[3], hi - lo + 1)
+            a[4] += 1 if (lo > 0 or hi < url_max[url]) else 0
+    got = {
+        r.pred: (r.n_versions, r.n_current, r.total_version_crawls,
+                 r.max_version_len, r.n_closed_or_late)
+        for r in kg_scd2_versions(spark, SF).collect()
+    }
+    assert got == {p: tuple(v) for p, v in agg.items()}
+    assert saw_reopened, "stream never reopens a fact — island logic untested"
