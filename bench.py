@@ -55,6 +55,11 @@ BENCH_QUERIES = [
     "events_stream_join",
     "sql_shared_grouping_sets",
     "media_png_stats",
+    # round-5 session-4 additions
+    "doc_bm25_search",
+    "doc_bpe_train",
+    "kg_sparql_bgp",
+    "warc_roundtrip_stats",
 ]
 
 

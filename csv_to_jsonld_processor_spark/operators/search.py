@@ -199,6 +199,7 @@ def _word_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .select(
+            "word",
             F.concat(
                 F.concat_ws(" ", F.regexp_extract_all("word", F.lit("."), 0)),
                 F.lit(" " + EOW),
@@ -218,7 +219,9 @@ def _adjacent_pairs(seq_col):
     )
 
 
-def doc_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_bpe_train(
+    spark: SparkSession, sf_dir: str, return_census: bool = False
+) -> DataFrame:
     """Learn the first ``BPE_ROUNDS`` BPE merges from the corpus.
 
     Each round: vocab-local adjacent-pair census (overlapping pairs
@@ -245,17 +248,22 @@ def doc_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq = F.concat(F.lit(" "), F.col("seq"), F.lit(" "))
         for _ in range(REPLACE_PASSES):
             seq = F.replace(seq, F.lit(f" {pair} "), F.lit(f" {merged} "))
-        census = census.select(F.trim(seq).alias("seq"), "cnt").localCheckpoint()
-    return spark.createDataFrame(
+        census = census.select(
+            "word", F.trim(seq).alias("seq"), "cnt"
+        ).localCheckpoint()
+    trained = spark.createDataFrame(
         merges, "round int, pair string, merged string, pair_count bigint"
     )
+    return (trained, census) if return_census else trained
 
 
-def _bpe_sql() -> str:
+def _bpe_chain_sql() -> str:
+    """The shared training CTE chain (census_0..census_R, best_1..R)."""
     parts = [
         """
 WITH census_0 AS MATERIALIZED (
-  SELECT array_to_string(regexp_extract_all(word, '.'), ' ') || ' """
+  SELECT word,
+         array_to_string(regexp_extract_all(word, '.'), ' ') || ' """
         + EOW
         + """' AS seq,
          CAST(COUNT(*) AS BIGINT) AS cnt
@@ -280,22 +288,80 @@ WITH census_0 AS MATERIALIZED (
 ), best_{r} AS MATERIALIZED (
   SELECT pair, pair_count FROM pairs_{r} ORDER BY pair_count DESC, pair LIMIT 1
 ), census_{r} AS MATERIALIZED (
-  SELECT trim({repl}) AS seq, cnt FROM {prev}
+  SELECT word, trim({repl}) AS seq, cnt FROM {prev}
 )"""
         )
+    return "".join(parts)
+
+
+def _bpe_train_sql() -> str:
     rows = "\nUNION ALL\n".join(
         f"SELECT {r} AS round, pair, replace(pair, ' ', '') AS merged,"
         f" pair_count FROM best_{r}"
         for r in range(1, BPE_ROUNDS + 1)
     )
-    parts.append(f"\nSELECT * FROM (\n{rows}\n) ORDER BY round")
-    return "".join(parts)
+    return _bpe_chain_sql() + f"\nSELECT * FROM (\n{rows}\n) ORDER BY round"
 
 
-DOC_BPE_TRAIN_SQL = _bpe_sql()
+DOC_BPE_TRAIN_SQL = _bpe_train_sql()
+
+
+def doc_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the WHOLE corpus with the learned merges (train→apply
+    integration): the trained census already holds each word's merged
+    symbol sequence, so application is a vocab-sized broadcast join —
+    explode corpus words, look up tokens-per-word, partial-aggregate
+    per language.  The corpus is never string-rewritten a second time;
+    at 100 TB the only corpus-scale cost is the explode+join riding the
+    scan into one lang-grouped reduction."""
+    t = load_tables(spark, sf_dir)
+    _trained, census = doc_bpe_train(spark, sf_dir, return_census=True)
+    vocab = census.select(
+        "word", F.size(F.split("seq", " ")).cast("long").alias("n_tok")
+    )
+    words = (
+        t["documents"]
+        .select("lang", F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+    )
+    return (
+        words.join(F.broadcast(vocab), "word")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("total_words"),
+            F.sum("n_tok").alias("total_bpe_tokens"),
+            F.sum(F.length("word")).cast("long").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _bpe_apply_sql() -> str:
+    return (
+        _bpe_chain_sql()
+        + f"""
+, vocab AS MATERIALIZED (
+  SELECT word, CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_tok
+  FROM census_{BPE_ROUNDS}
+), corpus AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS total_words,
+       CAST(SUM(v.n_tok) AS BIGINT) AS total_bpe_tokens,
+       CAST(SUM(length(c.word)) AS BIGINT) AS total_chars
+FROM corpus c JOIN vocab v USING (word)
+WHERE c.word <> ''
+GROUP BY lang ORDER BY lang
+"""
+    )
+
+
+DOC_BPE_APPLY_SQL = _bpe_apply_sql()
 
 
 SEARCH_QUERIES: dict[str, tuple] = {
     "doc_bm25_search": (doc_bm25_search, DOC_BM25_SQL),
     "doc_bpe_train": (doc_bpe_train, DOC_BPE_TRAIN_SQL),
+    "doc_bpe_apply": (doc_bpe_apply, DOC_BPE_APPLY_SQL),
 }

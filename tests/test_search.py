@@ -132,3 +132,44 @@ def test_bpe_train_matches_real_sequential_bpe(spark, texts):
     ]
     assert got == expected
     assert len({m for _r, _p, m, _c in got}) == BPE_ROUNDS  # merges distinct
+
+
+def test_bpe_apply_matches_recompute_and_compresses(spark, texts):
+    from csv_to_jsonld_processor_spark.operators.search import (
+        BPE_ROUNDS,
+        EOW,
+        doc_bpe_apply,
+    )
+
+    # recompute: learn merges (real sequential BPE — proven equivalent
+    # above), then tokens per word = |merged symbol seq|
+    import duckdb as _d
+    con = _d.connect()
+    rows = con.execute(
+        f"SELECT lang, text FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    con.close()
+    census = Counter(w for _l, t in rows for w in t.split(" ") if w)
+    seqs = {w: tuple(list(w) + [EOW]) for w in census}
+    for _r in range(BPE_ROUNDS):
+        pairs = Counter()
+        for w, syms in seqs.items():
+            for x, y in zip(syms, syms[1:]):
+                pairs[(x, y)] += census[w]
+        (x, y), _c = min(pairs.items(), key=lambda kv: (-kv[1], " ".join(kv[0])))
+        seqs = {w: tuple(_real_bpe_apply(list(s), (x, y))) for w, s in seqs.items()}
+    expect = {}
+    for lang, t in rows:
+        ws = [w for w in t.split(" ") if w]
+        e = expect.setdefault(lang, [0, 0, 0])
+        e[0] += len(ws)
+        e[1] += sum(len(seqs[w]) for w in ws)
+        e[2] += sum(len(w) for w in ws)
+    got = {
+        r.lang: (r.total_words, r.total_bpe_tokens, r.total_chars)
+        for r in doc_bpe_apply(spark, SF).collect()
+    }
+    assert got == {l: tuple(v) for l, v in expect.items()}
+    for l, (nw, nt, nc) in got.items():
+        # merges must compress: fewer tokens than chars+EOW markers
+        assert nt < nc + nw, l
