@@ -154,6 +154,12 @@ def _registry() -> dict[str, tuple]:
     except ImportError:
         pass
     try:
+        from csv_to_jsonld_processor_spark.kg.mlprep import KG_MLPREP_QUERIES
+
+        reg.update(KG_MLPREP_QUERIES)
+    except ImportError:
+        pass
+    try:
         from csv_to_jsonld_processor_spark.sources.multimodal import MULTIMODAL_QUERIES
 
         reg.update(MULTIMODAL_QUERIES)

@@ -1,0 +1,255 @@
+"""ML-training preparation over the constructed KG: edge splitting with
+inverse-leakage audit, and deterministic filtered negative sampling —
+the two data-hygiene steps every KG-completion (TransE-family) training
+pipeline runs between graph materialization and model training.
+
+Both are exact integer/hash algebra (the house md5-prefix idiom shared
+with ``kg/triplestore.py``), so the DuckDB oracle checks them
+bit-for-bit, and both are truth-anchored to the generator-derived
+golden edge table rather than this engine's own output.
+
+Scale shape: the split is a stateless per-row hash bucket riding the
+scan; the leakage audit and accidental-positive filter are equi-joins
+on the full triple key (the natural clustering of a triple store); the
+negative-sample candidate pool is per-predicate ranked objects — a
+window over the (pred, obj) distinct set, tiny relative to the edge
+count, then a broadcast-sized per-pred count table drives index
+arithmetic.  No sampling loop, no rejection resampling: one pass,
+deterministic, with removed accidental positives REPORTED instead of
+silently resampled (the auditable variant of filtered negative
+sampling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _u32(col) -> F.Column:
+    """First 8 md5 hex chars as BIGINT — same idiom both engines."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+SPLIT_BUCKETS = 10  # 8 train / 1 valid / 1 test
+NEG_K = 2
+
+
+def _distinct_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries import kg_webtext_edges
+
+    return kg_webtext_edges(spark, sf_dir).select("subj", "pred", "obj").dropDuplicates()
+
+
+def kg_edge_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-split the distinct triple set 8/1/1 and audit INVERSE
+    leakage: a valid/test triple (s,p,o) whose mirror (o,p,s) sits in
+    train lets a model score the held-out edge from memorization, the
+    classic KG-completion eval flaw (FB15k's pitfall).  Per predicate:
+    split sizes and inverse-leak counts for both held-out splits."""
+    trip = _distinct_triples(spark, sf_dir)
+    t = trip.withColumn(
+        "bucket",
+        F.pmod(_u32(F.concat_ws("|", "subj", "pred", "obj")), F.lit(SPLIT_BUCKETS)),
+    )
+    train = t.where(F.col("bucket") < SPLIT_BUCKETS - 2)
+    mirror = train.select(
+        F.col("obj").alias("subj"), "pred", F.col("subj").alias("obj")
+    )
+    key = ["subj", "pred", "obj"]
+    leak_v = (
+        t.where(F.col("bucket") == SPLIT_BUCKETS - 2)
+        .join(mirror, key, "left_semi")
+        .groupBy("pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_valid_inv_leak"))
+    )
+    leak_t = (
+        t.where(F.col("bucket") == SPLIT_BUCKETS - 1)
+        .join(mirror, key, "left_semi")
+        .groupBy("pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_test_inv_leak"))
+    )
+    sizes = t.groupBy("pred").agg(
+        F.sum((F.col("bucket") < SPLIT_BUCKETS - 2).cast("long")).alias("n_train"),
+        F.sum((F.col("bucket") == SPLIT_BUCKETS - 2).cast("long")).alias("n_valid"),
+        F.sum((F.col("bucket") == SPLIT_BUCKETS - 1).cast("long")).alias("n_test"),
+    )
+    return (
+        sizes.join(leak_v, "pred", "left")
+        .join(leak_t, "pred", "left")
+        .select(
+            "pred",
+            "n_train",
+            "n_valid",
+            "n_test",
+            F.coalesce("n_valid_inv_leak", F.lit(0)).alias("n_valid_inv_leak"),
+            F.coalesce("n_test_inv_leak", F.lit(0)).alias("n_test_inv_leak"),
+        )
+        .orderBy("pred")
+    )
+
+
+def kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic filtered negative sampling (the original TransE
+    uniform-corruption protocol): for every distinct triple, NEG_K
+    object corruptions drawn from the GLOBAL entity pool
+    (subjects ∪ objects, rank-indexed), index = md5(s|p|o|k) mod pool
+    size; candidates that collide with a true triple are removed by
+    anti-join and COUNTED, not resampled.  Per predicate:
+    candidate/accidental/kept counts plus an order-free checksum of
+    the kept negatives (sum of per-negative md5-prefix u32), so the
+    full sample set is hash-verified without emitting it.
+
+    Corrupt-within-range (per-predicate object pools) is the usual
+    refinement, but this KB's ranges are SATURATED — e.g. every
+    (person, birthPlace, place) pair is a true triple — so range
+    corruption filters to almost nothing; the uniform pool keeps the
+    type-violating negatives a real trainer would learn from."""
+    trip = _distinct_triples(spark, sf_dir)
+    ents = (
+        trip.select(F.col("subj").alias("ent"))
+        .unionByName(trip.select(F.col("obj").alias("ent")))
+        .dropDuplicates()
+    )
+    # entity-dictionary-scale global rank (bounded: the KB's canonical
+    # entity set, not the corpus) — at 10^9 entities this is the same
+    # range-partitioned sort dictionary encoding already pays once
+    pool = ents.withColumn(
+        "idx", F.row_number().over(Window.orderBy("ent")) - 1
+    )
+    pool_n = pool.agg(F.count(F.lit(1)).cast("long").alias("pool_n"))
+    cand = (
+        trip.crossJoin(F.broadcast(pool_n))
+        .select(
+            "subj",
+            "pred",
+            "obj",
+            "pool_n",
+            F.explode(F.array(*[F.lit(k) for k in range(NEG_K)])).alias("k"),
+        )
+        .withColumn(
+            "idx",
+            F.pmod(
+                _u32(F.concat_ws("|", "subj", "pred", "obj", "k")), F.col("pool_n")
+            ),
+        )
+        .join(
+            F.broadcast(pool.select("idx", F.col("ent").alias("neg_obj"))), "idx"
+        )
+        .select("subj", "pred", "neg_obj")
+    )
+    kept = cand.join(
+        trip.select("subj", "pred", F.col("obj").alias("neg_obj")),
+        ["subj", "pred", "neg_obj"],
+        "left_anti",
+    )
+    n_cand = cand.groupBy("pred").agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    stats = kept.groupBy("pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum(_u32(F.concat_ws("|", "subj", "pred", "neg_obj")))
+        .cast("long")
+        .alias("neg_checksum"),
+    )
+    return (
+        n_cand.join(stats, "pred")
+        .select(
+            "pred",
+            "n_candidates",
+            (F.col("n_candidates") - F.col("n_kept")).alias("n_accidental_removed"),
+            "n_kept",
+            "neg_checksum",
+        )
+        .orderBy("pred")
+    )
+
+
+def _edge_split_sql() -> str:
+    from .queries import _GOLDEN_EDGES
+
+    lo, v, t = SPLIT_BUCKETS - 2, SPLIT_BUCKETS - 2, SPLIT_BUCKETS - 1
+    return f"""
+WITH trip AS (
+  SELECT DISTINCT subj, pred, obj
+  FROM read_csv('{_GOLDEN_EDGES}', header=true, all_varchar=true)
+), b AS (
+  SELECT subj, pred, obj,
+         CAST(('0x' || substr(md5(subj || '|' || pred || '|' || obj), 1, 8)) AS BIGINT)
+           % {SPLIT_BUCKETS} AS bucket
+  FROM trip
+), train AS (SELECT subj, pred, obj FROM b WHERE bucket < {lo}),
+leak_v AS (
+  SELECT h.pred, CAST(COUNT(*) AS BIGINT) AS n_valid_inv_leak
+  FROM b h JOIN train tr
+    ON h.subj = tr.obj AND h.pred = tr.pred AND h.obj = tr.subj
+  WHERE h.bucket = {v} GROUP BY h.pred
+), leak_t AS (
+  SELECT h.pred, CAST(COUNT(*) AS BIGINT) AS n_test_inv_leak
+  FROM b h JOIN train tr
+    ON h.subj = tr.obj AND h.pred = tr.pred AND h.obj = tr.subj
+  WHERE h.bucket = {t} GROUP BY h.pred
+), sizes AS (
+  SELECT pred,
+         CAST(SUM(CASE WHEN bucket < {lo} THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+         CAST(SUM(CASE WHEN bucket = {v} THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+         CAST(SUM(CASE WHEN bucket = {t} THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+  FROM b GROUP BY pred
+)
+SELECT s.pred, s.n_train, s.n_valid, s.n_test,
+       COALESCE(lv.n_valid_inv_leak, 0) AS n_valid_inv_leak,
+       COALESCE(lt.n_test_inv_leak, 0) AS n_test_inv_leak
+FROM sizes s
+LEFT JOIN leak_v lv ON s.pred = lv.pred
+LEFT JOIN leak_t lt ON s.pred = lt.pred
+ORDER BY s.pred
+"""
+
+
+def _neg_samples_sql() -> str:
+    from .queries import _GOLDEN_EDGES
+
+    ks = ", ".join(str(k) for k in range(NEG_K))
+    return f"""
+WITH trip AS (
+  SELECT DISTINCT subj, pred, obj
+  FROM read_csv('{_GOLDEN_EDGES}', header=true, all_varchar=true)
+), pool AS (
+  SELECT ent, ROW_NUMBER() OVER (ORDER BY ent) - 1 AS idx
+  FROM (SELECT DISTINCT subj AS ent FROM trip
+        UNION SELECT DISTINCT obj FROM trip)
+), pool_n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS pool_n FROM pool
+), cand AS (
+  SELECT t.subj, t.pred, p.ent AS neg_obj
+  FROM (
+    SELECT tr.subj, tr.pred, tr.obj, u.k,
+           CAST(('0x' || substr(md5(tr.subj || '|' || tr.pred || '|' || tr.obj
+                                || '|' || CAST(u.k AS VARCHAR)), 1, 8)) AS BIGINT)
+             % (SELECT pool_n FROM pool_n) AS idx
+    FROM trip tr
+    CROSS JOIN (SELECT unnest([{ks}]) AS k) u
+  ) t
+  JOIN pool p ON t.idx = p.idx
+), kept AS (
+  SELECT c.subj, c.pred, c.neg_obj FROM cand c
+  ANTI JOIN trip tr
+    ON c.subj = tr.subj AND c.pred = tr.pred AND c.neg_obj = tr.obj
+), n_cand AS (
+  SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand GROUP BY pred
+), stats AS (
+  SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         CAST(SUM(CAST(('0x' || substr(md5(subj || '|' || pred || '|' || neg_obj), 1, 8))
+                       AS BIGINT)) AS BIGINT) AS neg_checksum
+  FROM kept GROUP BY pred
+)
+SELECT n.pred, n.n_candidates,
+       n.n_candidates - s.n_kept AS n_accidental_removed,
+       s.n_kept, s.neg_checksum
+FROM n_cand n JOIN stats s ON n.pred = s.pred
+ORDER BY n.pred
+"""
+
+
+KG_MLPREP_QUERIES: dict[str, tuple] = {
+    "kg_edge_split": (kg_edge_split, _edge_split_sql()),
+    "kg_negative_samples": (kg_negative_samples, _neg_samples_sql()),
+}
