@@ -130,13 +130,20 @@ def bgp_query(
     distinct: bool = True,
     use_stats: bool = False,
     optionals: list[list[Pattern]] | None = None,
+    filters: list[str] | None = None,
 ) -> DataFrame:
     """Compile and run a conjunctive BGP over an edge DataFrame.
 
     ``optionals``: SPARQL OPTIONAL groups — each group is itself a
     (connected) BGP, compiled independently and LEFT-joined to the
     required part on its shared variables, so unmatched bindings
-    surface as NULLs instead of dropping rows."""
+    surface as NULLs instead of dropping rows.
+
+    ``filters``: SPARQL FILTER expressions as SQL boolean strings over
+    the variable names (e.g. ``"person != org"``, ``"city LIKE '%/berlin'"``).
+    Applied to the required bindings before OPTIONAL joins; Catalyst
+    pushes each predicate down to the earliest pattern scan where its
+    variables are bound, so writing them post-join costs nothing."""
     if not patterns:
         raise ValueError("empty BGP")
     ordered = _order_patterns(edges, patterns, use_stats)
@@ -147,6 +154,8 @@ def bgp_query(
         shared = sorted(bound & set(_pattern_vars(pat)))
         acc = acc.join(pdf, on=shared, how="inner")
         bound |= set(_pattern_vars(pat))
+    for expr in filters or []:
+        acc = acc.where(F.expr(expr))
     for group in optionals or []:
         g_ordered = _order_patterns(edges, group, use_stats)
         gdf = _pattern_df(edges, g_ordered[0])

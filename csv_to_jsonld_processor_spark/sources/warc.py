@@ -76,44 +76,70 @@ def encode_warc_record(url: str, warc_ts, html: bytes, gzip_member: bool = False
     return co.compress(record) + co.flush()
 
 
-def decode_warc_shard(shard: bytes) -> list[dict]:
+def decode_warc_shard(
+    shard: bytes, permissive: bool = False
+) -> list[dict] | tuple[list[dict], int]:
     """Parse one shard (plain concatenation OR concatenated gzip
-    members) into record dicts."""
+    members) into record dicts.
+
+    ``permissive=True`` is the production crawl posture: a corrupt
+    record (bad magic, truncated payload, unparseable headers) is
+    skipped by resyncing to the next ``WARC/1.0`` magic at a record
+    boundary, and the function returns ``(records, n_skipped)`` so the
+    loss is COUNTED, never silent.  Strict mode raises on the first
+    corruption (the round-trip/integrity posture)."""
     if shard[:2] == b"\x1f\x8b":
         chunks = []
         buf = shard
         while buf:
             d = zlib.decompressobj(16 + zlib.MAX_WBITS)
-            chunks.append(d.decompress(buf))
+            try:
+                chunks.append(d.decompress(buf))
+            except zlib.error:
+                if not permissive:
+                    raise ValueError("corrupt gzip member")
+                break  # rest of the shard is unrecoverable
             buf = d.unused_data
         shard = b"".join(chunks)
     out: list[dict] = []
+    skipped = 0
     pos = 0
     n = len(shard)
     while pos < n:
-        if shard[pos:pos + len(_WARC_VERSION)] != _WARC_VERSION:
-            raise ValueError(f"bad WARC magic at offset {pos}")
-        head_end = shard.index(CRLF + CRLF, pos)
-        header_block = shard[pos:head_end].decode("utf-8")
-        headers: dict[str, str] = {}
-        for line in header_block.split("\r\n")[1:]:
-            k, _, v = line.partition(":")
-            headers[k.strip().lower()] = v.strip()
-        clen = int(headers["content-length"])
-        body = shard[head_end + 4:head_end + 4 + clen]
-        pos = head_end + 4 + clen + 4  # payload + record separator CRLFCRLF
-        # split the HTTP envelope from the entity body
-        http_end = body.index(CRLF + CRLF)
-        out.append(
-            {
+        try:
+            if shard[pos:pos + len(_WARC_VERSION)] != _WARC_VERSION:
+                raise ValueError(f"bad WARC magic at offset {pos}")
+            head_end = shard.index(CRLF + CRLF, pos)
+            header_block = shard[pos:head_end].decode("utf-8")
+            headers: dict[str, str] = {}
+            for line in header_block.split("\r\n")[1:]:
+                k, _, v = line.partition(":")
+                headers[k.strip().lower()] = v.strip()
+            clen = int(headers["content-length"])
+            if head_end + 4 + clen + 4 > n:
+                raise ValueError("truncated record payload")
+            body = shard[head_end + 4:head_end + 4 + clen]
+            # split the HTTP envelope from the entity body
+            http_end = body.index(CRLF + CRLF)
+            rec = {
                 "url": headers.get("warc-target-uri", ""),
                 "warc_date": headers.get("warc-date", ""),
                 "rec_type": headers.get("warc-type", ""),
                 "record_id": headers.get("warc-record-id", ""),
                 "html": body[http_end + 4:],
             }
-        )
-    return out
+        except (ValueError, KeyError, UnicodeDecodeError):
+            if not permissive:
+                raise
+            skipped += 1
+            nxt = shard.find(CRLF + CRLF + _WARC_VERSION, pos + 1)
+            if nxt == -1:
+                break
+            pos = nxt + 4
+            continue
+        out.append(rec)
+        pos = head_end + 4 + clen + 4  # payload + record separator CRLFCRLF
+    return (out, skipped) if permissive else out
 
 
 PAGES_WARC_SCHEMA = "shard_id long, warc binary"

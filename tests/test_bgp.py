@@ -155,3 +155,27 @@ def test_path_query_bounded_lengths(edges):
     # min_len=2 excludes direct edges not reachable in 2 hops
     got2 = {tuple(r) for r in path_query(edges, "knows", 2, 2).collect()}
     assert got2 == two
+
+
+def test_filter_expressions(edges):
+    """SPARQL FILTER: SQL predicates over bound variables, applied to
+    the required bindings (Catalyst pushes them down the join chain)."""
+    from csv_to_jsonld_processor_spark.kg.bgp import Var, bgp_query
+
+    pats = [
+        (Var("p"), "worksFor", Var("o")),
+        (Var("o"), "locatedIn", Var("c")),
+    ]
+    got = {
+        tuple(r)
+        for r in bgp_query(
+            edges, pats, ["p", "o", "c"], filters=["c != 'paris'", "p != 'c'"]
+        ).collect()
+    }
+    want = {
+        (p, o, c)
+        for p, o in [(s, ob) for s, pr, ob in EDGES if pr == "worksFor"]
+        for oo, c in [(s, ob) for s, pr, ob in EDGES if pr == "locatedIn"]
+        if oo == o and c != "paris" and p != "c"
+    }
+    assert got == want == {("b", "acme", "berlin")}

@@ -80,3 +80,23 @@ def test_spark_roundtrip_byte_identity(spark):
     orig = {r["url"]: bytes(r["html"]) for r in pages.collect()}
     got = {r["url"]: bytes(r["html"]) for r in back.collect()}
     assert got == orig
+
+
+def test_permissive_skips_corrupt_records_and_counts():
+    """Production posture: a corrupt middle record is skipped with the
+    parser resyncing on the next record boundary; loss is counted."""
+    good1 = encode_warc_record("https://h/1", TS, b"<html>1</html>")
+    good2 = encode_warc_record("https://h/2", TS, b"<html>2</html>")
+    corrupt = b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: oops\r\n\r\n"
+    shard = good1 + corrupt + good2
+    recs, skipped = decode_warc_shard(shard, permissive=True)
+    assert [r["url"] for r in recs] == ["https://h/1", "https://h/2"]
+    assert skipped == 1
+    with pytest.raises(ValueError):
+        decode_warc_shard(shard)  # strict mode still raises
+
+
+def test_permissive_truncated_tail():
+    good = encode_warc_record("https://h/1", TS, b"<html>1</html>")
+    recs, skipped = decode_warc_shard(good + good[: len(good) // 2], permissive=True)
+    assert len(recs) == 1 and skipped == 1
