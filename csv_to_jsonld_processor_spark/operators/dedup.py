@@ -1035,8 +1035,128 @@ FROM per_doc GROUP BY 1 ORDER BY dup_decile
 """
 
 
+# --- content-defined chunking (CDC) dedup -----------------------------------
+
+CDC_BOUNDARY_DIGITS = ("0", "4", "8", "c")  # P(boundary)=4/16 → mean chunk ≈ 4 tokens
+
+
+def cdc_chunk_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, n, chunks): cut each document at
+    content-defined boundaries — after token i iff the first md5 hex
+    digit of (token i, \\x01, token i+1) lands in CDC_BOUNDARY_DIGITS.
+    Pure column algebra; the n >= 2 guard keeps sequence() ascending."""
+    digits = ", ".join(f"'{d}'" for d in CDC_BOUNDARY_DIGITS)
+    return (
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .withColumn(
+            "bpos",
+            F.when(
+                F.col("n") >= 2,
+                F.expr(
+                    "filter(sequence(1, n - 1), i -> substring(md5(concat("
+                    f"element_at(toks, i), chr(1), element_at(toks, i + 1))), 1, 1) IN ({digits}))"
+                ),
+            ).otherwise(F.array().cast("array<int>")),
+        )
+        .withColumn("edges", F.expr("concat(array(0), bpos, array(n))"))
+        .withColumn(
+            "chunks",
+            F.expr(
+                "transform(sequence(1, size(edges) - 1), j -> array_join("
+                "slice(toks, element_at(edges, j) + 1,"
+                " element_at(edges, j + 1) - element_at(edges, j)), ' '))"
+            ),
+        )
+        .select("doc_id", "n", "chunks")
+    )
+
+
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup at CONTENT-DEFINED chunk granularity — the
+    LBFS/rsync/storage-dedup boundary rule applied at token level. A
+    chunk boundary falls after token i iff a hash of the local window
+    (token i, token i+1) lands in a fixed 1/4 slice of hash space, so
+    boundaries are a function of local content only. That makes the
+    chunking SHIFT-RESISTANT: inserting or deleting one token near a
+    document's head re-cuts at most the chunks overlapping the edit,
+    while the fixed-K chunker (``dedup_chunks``) shifts every
+    downstream chunk by one token and loses all of them. Chunk sizes
+    are geometric(1/4) (mean 4 tokens, matching CHUNK_K=4 so the two
+    censuses are comparable); production CDC adds min/max clamps, which
+    need a sequential scan — documented out, the unclamped rule is the
+    one that stays per-position-independent and hence expressible as
+    pure column algebra. Window hash is md5 of the two tokens joined by
+    an \\x01 sentinel (so ("ab","c") cannot collide with ("a","bc"));
+    at 100 TB you'd swap md5 for a rolling buzhash inside one
+    mapInPandas pass — identical boundaries, O(1) per position.
+
+    Same census/roll-up shape as ``dedup_chunks``: chunking rides the
+    scan (no shuffle, no Python), ONE map-side-combined groupBy on the
+    chunk key, census joined back, ONE groupBy doc_id, decile roll-up.
+    Output adds n_tokens so mean chunk length per bucket is auditable.
+    """
+    t = load_tables(spark, sf_dir)
+    d = cdc_chunk_docs(t["documents"])
+    inst = d.select("doc_id", "n", F.explode("chunks").alias("chunk"))
+    census = inst.groupBy("chunk").agg(F.countDistinct("doc_id").alias("nd"))
+    per_doc = (
+        inst.join(census, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.first("n").alias("n_toks"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("nd") > 1).cast("long")).alias("n_dup"),
+        )
+    )
+    return (
+        per_doc.groupBy(
+            F.least(F.lit(9), (F.col("n_dup") * 10 / F.col("n_chunks")).cast("int")).alias(
+                "dup_decile"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chunks").cast("long").alias("n_chunks"),
+            F.sum("n_dup").cast("long").alias("n_dup_chunks"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+        )
+        .orderBy("dup_decile")
+    )
+
+
+DEDUP_CDC_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t, len(string_split(text, ' ')) AS n
+  FROM documents),
+cut AS (
+  SELECT doc_id, t, n,
+    [0] || CASE WHEN n >= 2 THEN list_filter(range(1, n), i ->
+        substr(md5(t[i] || chr(1) || t[i+1]), 1, 1)
+        IN ({", ".join(f"'{d}'" for d in CDC_BOUNDARY_DIGITS)}))
+      ELSE [] END || [CAST(n AS BIGINT)] AS edges
+  FROM toks),
+inst AS (
+  SELECT doc_id, n,
+         array_to_string(t[edges[j] + 1 : edges[j + 1]], ' ') AS chunk
+  FROM cut, UNNEST(range(1, len(edges))) AS u(j)),
+census AS (SELECT chunk, COUNT(DISTINCT doc_id) AS nd FROM inst GROUP BY chunk),
+per_doc AS (
+  SELECT doc_id, ANY_VALUE(n) AS n_toks, COUNT(*) AS n_chunks,
+         SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS n_dup
+  FROM inst JOIN census USING (chunk) GROUP BY doc_id)
+SELECT CAST(LEAST(9, n_dup * 10 // n_chunks) AS INT) AS dup_decile,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chunks) AS BIGINT) AS n_chunks,
+       CAST(SUM(n_dup) AS BIGINT) AS n_dup_chunks,
+       CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+FROM per_doc GROUP BY 1 ORDER BY dup_decile
+"""
+
+
 DEDUP_QUERIES: dict[str, tuple] = {
     "dedup_chunks": (dedup_chunks, DEDUP_CHUNKS_SQL),
+    "dedup_cdc_chunks": (dedup_cdc_chunks, DEDUP_CDC_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
