@@ -251,7 +251,186 @@ DOC_URL_DEDUP_SQL = _url_dedup_sql()
 DOC_URL_SURT_SQL = _url_surt_sql()
 
 
+# --- crawl politeness: robots longest-prefix-match + per-host scheduling ----
+#
+# The admission-control stage of a crawl frontier: every candidate URL
+# passes through its host's robots rules (REP longest-match semantics,
+# allow wins ties — the Google/RFC 9309 rule), and surviving URLs are
+# laid out on the host's politeness clock (one fetch per crawl_delay).
+# Both the URL mix and the per-host rule sets are synthesized
+# deterministically from md5 of doc_id / host, so BOTH engines derive
+# rules + verdicts from the same column algebra — the oracle exercises
+# the matcher itself, not a pinned answer.
+#
+# Rule classes planted: /private/ and /admin disallowed everywhere;
+# "strict" hosts (md5 digit 0-7) additionally disallow /tmp/ BUT allow
+# /tmp/ok/ — a longer allow overriding a shorter disallow, the case
+# that distinguishes longest-match from first-match.
+#
+# Scale shape: the rules table is |hosts| × ≤4 rows — broadcast; the
+# match join fans out ≤4× (rules per host), never |urls| × |rules|;
+# the longest-match argmax is ONE map-side-combinable groupBy(url) of
+# max(struct(prefix_len, is_allow)) — no window over the raw match
+# rows; URLs matching NO rule keep their all-null join row (the match
+# predicate lives in the ON clause, not a post-filter) and default to
+# allowed. The politeness schedule is per-host SERIAL by definition
+# (rank-by-path × crawl_delay), so its summary stats — makespan and
+# first fetch — reduce to count/min aggregates with no window at all;
+# emitting the full slot assignment at 10^12 URLs is a sort WITHIN the
+# host partition (the crawl store's natural key), not a new exchange.
+
+CRAWL_HOSTS = 12
+
+
+def doc_crawl_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl admission + politeness schedule stats:
+    (host, crawl_delay_s, n_urls, n_allowed, n_blocked, makespan_s)."""
+    t = load_tables(spark, sf_dir)
+    d = (
+        t["documents"]
+        .select("doc_id")
+        .withColumn("pk", F.substring(F.md5(F.concat(F.lit("u:"), F.col("doc_id"))), 1, 1))
+        .withColumn(
+            "host",
+            F.concat(
+                F.lit("crawl"),
+                (
+                    F.conv(
+                        F.substring(F.md5(F.concat(F.lit("h:"), F.col("doc_id"))), 1, 8), 16, 10
+                    ).cast("long")
+                    % CRAWL_HOSTS
+                    + 1
+                ).cast("string"),
+                F.lit(".example.org"),
+            ),
+        )
+        .withColumn(
+            "path",
+            F.concat(
+                F.when(F.col("pk").isin("0", "1", "2", "3"), F.lit("/page/"))
+                .when(F.col("pk").isin("4", "5"), F.lit("/private/"))
+                .when(F.col("pk") == "6", F.lit("/admin/"))
+                .when(F.col("pk").isin("7", "8", "9"), F.lit("/tmp/"))
+                .when(F.col("pk").isin("a", "b"), F.lit("/tmp/ok/"))
+                .otherwise(F.lit("/docs/")),
+                F.col("doc_id"),
+            ),
+        )
+        .select("doc_id", "host", "path")
+    )
+    hosts = d.select("host").distinct()
+    strict = F.substring(F.md5(F.concat(F.lit("r:"), F.col("host"))), 1, 1) < "8"
+    rules = (
+        hosts.select("host", F.lit("/private/").alias("prefix"), F.lit(0).alias("is_allow"))
+        .unionAll(hosts.select("host", F.lit("/admin"), F.lit(0)))
+        .unionAll(hosts.where(strict).select("host", F.lit("/tmp/"), F.lit(0)))
+        .unionAll(hosts.where(strict).select("host", F.lit("/tmp/ok/"), F.lit(1)))
+    )
+    delay = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("d:"), F.col("host"))), 1, 8), 16, 10).cast(
+            "long"
+        )
+        % 5
+        + 1
+    ).alias("crawl_delay_s")
+    r = rules.withColumnRenamed("host", "r_host")
+    matched = (
+        d.join(
+            F.broadcast(r),
+            (F.col("host") == F.col("r_host"))
+            & (F.expr("left(path, length(prefix))") == F.col("prefix")),
+            "left",
+        )
+        .groupBy("doc_id", "host", "path")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("prefix").isNotNull(),
+                    F.expr("struct(length(prefix) AS plen, is_allow)"),
+                )
+            ).alias("best")
+        )
+        .withColumn("allowed", F.col("best").isNull() | (F.col("best.is_allow") == 1))
+    )
+    per_host = (
+        matched.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.sum(F.col("allowed").cast("long")).alias("n_allowed"),
+            F.sum(F.when(F.col("allowed"), 0).otherwise(1)).cast("long").alias("n_blocked"),
+            F.min(F.when(F.col("allowed"), F.col("path"))).alias("first_fetch"),
+        )
+        .withColumn("crawl_delay_s", delay)
+    )
+    return per_host.select(
+        "host",
+        F.col("crawl_delay_s").cast("long"),
+        "n_urls",
+        F.col("n_allowed").cast("long"),
+        "n_blocked",
+        (F.greatest(F.col("n_allowed") - 1, F.lit(0)) * F.col("crawl_delay_s"))
+        .cast("long")
+        .alias("makespan_s"),
+        "first_fetch",
+    ).orderBy("host")
+
+
+DOC_CRAWL_POLITENESS_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         substr(md5('u:' || doc_id), 1, 1) AS pk,
+         'crawl' || CAST(CAST(('0x' || substr(md5('h:' || doc_id), 1, 8)) AS BIGINT)
+                         % {CRAWL_HOSTS} + 1 AS VARCHAR) || '.example.org' AS host
+  FROM documents),
+urls AS (
+  SELECT doc_id, host,
+         (CASE WHEN pk IN ('0','1','2','3') THEN '/page/'
+               WHEN pk IN ('4','5') THEN '/private/'
+               WHEN pk = '6' THEN '/admin/'
+               WHEN pk IN ('7','8','9') THEN '/tmp/'
+               WHEN pk IN ('a','b') THEN '/tmp/ok/'
+               ELSE '/docs/' END) || doc_id AS path
+  FROM d),
+hosts AS (SELECT DISTINCT host FROM urls),
+rules AS (
+  SELECT host, '/private/' AS prefix, 0 AS is_allow FROM hosts
+  UNION ALL SELECT host, '/admin', 0 FROM hosts
+  UNION ALL SELECT host, '/tmp/', 0 FROM hosts WHERE substr(md5('r:' || host), 1, 1) < '8'
+  UNION ALL SELECT host, '/tmp/ok/', 1 FROM hosts WHERE substr(md5('r:' || host), 1, 1) < '8'),
+matched AS (
+  SELECT u.doc_id, u.host, u.path,
+         MAX(CASE WHEN r.prefix IS NULL THEN NULL
+                  ELSE {{'plen': length(r.prefix), 'is_allow': r.is_allow}} END) AS best
+  FROM urls u LEFT JOIN rules r
+    ON u.host = r.host AND left(u.path, length(r.prefix)) = r.prefix
+  GROUP BY u.doc_id, u.host, u.path),
+verdict AS (
+  SELECT doc_id, host, path,
+         (best IS NULL OR best.is_allow = 1) AS allowed
+  FROM matched),
+per_host AS (
+  SELECT host, COUNT(*) AS n_urls,
+         SUM(CASE WHEN allowed THEN 1 ELSE 0 END) AS n_allowed,
+         SUM(CASE WHEN allowed THEN 0 ELSE 1 END) AS n_blocked,
+         MIN(CASE WHEN allowed THEN path END) AS first_fetch
+  FROM verdict GROUP BY host)
+SELECT host,
+       CAST(CAST(('0x' || substr(md5('d:' || host), 1, 8)) AS BIGINT) % 5 + 1 AS BIGINT)
+         AS crawl_delay_s,
+       CAST(n_urls AS BIGINT) AS n_urls,
+       CAST(n_allowed AS BIGINT) AS n_allowed,
+       CAST(n_blocked AS BIGINT) AS n_blocked,
+       CAST(GREATEST(n_allowed - 1, 0)
+            * (CAST(('0x' || substr(md5('d:' || host), 1, 8)) AS BIGINT) % 5 + 1) AS BIGINT)
+         AS makespan_s,
+       first_fetch
+FROM per_host
+ORDER BY host
+"""
+
+
 URL_QUERIES: dict[str, tuple] = {
     "doc_url_dedup": (doc_url_dedup, DOC_URL_DEDUP_SQL),
     "doc_url_surt_index": (doc_url_surt_index, DOC_URL_SURT_SQL),
+    "doc_crawl_politeness": (doc_crawl_politeness, DOC_CRAWL_POLITENESS_SQL),
 }

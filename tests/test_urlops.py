@@ -133,3 +133,58 @@ def test_url_dedup_collapse_matches_bruteforce(spark):
         assert r.n_collapsed == len(raws) - len(canons)
         total_collapsed += r.n_collapsed
     assert total_collapsed > 0, "junk classes 0-d must actually collapse"
+
+
+def test_crawl_politeness_matches_python_rep_matcher(spark):
+    """Independent REP recompute: re-derive the synthesized URL set and
+    rule sets in plain Python (hashlib, no SQL), apply longest-match /
+    allow-wins-ties, and require the per-host stats to agree exactly.
+    Also pins the rule semantics being non-degenerate: strict hosts
+    must block /tmp/ yet admit /tmp/ok/ (longer allow beats shorter
+    disallow), and every rule class must fire somewhere."""
+    from csv_to_jsonld_processor_spark.operators.urlops import (
+        CRAWL_HOSTS,
+        doc_crawl_politeness,
+    )
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    doc_ids = [
+        str(r.doc_id)
+        for r in load_tables(spark, SF)["documents"].select("doc_id").collect()
+    ]
+    path_cls = {
+        **{k: "/page/" for k in "0123"}, **{k: "/private/" for k in "45"},
+        "6": "/admin/", **{k: "/tmp/" for k in "789"},
+        **{k: "/tmp/ok/" for k in "ab"}, **{k: "/docs/" for k in "cdef"},
+    }
+    stats = defaultdict(lambda: [0, 0, None])  # n_urls, n_allowed, first_fetch
+    saw_tmp_ok_allowed_on_strict = False
+    for d in doc_ids:
+        host = f"crawl{int(md5('h:' + d)[:8], 16) % CRAWL_HOSTS + 1}.example.org"
+        path = path_cls[md5("u:" + d)[0]] + d
+        strict = md5("r:" + host)[0] < "8"
+        rules = [("/private/", 0), ("/admin", 0)]
+        if strict:
+            rules += [("/tmp/", 0), ("/tmp/ok/", 1)]
+        hits = [(len(p), a) for p, a in rules if path.startswith(p)]
+        allowed = (not hits) or max(hits)[1] == 1
+        if strict and path.startswith("/tmp/ok/"):
+            assert allowed
+            saw_tmp_ok_allowed_on_strict = True
+        s = stats[host]
+        s[0] += 1
+        if allowed:
+            s[1] += 1
+            s[2] = path if s[2] is None else min(s[2], path)
+    assert saw_tmp_ok_allowed_on_strict
+    got = {r.host: r for r in doc_crawl_politeness(spark, SF).collect()}
+    assert set(got) == set(stats)
+    for host, (n_urls, n_allowed, first) in stats.items():
+        r = got[host]
+        delay = int(md5("d:" + host)[:8], 16) % 5 + 1
+        assert (r.n_urls, r.n_allowed, r.n_blocked) == (
+            n_urls, n_allowed, n_urls - n_allowed), host
+        assert r.crawl_delay_s == delay
+        assert r.makespan_s == max(n_allowed - 1, 0) * delay
+        assert r.first_fetch == first
+        assert 0 < r.n_blocked < r.n_urls, "both verdicts must occur per host"
