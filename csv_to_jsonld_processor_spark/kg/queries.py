@@ -459,6 +459,110 @@ def kg_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EDGECUT_K = 8  # partitions evaluated by the placement audit
+
+
+def kg_edge_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-placement audit: the PowerGraph-style partitioning-quality
+    metrics that choose the edge layout BEFORE a 10^12-edge iterative
+    job (PageRank/LPA/k-core all shuffle per iteration, so placement
+    is the dominant cost). Three candidate placements of the pipeline's
+    edges into {EDGECUT_K} parts, each scored by:
+
+    - ``max_part_edges`` — straggler bound (worst partition's load);
+    - ``repl_sum`` / ``n_vertices`` — PowerGraph vertex replication
+      factor: Σ_v |parts touching v|, the per-iteration communication
+      volume (each replica must sync its vertex state).
+
+    Placements: ``edge_hash`` (uniform random — perfect balance,
+    worst replication), ``src_hash`` (subj-keyed — co-locates each
+    vertex's out-edges, halves replication, inherits hub skew:
+    entity 0 holds ~35% of mentions), ``domain`` (host-keyed — the
+    crawl store's free clustering, but Zipf hosts make the head
+    partition the straggler). The numbers let the audit pick
+    per-workload instead of guessing; all metrics are exact integers.
+
+    Scale shape: the three placements ride one scan (md5 column
+    algebra + a 3-way struct explode = 3×|E| rows, no join); each
+    metric is a map-side-combinable groupBy — (strategy, part) for
+    load, then a distinct on (strategy, part, vertex) for replication.
+    Oracle: identical algebra over the generator-anchored golden."""
+    edges = kg_webtext_edges(spark, sf_dir)
+
+    def u32(c):
+        return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+    host = F.regexp_extract(F.col("url"), r"https://([^/]+)/", 1)
+    eid = F.concat_ws("|", "url", "sent_idx", "subj", "pred", "obj")
+    strat = (
+        edges.withColumn("p_edge", u32(eid) % EDGECUT_K)
+        .withColumn("p_src", u32(F.col("subj")) % EDGECUT_K)
+        .withColumn("p_dom", u32(host) % EDGECUT_K)
+        .select(
+            F.explode(
+                F.expr(
+                    "array(struct('edge_hash' AS strategy, p_edge AS part),"
+                    " struct('src_hash' AS strategy, p_src AS part),"
+                    " struct('domain' AS strategy, p_dom AS part))"
+                )
+            ).alias("s"),
+            "subj",
+            "obj",
+        )
+        .select("s.strategy", "s.part", "subj", "obj")
+    )
+    load = strat.groupBy("strategy", "part").agg(F.count(F.lit(1)).alias("n")).groupBy(
+        "strategy"
+    ).agg(
+        F.sum("n").cast("long").alias("n_edges"),
+        F.count(F.lit(1)).cast("long").alias("n_parts_used"),
+        F.max("n").cast("long").alias("max_part_edges"),
+    )
+    repl = (
+        strat.select("strategy", "part", F.explode(F.array("subj", "obj")).alias("v"))
+        .distinct()
+        .groupBy("strategy")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("repl_sum"),
+            F.countDistinct("v").cast("long").alias("n_vertices"),
+        )
+    )
+    return load.join(repl, "strategy").orderBy("strategy")
+
+
+KG_EDGECUT_SQL = f"""
+WITH e AS (
+  SELECT url, sent_idx, subj, pred, obj,
+         regexp_extract(url, 'https://([^/]+)/', 1) AS host
+  FROM read_csv('{_GOLDEN_EDGES}', header=true, all_varchar=true)),
+placed AS (
+  SELECT subj, obj, s.strategy, s.part
+  FROM e, UNNEST([
+    {{'strategy': 'edge_hash',
+      'part': CAST(('0x' || substr(md5(url || '|' || sent_idx || '|' || subj || '|' || pred || '|' || obj), 1, 8)) AS BIGINT) % {EDGECUT_K}}},
+    {{'strategy': 'src_hash',
+      'part': CAST(('0x' || substr(md5(subj), 1, 8)) AS BIGINT) % {EDGECUT_K}}},
+    {{'strategy': 'domain',
+      'part': CAST(('0x' || substr(md5(host), 1, 8)) AS BIGINT) % {EDGECUT_K}}}
+  ]) AS u(s)),
+load AS (
+  SELECT strategy, CAST(SUM(n) AS BIGINT) AS n_edges,
+         CAST(COUNT(*) AS BIGINT) AS n_parts_used,
+         CAST(MAX(n) AS BIGINT) AS max_part_edges
+  FROM (SELECT strategy, part, COUNT(*) AS n FROM placed GROUP BY 1, 2)
+  GROUP BY strategy),
+repl AS (
+  SELECT strategy, CAST(COUNT(*) AS BIGINT) AS repl_sum,
+         CAST(COUNT(DISTINCT v) AS BIGINT) AS n_vertices
+  FROM (SELECT DISTINCT strategy, part, v
+        FROM placed, UNNEST([subj, obj]) AS w(v))
+  GROUP BY strategy)
+SELECT strategy, n_edges, n_parts_used, max_part_edges, repl_sum, n_vertices
+FROM load JOIN repl USING (strategy)
+ORDER BY strategy
+"""
+
+
 KG_DOMAIN_SQL = f"""
 SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS host,
        CAST(COUNT(*) AS BIGINT) AS n_edges,
@@ -1349,6 +1453,7 @@ KG_QUERIES: dict[str, tuple] = {
     "kg_webtext_edges": (kg_webtext_edges, KG_EDGES_SQL),
     "kg_webtext_edge_stats": (kg_webtext_edge_stats, KG_EDGE_STATS_SQL),
     "kg_webtext_pr": (kg_webtext_pr, KG_PR_SQL),
+    "kg_edge_cut": (kg_edge_cut, KG_EDGECUT_SQL),
     "kg_domain_stats": (kg_domain_stats, KG_DOMAIN_SQL),
     "kg_shacl_cardinality": (kg_shacl_cardinality, KG_SHACL_SQL),
     "kg_entity_table": (kg_entity_table, KG_ENTITY_TABLE_SQL),

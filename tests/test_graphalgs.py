@@ -118,3 +118,25 @@ def test_scc_members_are_mutually_reachable(spark):
         ms = set(r.members.split(","))
         assert not (ms & seen)
         seen |= ms
+
+
+def test_edge_cut_placement_tradeoffs(spark):
+    """The placement audit must reproduce the canonical partitioning
+    trade-offs on the seed-42 graph: uniform edge hashing balances
+    best (smallest worst-partition), subj-keyed placement cuts the
+    replication factor (each vertex's out-edges co-located) but pays
+    the 35%-hub skew in its worst partition, and all three strategies
+    place every edge exactly once."""
+    from csv_to_jsonld_processor_spark.kg.queries import EDGECUT_K, kg_edge_cut
+
+    rows = {r.strategy: r for r in kg_edge_cut(spark, SF).collect()}
+    assert set(rows) == {"edge_hash", "src_hash", "domain"}
+    n_edges = {r.n_edges for r in rows.values()}
+    assert len(n_edges) == 1 and n_edges.pop() > 0
+    eh, sh, dom = rows["edge_hash"], rows["src_hash"], rows["domain"]
+    assert sh.repl_sum < eh.repl_sum  # co-location halves comm volume
+    assert eh.max_part_edges < sh.max_part_edges  # hub skew hits src_hash
+    assert eh.max_part_edges < dom.max_part_edges  # Zipf hosts hit domain
+    for r in rows.values():
+        assert r.n_vertices <= r.repl_sum <= r.n_vertices * EDGECUT_K
+        assert r.max_part_edges * r.n_parts_used >= r.n_edges  # max >= mean
