@@ -277,7 +277,165 @@ ORDER BY rk
 """
 
 
+# --- Bloom-filter semi-join reduction ---------------------------------------
+
+BLOOM_M = 3968  # filter bits: 64 words × 62 usable bits (bit 63 would
+# overflow a signed shift in DuckDB, bit 62 is left unused for symmetry)
+BLOOM_K = 3  # hash functions
+BLOOM_B = 62  # usable bits per 64-bit word
+
+
+def _bloom_pos_sql(i: int, key: str) -> str:
+    """DuckDB: bit position i for key (identical algebra to the Spark side)."""
+    return f"CAST(('0x' || substr(md5('b{i}:' || {key}), 1, 8)) AS BIGINT) % {BLOOM_M}"
+
+
+def orders_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction — the runtime-filter move that
+    makes selective star joins survive 100 TB: a {BLOOM_M}-bit filter
+    built from the SELECTIVE dim side (1996 URGENT orders) is pushed to
+    the fact scan, so lineitem rows whose key cannot join are dropped
+    BEFORE the join shuffle instead of after it. Spark's own
+    runtime-bloom rewrite does exactly this when statistics justify it;
+    building the filter explicitly makes the mechanism deterministic
+    (md5-derived positions), so both engines construct bit-identical
+    words and the whole pruning pipeline — build, probe, false-positive
+    accounting — is hash-gateable rather than approximate.
+
+    Output (one row): true/passed/false-positive key counts, probe-row
+    reduction, and the filter's realized false-positive rate in basis
+    points — the number that tells an operator whether {BLOOM_M} bits
+    are enough at the next scale-up.
+
+    Scale shape: the build side aggregates k positions per key into
+    ≤{BLOOM_M // BLOOM_B} (word, mask) rows via map-side-combined BIT_OR —
+    kilobytes, broadcast; the probe side fans each key to its k
+    (word, bit) checks and joins the broadcast words — no shuffle of
+    the fact table at all; the final counts are one partial-aggregated
+    summary. False positives are COUNTED exactly by anti-checking
+    passed keys against the true key set (gate-scale verification; at
+    100 TB the count is replaced by the FPR formula)."""
+    t = load_tables(spark, sf_dir)
+    sel = (
+        t["orders"]
+        .where(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+            & (F.col("o_orderpriority") == "1-URGENT")
+        )
+        .select(F.col("o_orderkey").cast("string").alias("key"))
+        .distinct()
+    )
+
+    def pos(i: int, key):
+        return (
+            F.conv(F.substring(F.md5(F.concat(F.lit(f"b{i}:"), key)), 1, 8), 16, 10).cast(
+                "long"
+            )
+            % BLOOM_M
+        )
+
+    def fanout(df):
+        return df.select(
+            "key",
+            F.explode(
+                F.array(*[pos(i, F.col("key")) for i in range(BLOOM_K)])
+            ).alias("p"),
+        ).select(
+            "key",
+            F.expr("p div 62").cast("long").alias("word"),
+            F.expr("shiftleft(1L, CAST(p % 62 AS INT))").alias("mask"),
+        )
+
+    words = fanout(sel).groupBy("word").agg(F.bit_or("mask").alias("wmask"))
+    probe_keys = (
+        t["lineitem"]
+        .groupBy(F.col("l_orderkey").cast("string").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    passed = (
+        fanout(probe_keys.select("key"))
+        .join(F.broadcast(words), "word")
+        .where(F.expr("(wmask & mask) != 0"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .where(F.col("n_hit") == BLOOM_K)
+        .select("key")
+    )
+    truth = sel.withColumn("is_true", F.lit(1))
+    stats = (
+        probe_keys.join(passed.withColumn("is_pass", F.lit(1)), "key", "left")
+        .join(F.broadcast(truth), "key", "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_probe_keys"),
+            F.sum("n_rows").cast("long").alias("n_probe_rows"),
+            F.sum(F.coalesce(F.col("is_pass"), F.lit(0))).cast("long").alias("n_pass_keys"),
+            F.sum(F.coalesce(F.col("is_true"), F.lit(0))).cast("long").alias("n_true_keys"),
+            F.sum(F.expr("n_rows * coalesce(is_pass, 0)")).cast("long").alias("n_pass_rows"),
+        )
+    )
+    return stats.select(
+        "n_probe_keys",
+        "n_probe_rows",
+        "n_true_keys",
+        "n_pass_keys",
+        (F.col("n_pass_keys") - F.col("n_true_keys")).alias("n_false_pos_keys"),
+        "n_pass_rows",
+        F.expr(
+            "CAST((n_pass_keys - n_true_keys) * 10000"
+            " DIV (n_probe_keys - n_true_keys) AS BIGINT)"
+        ).alias("fpr_bp"),
+    )
+
+
+ORDERS_BLOOM_SQL = f"""
+WITH sel AS (
+  SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS key FROM orders
+  WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+    AND o_orderpriority = '1-URGENT'),
+build AS (
+  SELECT p // 62 AS word, BIT_OR(1::BIGINT << CAST(p % 62 AS INT)) AS wmask
+  FROM (
+    {" UNION ALL ".join(f"SELECT {_bloom_pos_sql(i, 'key')} AS p FROM sel" for i in range(BLOOM_K))}
+  ) GROUP BY 1),
+probe_keys AS (
+  SELECT CAST(l_orderkey AS VARCHAR) AS key, COUNT(*) AS n_rows
+  FROM lineitem GROUP BY 1),
+probe_fan AS (
+  {" UNION ALL ".join(f"SELECT key, {_bloom_pos_sql(i, 'key')} AS p FROM probe_keys" for i in range(BLOOM_K))}
+),
+passed AS (
+  SELECT key FROM (
+    SELECT f.key, COUNT(*) AS n_hit
+    FROM (SELECT key, p // 62 AS word, 1::BIGINT << CAST(p % 62 AS INT) AS mask
+          FROM probe_fan) f
+    JOIN build b ON f.word = b.word
+    WHERE (b.wmask & f.mask) != 0
+    GROUP BY f.key)
+  WHERE n_hit = {BLOOM_K}),
+stats AS (
+  SELECT COUNT(*) AS n_probe_keys,
+         SUM(pk.n_rows) AS n_probe_rows,
+         SUM(CASE WHEN p.key IS NOT NULL THEN 1 ELSE 0 END) AS n_pass_keys,
+         SUM(CASE WHEN s.key IS NOT NULL THEN 1 ELSE 0 END) AS n_true_keys,
+         SUM(CASE WHEN p.key IS NOT NULL THEN pk.n_rows ELSE 0 END) AS n_pass_rows
+  FROM probe_keys pk
+  LEFT JOIN passed p ON pk.key = p.key
+  LEFT JOIN sel s ON pk.key = s.key)
+SELECT CAST(n_probe_keys AS BIGINT) AS n_probe_keys,
+       CAST(n_probe_rows AS BIGINT) AS n_probe_rows,
+       CAST(n_true_keys AS BIGINT) AS n_true_keys,
+       CAST(n_pass_keys AS BIGINT) AS n_pass_keys,
+       CAST(n_pass_keys - n_true_keys AS BIGINT) AS n_false_pos_keys,
+       CAST(n_pass_rows AS BIGINT) AS n_pass_rows,
+       CAST((n_pass_keys - n_true_keys) * 10000 // (n_probe_keys - n_true_keys) AS BIGINT)
+         AS fpr_bp
+FROM stats
+"""
+
+
 SKETCH_QUERIES: dict[str, tuple] = {
+    "orders_bloom_semijoin": (orders_bloom_semijoin, ORDERS_BLOOM_SQL),
     "events_daily_users_sketch": (events_daily_users_sketch, EVENTS_SKETCH_SQL),
     "events_value_quantile_sketch": (events_value_quantile_sketch, EVENTS_QUANTILE_SKETCH_SQL),
     "events_heavy_hitters_cms": (events_heavy_hitters_cms, EVENTS_CMS_SQL),

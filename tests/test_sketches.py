@@ -68,3 +68,62 @@ def test_cms_never_underestimates_and_is_tight_here(spark):
     for r in rows:
         assert r.cms_estimate == r.exact_n + r.overcount
         assert r.overcount <= (2.0 * n_total) / CMS_WIDTH  # e/W * N style bound
+
+
+def test_bloom_semijoin_matches_python_and_theory(spark):
+    """Independent Python Bloom recompute (hashlib only) must agree
+    with the engine exactly; the filter must have ZERO false negatives
+    (the Bloom guarantee — every true key passes), and the realized
+    false-positive rate must sit within 2x the (1-e^{-kn/m})^k theory
+    bound, i.e. the filter is actually working, not saturated."""
+    import duckdb
+    import hashlib
+    import math
+
+    from csv_to_jsonld_processor_spark.operators.sketches import (
+        BLOOM_B,
+        BLOOM_K,
+        BLOOM_M,
+        orders_bloom_semijoin,
+    )
+
+    got = orders_bloom_semijoin(spark, SF).collect()[0]
+
+    con = duckdb.connect()
+    sel = {
+        str(k)
+        for (k,) in con.execute(
+            f"SELECT DISTINCT o_orderkey FROM read_parquet('{SF}/orders.parquet') "
+            "WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01' "
+            "AND o_orderpriority = '1-URGENT'"
+        ).fetchall()
+    }
+    probe = {
+        str(k): n
+        for k, n in con.execute(
+            f"SELECT l_orderkey, COUNT(*) FROM read_parquet('{SF}/lineitem.parquet') GROUP BY 1"
+        ).fetchall()
+    }
+
+    def positions(key):
+        return [
+            int(hashlib.md5(f"b{i}:{key}".encode()).hexdigest()[:8], 16) % BLOOM_M
+            for i in range(BLOOM_K)
+        ]
+
+    words = [0] * (BLOOM_M // BLOOM_B + 1)
+    for k in sel:
+        for p in positions(k):
+            words[p // BLOOM_B] |= 1 << (p % BLOOM_B)
+    passed = {
+        k for k in probe if all(words[p // BLOOM_B] >> (p % BLOOM_B) & 1 for p in positions(k))
+    }
+    true_in_probe = sel & set(probe)  # orders without lineitems never probe
+    assert true_in_probe <= passed, "Bloom filters never have false negatives"
+    assert (got.n_probe_keys, got.n_true_keys, got.n_pass_keys) == (
+        len(probe), len(true_in_probe), len(passed))
+    assert got.n_pass_rows == sum(probe[k] for k in passed)
+    theory = (1 - math.exp(-BLOOM_K * len(sel) / BLOOM_M)) ** BLOOM_K
+    realized = got.n_false_pos_keys / (got.n_probe_keys - got.n_true_keys)
+    assert realized <= 2 * theory + 0.01, (realized, theory)
+    assert got.n_pass_rows * 5 < got.n_probe_rows, "reduction must be real"
