@@ -112,6 +112,12 @@ def _registry() -> dict[str, tuple]:
     except ImportError:
         pass
     try:
+        from csv_to_jsonld_processor_spark.operators.layout import LAYOUT_QUERIES
+
+        reg.update(LAYOUT_QUERIES)
+    except ImportError:
+        pass
+    try:
         from csv_to_jsonld_processor_spark.kg.graphalgs import KG_GRAPHALG_QUERIES
 
         reg.update(KG_GRAPHALG_QUERIES)

@@ -119,3 +119,43 @@ def test_compaction_staged_swap_and_escaped_values(spark, tmp_path):
     got = spark.read.parquet(d)
     assert got.count() == 300
     assert got.groupBy("cat").count().count() == 3
+
+
+def test_zorder_bounds_every_query_shape(spark):
+    """The Z-order trade-off, pinned: each linear layout must open ALL
+    files for its orthogonal query (day-major cannot prune a pure user
+    filter and vice versa), while the normalized Z-curve prunes every
+    box — strictly fewer than all files on all three shapes, and
+    strictly better than the collapsed linear layout. rows_matched is
+    layout-invariant and rows_scanned can never undercount it."""
+    from csv_to_jsonld_processor_spark.operators.layout import events_zorder_layout
+
+    rows = {(r.layout, r.query): r for r in events_zorder_layout(spark, SF).collect()}
+    layouts = {"day_user", "user_day", "zorder"}
+    queries = {"day_range", "user_range", "both_range"}
+    assert set(rows) == {(l, q) for l in layouts for q in queries}
+    n_files = rows[("zorder", "day_range")].n_files
+    for q in queries:
+        matched = {rows[(l, q)].rows_matched for l in layouts}
+        assert len(matched) == 1, "rows_matched must be layout-invariant"
+        assert matched.pop() > 0, "query boxes must be non-degenerate"
+        for l in layouts:
+            r = rows[(l, q)]
+            assert r.rows_scanned >= r.rows_matched
+            assert r.files_opened >= 1
+    # linear layouts collapse on their orthogonal filter
+    assert rows[("day_user", "user_range")].files_opened == n_files
+    assert rows[("user_day", "day_range")].files_opened == n_files
+    # the Z-curve prunes every shape, never collapsing to a full scan
+    for q in queries:
+        z = rows[("zorder", q)].files_opened
+        assert z < n_files
+    assert rows[("zorder", "user_range")].files_opened < n_files
+    assert (
+        rows[("zorder", "day_range")].files_opened
+        < rows[("user_day", "day_range")].files_opened
+    )
+    assert (
+        rows[("zorder", "user_range")].files_opened
+        < rows[("day_user", "user_range")].files_opened
+    )
