@@ -953,7 +953,117 @@ FROM n GROUP BY label ORDER BY label
 """
 
 
+# --- SemDeDup: k-means-cell-bucketed semantic dedup -------------------------
+
+SEMDEDUP_TAU = 0.95
+
+
+def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) — semantic near-dup pruning where
+    the candidate-blocking structure is the trained k-means clustering
+    itself: pairwise cosine is computed ONLY inside each centroid cell,
+    turning the O(n²) corpus comparison into Σ|cell|² — the published
+    method's exact scaling argument, and the third blocking family in
+    this repo next to LSH buckets (embedding_neardup_cosine) and
+    MinHash bands. Corpus = embeddings ∪ planted near-duplicates
+    (cos ≈ 0.99875, same synthesis as the LSH path, so the two blocking
+    strategies are comparable on identical ground truth).
+
+    Keep rule: a vector is PRUNED iff some same-cell neighbor with a
+    smaller vec_id sits at cos ≥ {SEMDEDUP_TAU} — the deterministic
+    one-pass variant of SemDeDup's keep-one-per-group (no iterative
+    clustering in the keep path, same shape as the curation funnel's
+    greedy anti-join rule). Output: per-cell census
+    (cell, n_members, n_dropped, n_kept).
+
+    Scale shape: training is the shuffle-free Lloyd loop
+    (ann_kmeans_train); corpus assignment rides the scan against the
+    K×D centroid literal; the only corpus shuffle is the cell
+    equi-join for within-cell pairs (AQE handles a hot cell, and K is
+    chosen so cells are 1/K of the corpus — at 10^12 docs you raise K
+    to ~100k, which SemDeDup's authors do precisely to keep Σ|cell|²
+    tractable). Oracle: DuckDB re-runs the identical unrolled Lloyd
+    chain, assigns the same corpus with ordered-fold cosines, and
+    applies the same rule — engine parity across the whole train →
+    assign → prune pipeline."""
+    t = load_tables(spark, sf_dir)
+    base = t["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents, _sums = _kmeans_centroids(base, KMEANS_ITERS)
+    corpus = _neardup_input(base)
+    assigned = (
+        _with_n2v(corpus)
+        .withColumn("cell", (-F.expr(f"array_max({_cell_scores_expr(cents)}).nc")).cast("int"))
+        .select("vec_id", "v", "cell")
+    )
+    a = assigned.select(
+        F.col("cell"), F.col("vec_id").alias("id_a"), F.col("v").alias("va")
+    )
+    b = assigned.select(
+        F.col("cell"), F.col("vec_id").alias("id_b"), F.col("v").alias("vb")
+    )
+    dropped = (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.round(cosine("va", "vb"), 6) >= SEMDEDUP_TAU)
+        .select("cell", F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("is_drop", F.lit(1))
+    )
+    return (
+        assigned.join(dropped, ["cell", "vec_id"], "left")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum(F.coalesce(F.col("is_drop"), F.lit(0))).cast("long").alias("n_dropped"),
+        )
+        .withColumn("n_kept", (F.col("n_members") - F.col("n_dropped")).cast("long"))
+        .orderBy("cell")
+    )
+
+
+def _semdedup_sql() -> str:
+    iters = KMEANS_ITERS
+    sql = _kmeans_cte_chain()
+    sql += f""", centl_final AS MATERIALIZED (
+  SELECT cell, list(val ORDER BY pos) AS cv FROM cent{iters} GROUP BY cell
+), corpus AS MATERIALIZED (
+  SELECT vec_id, v FROM emb
+  UNION ALL
+  SELECT vec_id + {ND_ID_OFFSET},
+         list_transform(list_zip(v, v[2:] || v[1:1]),
+                        x -> x[1] + {ND_EPS} * x[2]) AS v
+  FROM emb
+), casg AS MATERIALIZED (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY ROUND({_ordered_cos_sql("e.v", "c.cv")}, 6) DESC, c.cell ASC) AS rn
+    FROM corpus e CROSS JOIN centl_final c)
+  WHERE rn = 1
+), dropped AS (
+  SELECT DISTINCT a.cell, b.vec_id
+  FROM casg a JOIN casg b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE ROUND({_ordered_cos_sql("a.v", "b.v")}, 6) >= {SEMDEDUP_TAU}
+)
+SELECT c.cell,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(COUNT(*) - SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept
+FROM casg c LEFT JOIN dropped d ON c.cell = d.cell AND c.vec_id = d.vec_id
+GROUP BY c.cell ORDER BY c.cell
+"""
+    return sql
+
+
+EMBEDDING_SEMDEDUP_SQL = _semdedup_sql()
+
+
 SIMILARITY_QUERIES: dict[str, tuple] = {
+    "embedding_semdedup": (embedding_semdedup, EMBEDDING_SEMDEDUP_SQL),
     "ann_kmeans_train": (ann_kmeans_train, ANN_KMEANS_SQL),
     "ann_topk_bruteforce": (ann_topk_bruteforce, ANN_TOPK_SQL),
     "embedding_neardup_cosine": (embedding_neardup_cosine, NEARDUP_LSH_SQL),

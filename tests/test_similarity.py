@@ -152,3 +152,28 @@ def test_kmeans_improves_quantization_objective(spark):
     assert obj_trained > obj_first, (
         f"training worsened quantization: {obj_first:.4f} -> {obj_trained:.4f}"
     )
+
+
+def test_semdedup_prunes_planted_duplicates(spark):
+    """SemDeDup recall on the planted ground truth: the cell-blocked
+    prune must drop (nearly) every planted near-duplicate — a planted
+    pair can only escape if the k-means assignment splits it across
+    cells, and the split rate must be small (the blocking-quality
+    claim). Base vectors may also legitimately dedup against each
+    other, so the census is bounded, not pinned."""
+    from csv_to_jsonld_processor_spark.operators.similarity import (
+        ND_ID_OFFSET,
+        embedding_semdedup,
+    )
+
+    n_base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    rows = embedding_semdedup(spark, SF_DIR).collect()
+    n_members = sum(r.n_members for r in rows)
+    n_dropped = sum(r.n_dropped for r in rows)
+    assert n_members == 2 * n_base  # base + planted corpus, all assigned
+    # every drop needs a smaller-id twin; planted dups guarantee >= ~n_base
+    assert n_dropped >= 0.95 * n_base, "cell-splitting must stay rare"
+    assert n_dropped < n_members, "pruning must never drop everything"
+    for r in rows:
+        assert r.n_kept == r.n_members - r.n_dropped
+        assert r.n_kept >= 1, "each non-empty cell keeps a representative"
