@@ -179,3 +179,38 @@ def test_filter_expressions(edges):
         if oo == o and c != "paris" and p != "c"
     }
     assert got == want == {("b", "acme", "berlin")}
+
+
+def test_path_closure_equals_python_transitive_closure(spark):
+    """The semi-naive pred+ closure must equal an independent Python
+    BFS transitive closure of the acquired-edge set from the golden
+    edge table, and must strictly extend the 1-hop base (real chains
+    exist in the corpus)."""
+    import csv
+
+    from csv_to_jsonld_processor_spark.kg.bgp import PATH_PRED, kg_sparql_path_closure
+    from csv_to_jsonld_processor_spark.kg.queries import _GOLDEN_EDGES
+
+    adj = {}
+    base = set()
+    with open(_GOLDEN_EDGES) as fh:
+        for row in csv.DictReader(fh):
+            if row["pred"] == PATH_PRED:
+                adj.setdefault(row["subj"], set()).add(row["obj"])
+                base.add((row["subj"], row["obj"]))
+    want = set()
+    for s in adj:
+        seen, stack = set(), list(adj[s])
+        while stack:
+            d = stack.pop()
+            if d in seen:
+                continue
+            seen.add(d)
+            stack.extend(adj.get(d, ()))
+        want |= {(s, d) for d in seen}
+    got = {
+        (r.src, r.dst)
+        for r in kg_sparql_path_closure(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert got == want
+    assert base < got, "multi-hop acquisition chains must exist"
