@@ -78,3 +78,38 @@ def test_merge_upsert_properties_randomized(spark):
                 assert status == ("updated" if delta[k] != base[k] else "unchanged"), (
                     f"seed {seed} k={k}"
                 )
+
+
+def test_incremental_rollup_merge_is_order_invariant(spark):
+    """IVM's correctness rests on the merge being a commutative monoid
+    fold: merging the per-batch partial aggregates in reversed order
+    must produce the identical MV (including the DECIMAL money sums —
+    the column where a double accumulator would ULP-drift), and every
+    batch must be non-empty so associativity is actually exercised."""
+    from pyspark.sql import functions as F
+
+    from csv_to_jsonld_processor_spark.operators.upsert import (
+        IVM_BATCHES,
+        _rollup_agg,
+        merge_rollup,
+    )
+    from csv_to_jsonld_processor_spark.session import load_tables
+
+    ev = load_tables(spark, "/root/testdata/sf0.001")["events"]
+    bucket = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
+    ).cast("long") % IVM_BATCHES
+    deltas = [_rollup_agg(ev.where(bucket == b)) for b in range(IVM_BATCHES)]
+    for d in deltas:
+        assert d.count() > 0
+
+    def fold(parts):
+        mv = parts[0]
+        for d in parts[1:]:
+            mv = merge_rollup(mv, d)
+        return {
+            (r.day, r.event_type): (r.n_events, r.sum_value, r.min_value, r.max_value)
+            for r in mv.collect()
+        }
+
+    assert fold(deltas) == fold(deltas[::-1])
