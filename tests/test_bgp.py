@@ -214,3 +214,41 @@ def test_path_closure_equals_python_transitive_closure(spark):
     }
     assert got == want
     assert base < got, "multi-hop acquisition chains must exist"
+
+
+def test_sparql_agg_matches_python_recompute(spark):
+    """GROUP BY / HAVING lowering vs an independent Python recompute
+    from the golden edges, on BAG semantics: COUNT(*) counts every
+    worksFor assertion × its (deduped) OPTIONAL matches, COUNT
+    (DISTINCT) over the OPTIONAL variable counts only bound cities
+    (SPARQL unbound-skipping = SQL NULL-skipping), and HAVING must
+    genuinely prune some org."""
+    import csv
+    from collections import defaultdict
+
+    from csv_to_jsonld_processor_spark.kg.bgp import (
+        AGG_MIN_SOLUTIONS,
+        TERMS,
+        kg_sparql_agg,
+    )
+    from csv_to_jsonld_processor_spark.kg.queries import _GOLDEN_EDGES
+
+    works_bag, births = defaultdict(list), defaultdict(set)
+    with open(_GOLDEN_EDGES) as fh:
+        for row in csv.DictReader(fh):
+            if row["pred"] == TERMS + "worksFor":
+                works_bag[row["obj"]].append(row["subj"])
+            elif row["pred"] == TERMS + "birthPlace":
+                births[row["subj"]].add(row["obj"])
+    want = {}
+    for org, people in works_bag.items():
+        n_sol = sum(max(1, len(births.get(p, ()))) for p in people)
+        cities = {c for p in people for c in births.get(p, ())}
+        if n_sol >= AGG_MIN_SOLUTIONS:
+            want[org] = (n_sol, len(set(people)), len(cities))
+    got = {
+        r.org: (r.n_solutions, r.n_employees, r.n_known_cities)
+        for r in kg_sparql_agg(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert got == want
+    assert 0 < len(want) < len(works_bag), "HAVING must prune, not annihilate"
