@@ -396,7 +396,104 @@ ORDER BY from_type, to_type
 """
 
 
+# --- distribution-drift monitor ---------------------------------------------
+
+DRIFT_BUCKETS = 8
+DRIFT_BUCKET_WIDTH = 64.0  # value-domain buckets [0,64),[64,128)...,[448,inf)
+DRIFT_FLAG_BP = 500  # flag drift when TV distance exceeds 5%
+
+
+def drift_tv(events: DataFrame) -> DataFrame:
+    """Two-sample drift statistic per event_type between the first
+    (day <= 15) and second half of the month: total-variation distance
+    between the two value-histograms, in basis points —
+
+        tv_bp = 10000 * (1/2) * SUM_i | c1[i]/n1 - c2[i]/n2 |
+
+    computed as the EXACT integer 10000 * SUM_i |c1[i]*n2 - c2[i]*n1|
+    // (2*n1*n2), so the monitor is order- and engine-independent (no
+    float accumulation anywhere — the property a paging alert must
+    have; the chi-square variant would be per-bucket rationals and is
+    not cross-engine floor-stable). Also reports the bucket with the
+    largest absolute frequency shift (min-bucket tie-break) — the
+    "where did it move" a triage needs.
+
+    Scale shape: ONE groupBy on (event_type, bucket) with conditional
+    partial sums, then a per-type roll-up — histogram state is
+    DRIFT_BUCKETS rows per key regardless of corpus size, the same
+    fixed-state argument as the sketch family."""
+    day = F.dayofmonth("ts")
+    bucket = F.least(
+        F.lit(DRIFT_BUCKETS - 1), F.floor(F.col("value") / DRIFT_BUCKET_WIDTH)
+    ).cast("int")
+    per_bucket = (
+        events.select(
+            "event_type",
+            bucket.alias("bucket"),
+            F.when(day <= 15, 1).otherwise(0).alias("h1"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.sum("h1").cast("long").alias("c1"),
+            F.sum(1 - F.col("h1")).cast("long").alias("c2"),
+        )
+    )
+    totals = per_bucket.groupBy("event_type").agg(
+        F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
+    )
+    return (
+        per_bucket.join(totals, "event_type")
+        .withColumn("num", F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")))
+        .groupBy("event_type")
+        .agg(
+            F.max("n1").cast("long").alias("n_first"),
+            F.max("n2").cast("long").alias("n_second"),
+            F.expr("CAST(10000 * SUM(num) DIV (2 * MAX(n1) * MAX(n2)) AS BIGINT)").alias(
+                "tv_bp"
+            ),
+            (-F.max(F.expr("struct(num, -bucket AS nb)")).getField("nb"))
+            .cast("int")
+            .alias("top_drift_bucket"),
+        )
+        .withColumn("drift_flag", F.col("tv_bp") > DRIFT_FLAG_BP)
+        .orderBy("event_type")
+    )
+
+
+def events_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered drift monitor over the events table (stationary by
+    construction, so tv_bp sits at sampling-noise level and no flag
+    fires — the planted-drift pytest proves the statistic moves when
+    the distribution actually shifts)."""
+    return drift_tv(load_tables(spark, sf_dir)["events"])
+
+
+EVENTS_DRIFT_SQL = f"""
+WITH per_bucket AS (
+  SELECT event_type,
+         CAST(LEAST({DRIFT_BUCKETS - 1}, FLOOR(value / {DRIFT_BUCKET_WIDTH})) AS INT) AS bucket,
+         SUM(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN day(ts) <= 15 THEN 0 ELSE 1 END) AS c2
+  FROM events GROUP BY 1, 2),
+tot AS (
+  SELECT event_type, SUM(c1) AS n1, SUM(c2) AS n2 FROM per_bucket GROUP BY 1),
+j AS (
+  SELECT p.event_type, p.bucket, abs(p.c1 * t.n2 - p.c2 * t.n1) AS num, t.n1, t.n2
+  FROM per_bucket p JOIN tot t USING (event_type))
+SELECT event_type,
+       CAST(MAX(n1) AS BIGINT) AS n_first,
+       CAST(MAX(n2) AS BIGINT) AS n_second,
+       CAST(10000 * SUM(num) // (2 * MAX(n1) * MAX(n2)) AS BIGINT) AS tv_bp,
+       CAST(-MAX({{'num': num, 'nb': -bucket}}).nb AS INT) AS top_drift_bucket,
+       CAST(10000 * SUM(num) // (2 * MAX(n1) * MAX(n2)) AS BIGINT) > {DRIFT_FLAG_BP}
+         AS drift_flag
+FROM j GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 EVENTOPS_QUERIES: dict[str, tuple] = {
+    "events_drift_tv": (events_drift_tv, EVENTS_DRIFT_SQL),
     "events_type_transitions": (events_type_transitions, EVENTS_TRANSITIONS_SQL),
     "events_props_variant": (events_props_variant, EVENTS_PROPS_VARIANT_SQL),
     "events_purchase_anomalies": (events_purchase_anomalies, EVENTS_ANOMALY_SQL),

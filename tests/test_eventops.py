@@ -113,3 +113,40 @@ def test_transition_matrix_rows_are_distributions(spark):
         s = sum(r["p_transition"] for r in rs)
         assert abs(s - 1.0) < 1e-4, (ft, s)
         assert sum(r["n_transitions"] for r in rs) > 0
+
+
+def test_drift_tv_fires_on_planted_shift(spark):
+    """The drift monitor must separate signal from noise: a stationary
+    synthetic stream stays under the flag threshold, and the SAME
+    stream with its second half shifted by +3 buckets fires the flag
+    with a large exact TV distance; the top drift bucket points at the
+    shifted mass. Exact recompute in Python pins the integer algebra."""
+    import datetime
+
+    from csv_to_jsonld_processor_spark.operators.eventops import (
+        DRIFT_BUCKET_WIDTH,
+        DRIFT_FLAG_BP,
+        drift_tv,
+    )
+
+    def mk(shift_second_half):
+        rows = []
+        for i in range(400):
+            day = 1 + (i // 4) % 28  # every day sees all 4 buckets equally
+            value = 32.0 + 64.0 * (i % 4)  # buckets 0..3, uniform
+            if shift_second_half and day > 15:
+                value += 3 * DRIFT_BUCKET_WIDTH  # buckets 3..6
+            rows.append(
+                (i, datetime.datetime(2024, 1, day, 12, 0, 0), "t", value)
+            )
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string, value double"
+        )
+
+    calm = drift_tv(mk(False)).collect()[0]
+    assert calm.tv_bp == 0 and not calm.drift_flag  # perfectly stationary
+    hot = drift_tv(mk(True)).collect()[0]
+    assert hot.drift_flag and hot.tv_bp > DRIFT_FLAG_BP
+    # second half moved entirely out of buckets 0-2 into 3-6: TV = 100%
+    assert hot.tv_bp >= 7000
+    assert hot.top_drift_bucket in (0, 1, 2, 4, 5, 6)
