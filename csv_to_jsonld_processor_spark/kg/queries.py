@@ -967,6 +967,141 @@ def fuzzy_link_best(vocab: DataFrame, gram_cap: int | None = None) -> tuple[Data
     return probes, best
 
 
+BLOCKING_PREFIX_LEN = 4
+
+
+def kg_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ER blocking-quality audit — the two numbers (Christen 2012) that
+    justify ANY blocking scheme before it ships: REDUCTION RATIO (how
+    much of the |probes|x|vocab| comparison space blocking avoids) and
+    PAIRS COMPLETENESS (how many ground-truth matches survive blocking
+    — here each planted-deletion probe's own original word). Measured
+    for two structurally different schemes over the same workload:
+
+    - ``qgram``: share >=1 character {FUZZY_QGRAM}-gram (the linker's
+      production blocking) — deletion typos almost always keep some
+      gram, so completeness stays near 100%;
+    - ``prefix{BLOCKING_PREFIX_LEN}``: equal first
+      {BLOCKING_PREFIX_LEN} characters (the cheap classic) — far
+      higher reduction, but any deletion inside the prefix moves the
+      block and loses the truth pair, so completeness drops by roughly
+      the fraction of typo positions < {BLOCKING_PREFIX_LEN}.
+
+    The workload is a synthesized per-document vocabulary (md5-derived
+    9-letter words over a 16-letter alphabet, one per doc_id — the
+    corpus's own token list is too small to stress blocking), with one
+    planted deletion per word at an md5-chosen position. Both metrics
+    are exact integer basis points.
+
+    Scale shape: the audit costs one distinct + count over the same
+    blocking joins the linker runs — candidate-pair COUNTS only, no
+    pair list ever reaches the driver; the truth-pair check is the
+    orig=cand predicate inside the same aggregation."""
+    t = load_tables(spark, sf_dir)
+    # 9-letter word over alphabet a..p from md5 hex (translate digits)
+    word = (
+        "translate(substring(md5(concat('bw:', doc_id)), 1, 9),"
+        " '0123456789abcdef', 'abcdefghijklmnop')"
+    )
+    vocab = t["documents"].select(F.expr(word).alias("tok")).distinct()
+    probes = vocab.select(
+        F.col("tok").alias("orig"),
+        F.expr(
+            "concat(substring(tok, 1, CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT) % length(tok)),"
+            " substring(tok, CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT) % length(tok) + 2))"
+        ).alias("dirty"),
+    )
+    grams = "transform(sequence(1, length({c}) - {q} + 1), i -> substring({c}, i, {q}))"
+    p_grams = probes.select(
+        "orig", F.explode(F.expr(grams.format(c="dirty", q=FUZZY_QGRAM))).alias("gram")
+    ).distinct()
+    v_grams = vocab.select(
+        F.col("tok").alias("cand"),
+        F.explode(F.expr(grams.format(c="tok", q=FUZZY_QGRAM))).alias("gram"),
+    ).distinct()
+    qgram_pairs = p_grams.join(v_grams, "gram").select("orig", "cand").distinct()
+    pfx = BLOCKING_PREFIX_LEN
+    prefix_pairs = (
+        probes.select("orig", F.substring("dirty", 1, pfx).alias("blk"))
+        .join(vocab.select(F.col("tok").alias("cand"), F.substring("tok", 1, pfx).alias("blk")), "blk")
+        .select("orig", "cand")
+        .distinct()
+    )
+    out = []
+    for scheme, pairs in (("qgram", qgram_pairs), (f"prefix{pfx}", prefix_pairs)):
+        out.append(
+            pairs.agg(
+                F.count(F.lit(1)).cast("long").alias("n_cand_pairs"),
+                F.sum((F.col("orig") == F.col("cand")).cast("long"))
+                .cast("long")
+                .alias("n_truth_kept"),
+            ).withColumn("scheme", F.lit(scheme))
+        )
+    totals = vocab.agg(F.count(F.lit(1)).cast("long").alias("n_vocab"))
+    return (
+        out[0]
+        .unionByName(out[1])
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "scheme",
+            F.col("n_vocab").alias("n_probes"),
+            "n_vocab",
+            "n_cand_pairs",
+            F.expr(
+                "CAST(10000 * (n_vocab * n_vocab - n_cand_pairs) DIV (n_vocab * n_vocab) AS BIGINT)"
+            ).alias("reduction_bp"),
+            F.expr("CAST(10000 * n_truth_kept DIV n_vocab AS BIGINT)").alias(
+                "completeness_bp"
+            ),
+        )
+        .orderBy("scheme")
+    )
+
+
+KG_BLOCKING_SQL = f"""
+WITH vocab AS (
+  SELECT DISTINCT translate(substring(md5('bw:' || doc_id), 1, 9),
+                            '0123456789abcdef', 'abcdefghijklmnop') AS tok
+  FROM documents
+), probes AS (
+  SELECT tok AS orig,
+         substring(tok, 1, CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) % length(tok))
+         || substring(tok, CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) % length(tok) + 2) AS dirty
+  FROM vocab
+), p_grams AS (
+  SELECT DISTINCT orig,
+         unnest(list_transform(generate_series(1, length(dirty) - {FUZZY_QGRAM} + 1),
+                i -> substring(dirty, i, {FUZZY_QGRAM}))) AS gram
+  FROM probes
+), v_grams AS (
+  SELECT DISTINCT tok AS cand,
+         unnest(list_transform(generate_series(1, length(tok) - {FUZZY_QGRAM} + 1),
+                i -> substring(tok, i, {FUZZY_QGRAM}))) AS gram
+  FROM vocab
+), schemes AS (
+  SELECT 'qgram' AS scheme, orig, cand
+  FROM (SELECT DISTINCT orig, cand FROM p_grams JOIN v_grams USING (gram))
+  UNION ALL
+  SELECT 'prefix{BLOCKING_PREFIX_LEN}', orig, cand
+  FROM (SELECT DISTINCT p.orig, v.tok AS cand
+        FROM probes p JOIN vocab v
+          ON substring(p.dirty, 1, {BLOCKING_PREFIX_LEN})
+           = substring(v.tok, 1, {BLOCKING_PREFIX_LEN}))
+), tot AS (SELECT COUNT(*) AS n_vocab FROM vocab)
+SELECT scheme,
+       CAST(n_vocab AS BIGINT) AS n_probes,
+       CAST(n_vocab AS BIGINT) AS n_vocab,
+       CAST(COUNT(*) AS BIGINT) AS n_cand_pairs,
+       CAST(10000 * (n_vocab * n_vocab - COUNT(*)) // (n_vocab * n_vocab) AS BIGINT)
+         AS reduction_bp,
+       CAST(10000 * SUM(CASE WHEN orig = cand THEN 1 ELSE 0 END) // n_vocab AS BIGINT)
+         AS completeness_bp
+FROM schemes CROSS JOIN tot
+GROUP BY scheme, n_vocab
+ORDER BY scheme
+"""
+
+
 KG_FUZZY_SQL = f"""
 WITH vocab AS (
   SELECT DISTINCT tok FROM (
@@ -1443,6 +1578,7 @@ KG_QUERIES: dict[str, tuple] = {
     "kg_random_walks": (kg_random_walks, KG_WALKS_SQL),
     "kg_kcore": (kg_kcore, KG_KCORE_SQL),
     "kg_fuzzy_token_link": (kg_fuzzy_token_link, KG_FUZZY_SQL),
+    "kg_blocking_quality": (kg_blocking_quality, KG_BLOCKING_SQL),
     "kg_triangle_counts": (kg_triangle_counts, KG_TRIANGLES_SQL),
     "kg_clustering_coefficient": (kg_clustering_coefficient, KG_CLUSTERING_SQL),
     "kg_mention_counts": (kg_mention_counts, KG_MENTIONS_SQL),

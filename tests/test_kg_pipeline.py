@@ -570,3 +570,65 @@ def test_link_prediction_matches_bruteforce(spark):
     for r in got:
         assert r["ra_score_fp"] == score[(r["cust_a"], r["cust_b"])]
         assert r["n_common_parts"] == n_common[(r["cust_a"], r["cust_b"])]
+
+
+def test_blocking_quality_matches_python_recompute(spark):
+    """Both blocking schemes re-derived in plain Python (hashlib only)
+    must agree with the engine exactly, and the audit must show the
+    canonical trade: q-gram blocking keeps EVERY planted truth pair
+    (deletions always leave a shared trigram at word length 9) while
+    prefix blocking loses exactly the probes whose deletion landed
+    inside the prefix — higher reduction, broken completeness."""
+    import hashlib
+
+    import duckdb
+
+    from csv_to_jsonld_processor_spark.kg.queries import (
+        BLOCKING_PREFIX_LEN,
+        FUZZY_QGRAM,
+        kg_blocking_quality,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    md5 = lambda x: hashlib.md5(x.encode()).hexdigest()
+    tr = str.maketrans("0123456789abcdef", "abcdefghijklmnop")
+    ids = [
+        str(r[0])
+        for r in duckdb.sql(f"SELECT doc_id FROM read_parquet('{sf}/documents.parquet')").fetchall()
+    ]
+    vocab = sorted({md5("bw:" + d)[:9].translate(tr) for d in ids})
+    probes = {}
+    for tok in vocab:
+        p = int(md5(tok)[:8], 16) % len(tok)
+        probes[tok] = tok[:p] + tok[p + 1 :]
+
+    def grams(w):
+        return {w[i : i + FUZZY_QGRAM] for i in range(len(w) - FUZZY_QGRAM + 1)}
+
+    want = {}
+    qpairs = {
+        (o, c) for o, d in probes.items() for c in vocab if grams(d) & grams(c)
+    }
+    ppairs = {
+        (o, c)
+        for o, d in probes.items()
+        for c in vocab
+        if d[:BLOCKING_PREFIX_LEN] == c[:BLOCKING_PREFIX_LEN]
+    }
+    n = len(vocab)
+    for scheme, pairs in (("qgram", qpairs), (f"prefix{BLOCKING_PREFIX_LEN}", ppairs)):
+        kept = sum(1 for o, c in pairs if o == c)
+        want[scheme] = (
+            n, n, len(pairs),
+            10000 * (n * n - len(pairs)) // (n * n),
+            10000 * kept // n,
+        )
+    got = {
+        r.scheme: (r.n_probes, r.n_vocab, r.n_cand_pairs, r.reduction_bp, r.completeness_bp)
+        for r in kg_blocking_quality(spark, sf).collect()
+    }
+    assert got == want
+    assert got["qgram"][4] == 10000, "q-gram must keep every truth pair"
+    pfx = got[f"prefix{BLOCKING_PREFIX_LEN}"]
+    assert pfx[4] < 7000, "prefix blocking must lose in-prefix deletions"
+    assert pfx[3] > got["qgram"][3], "prefix reduction must be higher"
