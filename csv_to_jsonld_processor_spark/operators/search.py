@@ -360,7 +360,164 @@ GROUP BY lang ORDER BY lang
 DOC_BPE_APPLY_SQL = _bpe_apply_sql()
 
 
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 + PRF dense + reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+RRF_K = 60  # the standard RRF damping constant (Cormack et al. 2009)
+RRF_SCALE = 1_000_000  # integer contribution = RRF_SCALE // (RRF_K + rank)
+PRF_DOCS = 3  # pseudo-relevance feedback: dense query = mean of top-3 lexical
+DENSE_TOP_K = 20
+HYBRID_TOP_K = 10
+PRF_QSCALE = 1_000_000  # micro-unit quantization for the order-exact PRF mean
+
+
+def doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — the shape modern RAG / data-selection
+    pipelines actually ship: the integer-exact BM25 list is fused with
+    a DENSE ranking via reciprocal-rank fusion, where the dense query
+    is built by pseudo-relevance feedback (the mean embedding of the
+    top-{PRF_DOCS} lexical hits — no separate query embedding needed,
+    Rocchio's trick in embedding space). Fusion is rank-only, so the
+    two score scales never need calibrating:
+
+        rrf(doc) = Σ_lists {RRF_SCALE} // ({RRF_K} + rank_list(doc))
+
+    — all-BIGINT, with ranks from deterministic (score DESC, id ASC)
+    orders, so the fused list is bit-stable cross-engine. The PRF mean
+    follows the k-means fixed-point discipline: components quantized
+    to micro-units and summed as BIGINTs (order-exact), the resulting
+    query literal's cosines computed with the same left-to-right folds
+    on both engines.
+
+    Output: top {HYBRID_TOP_K} fused docs with both source ranks
+    (NULL where a list missed the doc — RRF's graceful-absence case).
+
+    Scale shape: the lexical side inherits doc_bm25_search's plan (two
+    scans, broadcast stats, TakeOrdered). The dense side is ONE scan
+    of the embedding table against a 64-constant literal (shuffle-free
+    scoring, TakeOrdered top-k); the PRF sum is {PRF_DOCS} rows. The
+    fusion join is top-k × top-k — driver-trivial at any corpus size,
+    which is precisely why RRF is the production fusion choice."""
+    from pyspark.sql.window import Window
+
+    from .similarity import _dot_sql, _py_norm2
+
+    t = load_tables(spark, sf_dir)
+    lex = doc_bm25_search(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .alias("lex_rank"),
+    )
+    top_ids = [int(r.doc_id) for r in lex.orderBy("lex_rank").limit(PRF_DOCS).collect()]
+    emb = t["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qsums = (
+        emb.where(F.col("vec_id").isin(top_ids))
+        .select(F.posexplode("v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.sum(F.round(F.col("x") * PRF_QSCALE, 0).cast("long")).alias("qs"))
+        .collect()  # bounded: embedding-dim rows
+    )
+    qv = [0.0] * len(qsums)
+    for r in qsums:
+        qv[int(r.pos)] = int(r.qs) / (len(top_ids) * PRF_QSCALE)
+    n2q = _py_norm2(qv)
+    dense = (
+        emb.withColumn(
+            "_n2v",
+            F.expr(
+                "aggregate(transform(v, x -> x * x), cast(0 as double), (acc, x) -> acc + x)"
+            ),
+        )
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                F.expr(_dot_sql(qv)) / F.sqrt(F.col("_n2v") * F.lit(n2q)), 6
+            ).alias("dscore"),
+        )
+        .orderBy(F.desc("dscore"), F.asc("doc_id"))
+        .limit(DENSE_TOP_K)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("dscore"), F.asc("doc_id")))
+            .alias("dense_rank"),
+        )
+    )
+    fused = (
+        lex.join(dense, "doc_id", "full_outer")
+        .withColumn(
+            "rrf_score",
+            F.expr(
+                f"coalesce({RRF_SCALE} DIV ({RRF_K} + lex_rank), 0L)"
+                f" + coalesce({RRF_SCALE} DIV ({RRF_K} + dense_rank), 0L)"
+            ).cast("long"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(HYBRID_TOP_K)
+    )
+    return fused.select(
+        "doc_id",
+        F.col("lex_rank").cast("int").alias("lex_rank"),
+        F.col("dense_rank").cast("int").alias("dense_rank"),
+        "rrf_score",
+    )
+
+
+def _hybrid_sql() -> str:
+    from .similarity import EMB_DIM, _ordered_dot_sql
+
+    bm25 = _bm25_sql().strip()
+    dot_q = _ordered_dot_sql("e.v", "q.qv", EMB_DIM)
+    n2v = _ordered_dot_sql("e.v", "e.v", EMB_DIM)
+    n2q = _ordered_dot_sql("q.qv", "q.qv", EMB_DIM)
+    return f"""
+WITH bm AS ({bm25}),
+lex AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS lex_rank
+  FROM bm),
+top_ids AS (SELECT doc_id FROM lex ORDER BY lex_rank LIMIT {PRF_DOCS}),
+emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+qsum AS (
+  SELECT pos, SUM(CAST(ROUND(x * {PRF_QSCALE}.0) AS BIGINT)) AS qs
+  FROM (SELECT unnest(v) AS x,
+               CAST(unnest(generate_series(1, len(v))) - 1 AS INT) AS pos
+        FROM emb JOIN top_ids ON emb.vec_id = top_ids.doc_id)
+  GROUP BY pos),
+q AS (
+  SELECT list(CAST(qs AS DOUBLE) / ({PRF_DOCS} * {PRF_QSCALE}.0) ORDER BY pos) AS qv
+  FROM qsum),
+dense AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY dscore DESC, doc_id ASC) AS dense_rank
+  FROM (
+    SELECT e.vec_id AS doc_id,
+           ROUND({dot_q} / sqrt(({n2v}) * ({n2q})), 6) AS dscore
+    FROM emb e CROSS JOIN q
+    ORDER BY dscore DESC, doc_id ASC
+    LIMIT {DENSE_TOP_K})),
+fused AS (
+  SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id, l.lex_rank, d.dense_rank,
+         COALESCE({RRF_SCALE} // ({RRF_K} + l.lex_rank), 0)
+         + COALESCE({RRF_SCALE} // ({RRF_K} + d.dense_rank), 0) AS rrf_score
+  FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(lex_rank AS INT) AS lex_rank,
+       CAST(dense_rank AS INT) AS dense_rank,
+       CAST(rrf_score AS BIGINT) AS rrf_score
+FROM fused
+ORDER BY rrf_score DESC, doc_id ASC
+LIMIT {HYBRID_TOP_K}
+"""
+
+
+DOC_HYBRID_SQL = _hybrid_sql()
+
+
 SEARCH_QUERIES: dict[str, tuple] = {
+    "doc_hybrid_rrf": (doc_hybrid_rrf, DOC_HYBRID_SQL),
     "doc_bm25_search": (doc_bm25_search, DOC_BM25_SQL),
     "doc_bpe_train": (doc_bpe_train, DOC_BPE_TRAIN_SQL),
     "doc_bpe_apply": (doc_bpe_apply, DOC_BPE_APPLY_SQL),

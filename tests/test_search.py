@@ -173,3 +173,31 @@ def test_bpe_apply_matches_recompute_and_compresses(spark, texts):
     for l, (nw, nt, nc) in got.items():
         # merges must compress: fewer tokens than chars+EOW markers
         assert nt < nc + nw, l
+
+
+def test_hybrid_rrf_self_consistency_and_overlap(spark):
+    """Every fused row's rrf_score must equal the RRF formula applied
+    to its OWN ranks (integer algebra, absent list contributes 0); the
+    PRF dense query must actually overlap the lexical list (the top-3
+    feedback docs rank high densely — fusion is non-vacuous), and the
+    fused order must be (rrf DESC, doc_id ASC)."""
+    from csv_to_jsonld_processor_spark.operators.search import (
+        RRF_K,
+        RRF_SCALE,
+        doc_hybrid_rrf,
+    )
+
+    rows = doc_hybrid_rrf(spark, SF).collect()
+    assert len(rows) == 10
+    for r in rows:
+        want = sum(
+            RRF_SCALE // (RRF_K + rank)
+            for rank in (r.lex_rank, r.dense_rank)
+            if rank is not None
+        )
+        assert r.rrf_score == want, (r.doc_id, r.rrf_score, want)
+    assert any(
+        r.lex_rank is not None and r.dense_rank is not None for r in rows
+    ), "lexical and dense lists never overlapped — fusion is vacuous"
+    scores = [(r.rrf_score, -r.doc_id) for r in rows]
+    assert scores == sorted(scores, reverse=True)
