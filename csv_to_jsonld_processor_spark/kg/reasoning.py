@@ -334,23 +334,10 @@ FROM diff GROUP BY pred ORDER BY pred
 """
 
 
-def kg_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Type-2 slowly-changing-dimension history over the recrawl
-    stream: each fact's presence across crawls is segmented into
-    validity intervals by the gaps-and-islands rule (island =
-    crawl_id − row_number over the fact's presence sequence — a fact
-    that disappears and later reappears opens a NEW version, exactly
-    SCD2 semantics), then summarized per predicate: version count,
-    currently-open versions (valid_to = the url's latest crawl), total
-    covered crawl-slots, longest version, and versions that are closed
-    or late-opening (churn signal).
-
-    Scale: the island window partitions by the full fact key — the
-    same key the crawl store would cluster on — so sessionizing is one
-    shuffle; everything after is partial-aggregated.  This is the
-    interval-building complement to ``kg_fact_versioning``'s
-    first-vs-last diff (same truth-anchored RAW-observation oracle).
-    """
+def _scd2_intervals(spark: SparkSession):
+    """Shared SCD2 interval builder over the recrawl stream: returns
+    (versions ⋈ per-url max_crawl, raw observations). One window
+    shuffle on the full fact key (the crawl store's cluster key)."""
     from pyspark.sql import Window
 
     from ..sources.pages import generate_recrawls
@@ -368,7 +355,27 @@ def kg_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     mx = obs.groupBy("url").agg(F.max("crawl_id").alias("max_crawl"))
-    v = vers.join(mx, "url")
+    return vers.join(mx, "url"), obs
+
+
+def kg_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history over the recrawl
+    stream: each fact's presence across crawls is segmented into
+    validity intervals by the gaps-and-islands rule (island =
+    crawl_id − row_number over the fact's presence sequence — a fact
+    that disappears and later reappears opens a NEW version, exactly
+    SCD2 semantics), then summarized per predicate: version count,
+    currently-open versions (valid_to = the url's latest crawl), total
+    covered crawl-slots, longest version, and versions that are closed
+    or late-opening (churn signal).
+
+    Scale: the island window partitions by the full fact key — the
+    same key the crawl store would cluster on — so sessionizing is one
+    shuffle; everything after is partial-aggregated.  This is the
+    interval-building complement to ``kg_fact_versioning``'s
+    first-vs-last diff (same truth-anchored RAW-observation oracle).
+    """
+    v, _obs = _scd2_intervals(spark)
     length = F.col("valid_to") - F.col("valid_from") + 1
     return (
         v.groupBy("pred")
@@ -415,7 +422,87 @@ GROUP BY pred ORDER BY pred
 """
 
 
+def kg_facts_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal as-of reads over the SCD2 intervals — "what did the KG
+    believe at crawl t?" for every t, in one pass. A version is valid
+    at t iff ``valid_from <= t`` and (``t <= valid_to`` OR the version
+    is CURRENT — ``valid_to = max_crawl(url)`` — in which case it is
+    open-ended, the standard SCD2 carry-forward for urls whose crawl
+    horizon ended early). Output per (pred, t): facts valid, versions
+    opening at t, versions that closed at t (their valid_to was t−1
+    and they are not current).
+
+    Scale shape: the interval table joins a |crawls|-row literal range
+    (3 here; bounded by crawl history, never by corpus) — the interval
+    containment is a broadcast range join with per-row predicates, and
+    the census is one partial-aggregated groupBy. The production twin
+    reads the same intervals straight from the SCD2 dimension table,
+    so an as-of batch costs one broadcast + one aggregation, never a
+    re-sessionization."""
+    v, obs = _scd2_intervals(spark)
+    gmax = obs.agg(F.max("crawl_id").alias("g")).select(
+        F.explode(F.sequence(F.lit(0), F.col("g"))).alias("t")
+    )
+    cur = F.col("valid_to") == F.col("max_crawl")
+    joined = v.crossJoin(F.broadcast(gmax))
+    return (
+        joined.groupBy("pred", "t")
+        .agg(
+            F.sum(
+                (
+                    (F.col("valid_from") <= F.col("t"))
+                    & ((F.col("t") <= F.col("valid_to")) | cur)
+                ).cast("long")
+            ).alias("n_valid"),
+            F.sum((F.col("valid_from") == F.col("t")).cast("long")).alias("n_opened"),
+            F.sum(((F.col("valid_to") == F.col("t") - 1) & ~cur).cast("long")).alias(
+                "n_closed"
+            ),
+        )
+        .select(
+            "pred",
+            F.col("t").cast("int").alias("t"),
+            "n_valid",
+            "n_opened",
+            "n_closed",
+        )
+        .orderBy("pred", "t")
+    )
+
+
+KG_ASOF_SQL = f"""
+WITH obs AS (
+  SELECT url, CAST(crawl_id AS INT) AS crawl_id, subj, pred, obj
+  FROM read_csv('{_GOLDEN_RECRAWLS}', header=true, all_varchar=true)
+), pres AS (
+  SELECT DISTINCT url, subj, pred, obj, crawl_id FROM obs
+), isl AS (
+  SELECT url, subj, pred, obj, crawl_id,
+         crawl_id - ROW_NUMBER() OVER (
+           PARTITION BY url, subj, pred, obj ORDER BY crawl_id) AS island
+  FROM pres
+), vers AS (
+  SELECT url, subj, pred, obj,
+         MIN(crawl_id) AS valid_from, MAX(crawl_id) AS valid_to
+  FROM isl GROUP BY url, subj, pred, obj, island
+), mx AS (
+  SELECT url, MAX(crawl_id) AS max_crawl FROM obs GROUP BY url
+), v AS (SELECT vers.*, mx.max_crawl FROM vers JOIN mx USING (url)),
+ts AS (SELECT unnest(generate_series(0, (SELECT MAX(crawl_id) FROM obs))) AS t)
+SELECT pred, CAST(t AS INT) AS t,
+       CAST(SUM(CASE WHEN valid_from <= t
+                      AND (t <= valid_to OR valid_to = max_crawl)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+       CAST(SUM(CASE WHEN valid_from = t THEN 1 ELSE 0 END) AS BIGINT) AS n_opened,
+       CAST(SUM(CASE WHEN valid_to = t - 1 AND valid_to <> max_crawl
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_closed
+FROM v CROSS JOIN ts
+GROUP BY pred, t ORDER BY pred, t
+"""
+
+
 KG_REASONING_QUERIES: dict[str, tuple] = {
+    "kg_facts_asof": (kg_facts_asof, KG_ASOF_SQL),
     "kg_type_inference": (kg_type_inference, KG_TYPE_INFERENCE_SQL),
     "kg_functional_conflicts": (kg_functional_conflicts, KG_FUNCTIONAL_CONFLICTS_SQL),
     "kg_fact_versioning": (kg_fact_versioning, KG_FACT_VERSIONING_SQL),

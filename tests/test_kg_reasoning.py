@@ -173,3 +173,32 @@ def test_scd2_versions_match_python_islands(spark):
     }
     assert got == {p: tuple(v) for p, v in agg.items()}
     assert saw_reopened, "stream never reopens a fact — island logic untested"
+
+
+def test_asof_census_obeys_flow_conservation(spark):
+    """The as-of time series must be internally consistent: for every
+    predicate, n_valid(t) = n_valid(t-1) + n_opened(t) - n_closed(t)
+    (versions enter exactly at valid_from and leave the day after
+    valid_to unless current) — the flow-balance invariant any temporal
+    dimension must satisfy; and something must actually open AND close
+    across the horizon (the recrawl stream genuinely churns)."""
+    from collections import defaultdict
+
+    from csv_to_jsonld_processor_spark.kg.reasoning import kg_facts_asof
+
+    rows = kg_facts_asof(spark, "/root/testdata/sf0.001").collect()
+    series = defaultdict(dict)
+    for r in rows:
+        series[r.pred][r.t] = (r.n_valid, r.n_opened, r.n_closed)
+    total_opened = total_closed = 0
+    for pred, ts in series.items():
+        for t in sorted(ts):
+            n_valid, n_opened, n_closed = ts[t]
+            if t == 0:
+                assert n_valid == n_opened and n_closed == 0, pred
+            else:
+                prev = ts[t - 1][0]
+                assert n_valid == prev + n_opened - n_closed, (pred, t)
+            total_opened += n_opened
+            total_closed += n_closed
+    assert total_closed > 0 and total_opened > total_closed
