@@ -563,6 +563,57 @@ ORDER BY strategy
 """
 
 
+def kg_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-predicate edge reciprocity — the statistic that DISCOVERS
+    symmetric relations instead of assuming them (the same mirror
+    structure kg_edge_split's inverse-leakage audit guards against in
+    train/test splitting, here measured as a graph property):
+
+        reciprocity(p) = |{(s,o): p(s,o) AND p(o,s)}| / |{(s,o): p(s,o)}|
+
+    in exact basis points over the distinct directed pair set. A
+    near-10000 predicate (partner) is symmetric and must be modeled
+    undirected (and its held-out mirrors excluded from eval); a
+    near-0 one (worksFor — person→org, type-disjoint) is truly
+    directed. Scale: one distinct per pred (map-side combined) and one
+    self-equi-join on the reversed key within the same pred partition
+    — no cross-pred work, no driver state."""
+    edges = kg_webtext_edges(spark, sf_dir)
+    pairs = edges.select("pred", "subj", "obj").distinct()
+    rev = pairs.select(
+        "pred", F.col("obj").alias("subj"), F.col("subj").alias("obj")
+    ).withColumn("has_rev", F.lit(1))
+    return (
+        pairs.join(rev, ["pred", "subj", "obj"], "left")
+        .groupBy("pred")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.coalesce(F.col("has_rev"), F.lit(0))).cast("long").alias("n_mutual"),
+        )
+        .withColumn(
+            "reciprocity_bp",
+            F.expr("CAST(10000 * n_mutual DIV n_pairs AS BIGINT)"),
+        )
+        .orderBy("pred")
+    )
+
+
+KG_RECIPROCITY_SQL = f"""
+WITH pairs AS (
+  SELECT DISTINCT pred, subj, obj
+  FROM read_csv('{_GOLDEN_EDGES}', header=true, all_varchar=true)
+)
+SELECT p.pred,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN r.subj IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_mutual,
+       CAST(10000 * SUM(CASE WHEN r.subj IS NOT NULL THEN 1 ELSE 0 END) // COUNT(*) AS BIGINT)
+         AS reciprocity_bp
+FROM pairs p
+LEFT JOIN pairs r ON r.pred = p.pred AND r.subj = p.obj AND r.obj = p.subj
+GROUP BY p.pred ORDER BY p.pred
+"""
+
+
 KG_DOMAIN_SQL = f"""
 SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS host,
        CAST(COUNT(*) AS BIGINT) AS n_edges,
@@ -1590,6 +1641,7 @@ KG_QUERIES: dict[str, tuple] = {
     "kg_webtext_edge_stats": (kg_webtext_edge_stats, KG_EDGE_STATS_SQL),
     "kg_webtext_pr": (kg_webtext_pr, KG_PR_SQL),
     "kg_edge_cut": (kg_edge_cut, KG_EDGECUT_SQL),
+    "kg_reciprocity": (kg_reciprocity, KG_RECIPROCITY_SQL),
     "kg_domain_stats": (kg_domain_stats, KG_DOMAIN_SQL),
     "kg_shacl_cardinality": (kg_shacl_cardinality, KG_SHACL_SQL),
     "kg_entity_table": (kg_entity_table, KG_ENTITY_TABLE_SQL),

@@ -140,3 +140,20 @@ def test_edge_cut_placement_tradeoffs(spark):
     for r in rows.values():
         assert r.n_vertices <= r.repl_sum <= r.n_vertices * EDGECUT_K
         assert r.max_part_edges * r.n_parts_used >= r.n_edges  # max >= mean
+
+
+def test_reciprocity_discriminates_symmetric_predicates(spark):
+    """Reciprocity must separate the generator's relation classes
+    exactly: org↔org predicates (partner, acquired) are fully mutual
+    on the dense seed-42 corpus, while every type-disjoint predicate
+    (person→org, person/org→place) cannot have a mirror at all."""
+    from csv_to_jsonld_processor_spark.kg.queries import kg_reciprocity
+
+    rows = {r.pred.rsplit("/", 1)[1]: r for r in kg_reciprocity(spark, SF).collect()}
+    assert rows["partner"].reciprocity_bp == 10000
+    assert rows["acquired"].reciprocity_bp == 10000
+    for pred in ("worksFor", "founderOf", "birthPlace", "residence", "headquarters"):
+        assert rows[pred].reciprocity_bp == 0, pred
+        assert rows[pred].n_mutual == 0
+    for r in rows.values():
+        assert 0 <= r.n_mutual <= r.n_pairs
