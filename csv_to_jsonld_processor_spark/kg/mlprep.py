@@ -249,7 +249,214 @@ ORDER BY n.pred
 """
 
 
+# --- sampled filtered-ranking evaluation (MRR / Hits@1) -------------------
+#
+# The third leg of the KG-completion prep stack: after the split
+# (kg_edge_split) and the corruption sampler (kg_negative_samples), a
+# trainer needs the EVALUATION harness — rank each held-out triple's
+# true object against sampled corruptions, filtered protocol (Bordes et
+# al. 2013).  Full-ranking against the whole entity set is O(|test|·|E|)
+# and is exactly what nobody runs at 10^9 entities; the standard
+# large-scale protocol is sampled ranking against K corruptions, which
+# is what this implements — stateless per-row score algebra riding the
+# candidate join, no O(|E|) stage anywhere.
+#
+# Embeddings are DETERMINISTIC hash projections (md5 per dimension,
+# values in [-1000, 1000]) rather than trained weights: the point is the
+# exact mechanics of the eval pipeline — candidate generation, filtered
+# anti-join, pessimistic tie-broken ranks, reciprocal-rank aggregation —
+# all integer algebra both engines compute bit-for-bit.  A trained model
+# would only swap the score expression for a table lookup.
+
+EVAL_DIMS = 4
+EVAL_MOD = 2001  # embedding values: u32 % 2001 - 1000 ∈ [-1000, 1000]
+EVAL_K = 8  # corruptions per held-out triple; max rank = 9
+MRR_SCALE = 2520  # lcm(1..9): 2520/rank is EXACT for every possible rank
+
+
+def _dim_val(col: F.Column, dim: int) -> F.Column:
+    """Deterministic per-dimension embedding value, integer-exact."""
+    return F.pmod(_u32(F.concat(col, F.lit(f"#{dim}"))), F.lit(EVAL_MOD)) - F.lit(
+        EVAL_MOD // 2
+    )
+
+
+def _l1_distance(s, p, o) -> F.Column:
+    """TransE L1 distance ||e_s + r_p - e_o||_1 over hash embeddings.
+    The predicate embedding is salted ('P|') so a predicate string that
+    collides with an entity name still gets its own vector."""
+    terms = [
+        F.abs(
+            _dim_val(F.col(s), i)
+            + _dim_val(F.concat(F.lit("P|"), F.col(p)), i)
+            - _dim_val(F.col(o), i)
+        )
+        for i in range(EVAL_DIMS)
+    ]
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return total.cast("long")
+
+
+def kg_transe_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled filtered-ranking eval over the test split: per predicate,
+    n_test, kept-corruption count, Hits@1, and the EXACT reciprocal-rank
+    sum scaled by lcm(1..9) so MRR is a BIGINT, not a float.
+
+    Rank is pessimistic (ties with the true triple count against it),
+    so no float tiebreak is needed.  Corruptions reuse the uniform-pool
+    index arithmetic of kg_negative_samples under a distinct salt 'E',
+    and true triples are filtered by anti-join (the 'filtered' setting —
+    a corruption that happens to be a true edge must not penalize the
+    model).  Triples whose corruptions ALL collide with true edges rank
+    1 by definition and stay in the denominator.
+
+    Scale shape: the test split is a hash-bucket filter riding the
+    scan; candidate gen is the same broadcast-dictionary index join the
+    sampler uses (range-partitioned equi-join once the entity dictionary
+    outgrows a broadcast); scores are stateless per-row expressions —
+    the only shuffles are the per-triple and per-pred aggregations."""
+    trip = _distinct_triples(spark, sf_dir)
+    t = trip.withColumn(
+        "bucket",
+        F.pmod(_u32(F.concat_ws("|", "subj", "pred", "obj")), F.lit(SPLIT_BUCKETS)),
+    )
+    test = t.where(F.col("bucket") == SPLIT_BUCKETS - 1).drop("bucket")
+    ents = (
+        trip.select(F.col("subj").alias("ent"))
+        .unionByName(trip.select(F.col("obj").alias("ent")))
+        .dropDuplicates()
+    )
+    pool = ents.withColumn("idx", F.row_number().over(Window.orderBy("ent")) - 1)
+    pool_n = pool.agg(F.count(F.lit(1)).cast("long").alias("pool_n"))
+    cand = (
+        test.crossJoin(F.broadcast(pool_n))
+        .select(
+            "subj",
+            "pred",
+            "obj",
+            "pool_n",
+            F.explode(F.array(*[F.lit(k) for k in range(EVAL_K)])).alias("k"),
+        )
+        .withColumn(
+            "idx",
+            F.pmod(
+                _u32(F.concat_ws("|", "subj", "pred", "obj", F.lit("E"), "k")),
+                F.col("pool_n"),
+            ),
+        )
+        .join(F.broadcast(pool.select("idx", F.col("ent").alias("neg_obj"))), "idx")
+        .select("subj", "pred", "obj", "neg_obj")
+    )
+    kept = cand.join(
+        trip.select("subj", "pred", F.col("obj").alias("neg_obj")),
+        ["subj", "pred", "neg_obj"],
+        "left_anti",
+    )
+    scored = kept.select(
+        "subj",
+        "pred",
+        "obj",
+        _l1_distance("subj", "pred", "neg_obj").alias("d_neg"),
+        _l1_distance("subj", "pred", "obj").alias("d_true"),
+    )
+    per_neg = scored.groupBy("subj", "pred", "obj").agg(
+        F.count(F.lit(1)).cast("long").alias("n_neg"),
+        F.sum((F.col("d_neg") <= F.col("d_true")).cast("long")).alias("n_not_worse"),
+    )
+    ranked = (
+        test.join(per_neg, ["subj", "pred", "obj"], "left")
+        .select(
+            "pred",
+            F.coalesce("n_neg", F.lit(0).cast("long")).alias("n_neg"),
+            (F.lit(1) + F.coalesce("n_not_worse", F.lit(0))).cast("long").alias("rank"),
+        )
+    )
+    return (
+        ranked.groupBy("pred")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum("n_neg").cast("long").alias("n_neg_eval"),
+            F.sum((F.col("rank") == 1).cast("long")).alias("n_hits1"),
+            F.sum(F.expr(f"{MRR_SCALE} div rank")).cast("long").alias("mrr_x2520"),
+        )
+        .orderBy("pred")
+    )
+
+
+def _transe_mrr_sql() -> str:
+    from .queries import _GOLDEN_EDGES
+
+    def dv(expr: str, dim: int) -> str:
+        return (
+            f"(CAST(('0x' || substr(md5({expr} || '#{dim}'), 1, 8)) AS BIGINT)"
+            f" % {EVAL_MOD} - {EVAL_MOD // 2})"
+        )
+
+    def l1(o_expr: str) -> str:
+        return " + ".join(
+            f"ABS({dv('subj', i)} + {dv(chr(39) + 'P|' + chr(39) + ' || pred', i)}"
+            f" - {dv(o_expr, i)})"
+            for i in range(EVAL_DIMS)
+        )
+
+    ks = ", ".join(str(k) for k in range(EVAL_K))
+    hi = SPLIT_BUCKETS - 1
+    return f"""
+WITH trip AS (
+  SELECT DISTINCT subj, pred, obj
+  FROM read_csv('{_GOLDEN_EDGES}', header=true, all_varchar=true)
+), test AS (
+  SELECT subj, pred, obj FROM trip
+  WHERE CAST(('0x' || substr(md5(subj || '|' || pred || '|' || obj), 1, 8)) AS BIGINT)
+        % {SPLIT_BUCKETS} = {hi}
+), pool AS (
+  SELECT ent, ROW_NUMBER() OVER (ORDER BY ent) - 1 AS idx
+  FROM (SELECT DISTINCT subj AS ent FROM trip
+        UNION SELECT DISTINCT obj FROM trip)
+), cand AS (
+  SELECT t.subj, t.pred, t.obj, p.ent AS neg_obj
+  FROM (
+    SELECT te.subj, te.pred, te.obj,
+           CAST(('0x' || substr(md5(te.subj || '|' || te.pred || '|' || te.obj
+                                || '|E|' || CAST(u.k AS VARCHAR)), 1, 8)) AS BIGINT)
+             % (SELECT COUNT(*) FROM pool) AS idx
+    FROM test te CROSS JOIN (SELECT unnest([{ks}]) AS k) u
+  ) t
+  JOIN pool p ON t.idx = p.idx
+), kept AS (
+  SELECT c.subj, c.pred, c.obj, c.neg_obj FROM cand c
+  ANTI JOIN trip tr
+    ON c.subj = tr.subj AND c.pred = tr.pred AND c.neg_obj = tr.obj
+), scored AS (
+  SELECT subj, pred, obj,
+         {l1('neg_obj')} AS d_neg,
+         {l1('obj')} AS d_true
+  FROM kept
+), per_neg AS (
+  SELECT subj, pred, obj, CAST(COUNT(*) AS BIGINT) AS n_neg,
+         CAST(SUM(CASE WHEN d_neg <= d_true THEN 1 ELSE 0 END) AS BIGINT) AS n_not_worse
+  FROM scored GROUP BY subj, pred, obj
+), ranked AS (
+  SELECT te.pred,
+         COALESCE(pn.n_neg, 0) AS n_neg,
+         1 + COALESCE(pn.n_not_worse, 0) AS rank
+  FROM test te
+  LEFT JOIN per_neg pn
+    ON te.subj = pn.subj AND te.pred = pn.pred AND te.obj = pn.obj
+)
+SELECT pred,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       CAST(SUM(n_neg) AS BIGINT) AS n_neg_eval,
+       CAST(SUM(CASE WHEN rank = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits1,
+       CAST(SUM({MRR_SCALE} // rank) AS BIGINT) AS mrr_x2520
+FROM ranked GROUP BY pred ORDER BY pred
+"""
+
+
 KG_MLPREP_QUERIES: dict[str, tuple] = {
     "kg_edge_split": (kg_edge_split, _edge_split_sql()),
     "kg_negative_samples": (kg_negative_samples, _neg_samples_sql()),
+    "kg_transe_mrr": (kg_transe_mrr, _transe_mrr_sql()),
 }

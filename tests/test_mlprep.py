@@ -90,3 +90,50 @@ def test_negative_samples_match_full_recompute(spark, triples):
     assert got == {p: tuple(v) for p, v in agg.items()}
     # filter fires and keeps a majority: both behaviors observable
     assert all(v[1] > 0 and v[2] > v[1] for v in got.values())
+
+
+def test_transe_mrr_matches_full_recompute(spark, triples):
+    from csv_to_jsonld_processor_spark.kg.mlprep import (
+        EVAL_DIMS,
+        EVAL_K,
+        EVAL_MOD,
+        MRR_SCALE,
+        SPLIT_BUCKETS,
+        kg_transe_mrr,
+    )
+
+    tset = set(triples)
+    pool = sorted({s for s, _p, _o in triples} | {o for _s, _p, o in triples})
+    n = len(pool)
+
+    def emb(name: str):
+        return [
+            _u32(f"{name}#{i}") % EVAL_MOD - EVAL_MOD // 2 for i in range(EVAL_DIMS)
+        ]
+
+    def dist(s, p, o):
+        es, rp, eo = emb(s), emb(f"P|{p}"), emb(o)
+        return sum(abs(es[i] + rp[i] - eo[i]) for i in range(EVAL_DIMS))
+
+    agg = {}
+    for s, p, o in triples:
+        if _u32(f"{s}|{p}|{o}") % SPLIT_BUCKETS != SPLIT_BUCKETS - 1:
+            continue
+        d_true = dist(s, p, o)
+        negs = [pool[_u32(f"{s}|{p}|{o}|E|{k}") % n] for k in range(EVAL_K)]
+        kept = [ng for ng in negs if (s, p, ng) not in tset]
+        rank = 1 + sum(1 for ng in kept if dist(s, p, ng) <= d_true)
+        a = agg.setdefault(p, [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += len(kept)
+        a[2] += 1 if rank == 1 else 0
+        a[3] += MRR_SCALE // rank
+    got = {
+        r.pred: (r.n_test, r.n_neg_eval, r.n_hits1, r.mrr_x2520)
+        for r in kg_transe_mrr(spark, SF).collect()
+    }
+    assert got == {p: tuple(v) for p, v in agg.items()}
+    # non-degenerate: random embeddings rank above chance-floor somewhere,
+    # below perfection everywhere the corruption pool survived filtering
+    assert any(v[3] > 0 for v in got.values())
+    assert any(v[1] > 0 and v[2] < v[0] for v in got.values())
