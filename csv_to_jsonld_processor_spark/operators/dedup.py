@@ -1154,8 +1154,159 @@ FROM per_doc GROUP BY 1 ORDER BY dup_decile
 """
 
 
+# --- prefix-filtered set-similarity join (PPJoin-lite) --------------------
+
+PREFIX_TAU_NUM = 8  # Jaccard threshold 8/10 on word-5-shingle SETS —
+PREFIX_TAU_DEN = 10  # integer-exact: 10·|∩| >= 8·|∪|, no float compare
+
+
+def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix filtering for the shingle-set similarity self-join (the
+    PPJoin family, Xiao et al. 2011): order every doc's 5-shingles by a
+    GLOBAL rarity rank (document frequency asc, shingle asc) and block
+    only on each doc's first ``n - ceil(τ·n) + 1`` rarest shingles — any
+    pair with Jaccard >= τ provably shares a shingle inside both
+    prefixes, so the filter is LOSSLESS while candidate generation
+    touches only rare shingles.
+
+    This query is the measured audit of that theorem on real data: it
+    runs BOTH blocking schemes — full inverted index (every shared
+    shingle, the gate-scale truth; same shape dedup_ngram_jaccard
+    blocks on) and prefix-only — verifies matches with exact integer
+    arithmetic, and reports that the prefix scheme found every match
+    (n_matches_in_prefix == n_matches) at a candidate-pair cost of
+    prefix_ppm/1e6 of the full join.
+
+    Scale shape: the theorem needs only a CONSISTENT TOTAL ORDER on
+    shingles, not a materialized integer rank — so each doc orders its
+    own shingles by ``(df, shingle)`` directly: df comes from one
+    vocabulary-sized groupBy (broadcast at gate scale; sort-merge past
+    it) and the positional window is PARTITIONED BY doc_id, never a
+    single-partition global sort.  Prefix shingles are by construction
+    each doc's RAREST, so the blocking key's fan-out is naturally
+    capped — the hot-shingle skew that forces MAX_SHINGLE_FREQ on the
+    plain shingle join cannot occur on the prefix path.  Only the
+    audit runs the full inverted-index join; a production run keeps
+    the prefix join + per-candidate verify."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    toks = _doc_shingles(t["documents"]).withColumnRenamed("shingle", "token")
+    dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_tok"))
+    pos = (
+        toks.join(F.broadcast(dfreq), "token")
+        .withColumn(
+            "pos",
+            F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "token")),
+        )
+        .join(sizes, "doc_id")
+    )
+    pref = pos.where(
+        F.col("pos")
+        <= F.col("n_tok")
+        - F.expr(f"({PREFIX_TAU_NUM} * n_tok + {PREFIX_TAU_DEN - 1}) div {PREFIX_TAU_DEN}")
+        + F.lit(1)
+    ).select("doc_id", "token")
+    pa = pref.select(F.col("doc_id").alias("doc_a"), "token")
+    pb = pref.select(F.col("doc_id").alias("doc_b"), "token")
+    cand = (
+        pa.join(pb, "token")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates()
+    )
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "token")
+    tb = toks.select(F.col("doc_id").alias("doc_b"), "token")
+    full_pairs = (
+        ta.join(tb, "token")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("nb"))
+    matches = (
+        full_pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(
+            F.lit(PREFIX_TAU_DEN) * F.col("n_common")
+            >= F.lit(PREFIX_TAU_NUM) * (F.col("na") + F.col("nb") - F.col("n_common"))
+        )
+        .select("doc_a", "doc_b")
+    )
+    n_docs = t["documents"].agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    n_full = full_pairs.agg(F.count(F.lit(1)).cast("long").alias("n_pairs_full"))
+    n_pref = cand.agg(F.count(F.lit(1)).cast("long").alias("n_pairs_prefix"))
+    n_match = matches.agg(F.count(F.lit(1)).cast("long").alias("n_matches"))
+    n_in_pref = matches.join(cand, ["doc_a", "doc_b"], "left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches_in_prefix")
+    )
+    return (
+        n_docs.crossJoin(F.broadcast(n_full))
+        .crossJoin(F.broadcast(n_pref))
+        .crossJoin(F.broadcast(n_match))
+        .crossJoin(F.broadcast(n_in_pref))
+        .withColumn(
+            "prefix_ppm",
+            F.expr("1000000 * n_pairs_prefix div greatest(n_pairs_full, 1)").cast("long"),
+        )
+    )
+
+
+DEDUP_PREFIX_SQL = f"""
+WITH words AS (
+  SELECT doc_id, string_split(lower(trim(regexp_replace(text,'\\s+',' ','g'))), ' ') AS tokens
+  FROM documents
+), toks AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(tokens) - {SHINGLE_K - 1}, 0)),
+           i -> array_to_string(tokens[i:i+{SHINGLE_K - 1}], ' ')))) AS token
+  FROM words
+), dfreq AS (
+  SELECT token, COUNT(*) AS df FROM toks GROUP BY token
+), sizes AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok FROM toks GROUP BY doc_id
+), pos AS (
+  SELECT t.doc_id, t.token,
+         ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY r.df, r.token) AS pos
+  FROM toks t JOIN dfreq r USING (token)
+), pref AS (
+  SELECT p.doc_id, p.token
+  FROM pos p JOIN sizes s USING (doc_id)
+  WHERE p.pos <= s.n_tok
+               - ({PREFIX_TAU_NUM} * s.n_tok + {PREFIX_TAU_DEN - 1}) // {PREFIX_TAU_DEN}
+               + 1
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pref a JOIN pref b ON a.token = b.token AND a.doc_id < b.doc_id
+), full_pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), matches AS (
+  SELECT f.doc_a, f.doc_b
+  FROM full_pairs f
+  JOIN sizes sa ON sa.doc_id = f.doc_a
+  JOIN sizes sb ON sb.doc_id = f.doc_b
+  WHERE {PREFIX_TAU_DEN} * f.n_common
+        >= {PREFIX_TAU_NUM} * (sa.n_tok + sb.n_tok - f.n_common)
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM full_pairs) AS n_pairs_full,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_pairs_prefix,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM matches) AS n_matches,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM matches m
+        SEMI JOIN cand c ON m.doc_a = c.doc_a AND m.doc_b = c.doc_b)
+         AS n_matches_in_prefix,
+       CAST(1000000 * (SELECT COUNT(*) FROM cand)
+            // GREATEST((SELECT COUNT(*) FROM full_pairs), 1) AS BIGINT) AS prefix_ppm
+"""
+
+
 DEDUP_QUERIES: dict[str, tuple] = {
     "dedup_chunks": (dedup_chunks, DEDUP_CHUNKS_SQL),
+    "dedup_prefix_filter": (dedup_prefix_filter, DEDUP_PREFIX_SQL),
     "dedup_cdc_chunks": (dedup_cdc_chunks, DEDUP_CDC_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),

@@ -140,3 +140,63 @@ def test_chunk_dedup_matches_python_recompute(spark):
         assert got[b]["n_docs"] == hist[b]
         assert got[b]["n_chunks"] == totals[b]
         assert got[b]["n_dup_chunks"] == dups[b]
+
+
+def test_prefix_filter_lossless_vs_bruteforce(spark):
+    """Prefix filtering (PPJoin) must be LOSSLESS: every pair with set-
+    Jaccard >= tau shares a token inside both docs' rarity-ordered
+    prefixes. Recompute matches brute-force in Python over the real
+    corpus shingles and check (a) the query's audit counters agree and
+    (b) n_matches_in_prefix == n_matches — the theorem held on data
+    where the full inverted index generates strictly more candidates."""
+    from csv_to_jsonld_processor_spark.operators.dedup import (
+        PREFIX_TAU_DEN,
+        PREFIX_TAU_NUM,
+        _doc_shingles,
+        dedup_prefix_filter,
+    )
+    from csv_to_jsonld_processor_spark.session import load_tables
+
+    docs = load_tables(spark, SF_DIR)["documents"]
+    sets: dict = {}
+    for r in _doc_shingles(docs).collect():
+        sets.setdefault(r.doc_id, set()).add(r.shingle)
+    dfreq: dict = {}
+    for s in sets.values():
+        for tok in s:
+            dfreq[tok] = dfreq.get(tok, 0) + 1
+    ids = sorted(sets)
+    expected_matches = set()
+    full_pairs = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                continue
+            full_pairs.add((a, b))
+            union = len(sets[a]) + len(sets[b]) - inter
+            if PREFIX_TAU_DEN * inter >= PREFIX_TAU_NUM * union:
+                expected_matches.add((a, b))
+
+    def prefix(doc_id):
+        toks = sorted(sets[doc_id], key=lambda t: (dfreq[t], t))
+        n = len(toks)
+        keep = n - (PREFIX_TAU_NUM * n + PREFIX_TAU_DEN - 1) // PREFIX_TAU_DEN + 1
+        return set(toks[:keep])
+
+    prefixes = {d: prefix(d) for d in ids}
+    cand = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if prefixes[a] & prefixes[b]
+    }
+    assert expected_matches <= cand, "theorem violated in brute-force model"
+
+    row = dedup_prefix_filter(spark, SF_DIR).collect()[0]
+    assert row.n_docs == len(ids)
+    assert row.n_pairs_full == len(full_pairs)
+    assert row.n_pairs_prefix == len(cand)
+    assert row.n_matches == len(expected_matches)
+    assert row.n_matches_in_prefix == row.n_matches, "prefix filter dropped a true match"
+    assert row.n_pairs_prefix < row.n_pairs_full, "audit degenerate: prefix saved nothing"
