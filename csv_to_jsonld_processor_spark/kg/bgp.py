@@ -131,6 +131,8 @@ def bgp_query(
     use_stats: bool = False,
     optionals: list[list[Pattern]] | None = None,
     filters: list[str] | None = None,
+    minus_groups: list[list[Pattern]] | None = None,
+    binds: dict[str, str] | None = None,
 ) -> DataFrame:
     """Compile and run a conjunctive BGP over an edge DataFrame.
 
@@ -143,7 +145,18 @@ def bgp_query(
     the variable names (e.g. ``"person != org"``, ``"city LIKE '%/berlin'"``).
     Applied to the required bindings before OPTIONAL joins; Catalyst
     pushes each predicate down to the earliest pattern scan where its
-    variables are bound, so writing them post-join costs nothing."""
+    variables are bound, so writing them post-join costs nothing.
+
+    ``minus_groups``: SPARQL MINUS — remove every required solution
+    compatible (equal on the shared, fully-bound variables) with some
+    solution of the group. With both sides fully bound, SPARQL's
+    compatibility collapses to equality on the shared variables, i.e.
+    a LEFT ANTI join — no Python negation loop. The spec makes a
+    domain-disjoint MINUS a no-op; in a static compiled query that is
+    always a query bug, so this compiler raises instead.
+
+    ``binds``: SPARQL BIND of constants — extra literal columns
+    (e.g. a branch discriminator under ``union_query``)."""
     if not patterns:
         raise ValueError("empty BGP")
     ordered = _order_patterns(edges, patterns, use_stats)
@@ -173,8 +186,99 @@ def bgp_query(
             )
         acc = acc.join(gdf, on=shared, how="left")
         bound |= g_bound
+    for group in minus_groups or []:
+        m_ordered = _order_patterns(edges, group, use_stats)
+        mdf = _pattern_df(edges, m_ordered[0])
+        m_bound = set(_pattern_vars(m_ordered[0]))
+        for pat in m_ordered[1:]:
+            shared = sorted(m_bound & set(_pattern_vars(pat)))
+            mdf = mdf.join(_pattern_df(edges, pat), on=shared, how="inner")
+            m_bound |= set(_pattern_vars(pat))
+        shared = sorted(bound & m_bound)
+        if not shared:
+            raise ValueError("MINUS group shares no variable with the required BGP")
+        acc = acc.join(mdf.select(*shared).dropDuplicates(), on=shared, how="left_anti")
+    for name, value in (binds or {}).items():
+        acc = acc.withColumn(name, F.lit(value))
     out = acc.select(*project)
     return out.dropDuplicates() if distinct else out
+
+
+def union_query(
+    edges: DataFrame,
+    branches: list[dict],
+    project: list[str],
+    distinct: bool = True,
+) -> DataFrame:
+    """SPARQL UNION: compile each branch group independently via
+    :func:`bgp_query` (each a dict of bgp_query kwargs — ``patterns``
+    plus optional ``filters``/``optionals``/``minus_groups``/``binds``)
+    and take the bag union of their solution sequences; ``distinct``
+    applies SPARQL set semantics over the union, not per branch.
+    Branches with disjoint variables are legal (unbound → NULL per
+    spec) as long as every projected variable is bound somewhere;
+    missing projection columns are padded with NULL before the union
+    so the schema is name-stable."""
+    outs = []
+    for br in branches:
+        br_vars: set[str] = set(br.get("binds") or {})
+        for group in [br["patterns"], *(br.get("optionals") or [])]:
+            for pat in group:
+                br_vars |= set(_pattern_vars(pat))
+        br_project = [v for v in project if v in br_vars]
+        df = bgp_query(
+            edges,
+            br["patterns"],
+            br_project,
+            distinct=False,
+            optionals=br.get("optionals"),
+            filters=br.get("filters"),
+            minus_groups=br.get("minus_groups"),
+            binds=br.get("binds"),
+        )
+        for missing in (v for v in project if v not in br_vars):
+            df = df.withColumn(missing, F.lit(None).cast("string"))
+        outs.append(df.select(*project))
+    acc = outs[0]
+    for df in outs[1:]:
+        acc = acc.unionByName(df)
+    return acc.dropDuplicates() if distinct else acc
+
+
+def construct_query(
+    edges: DataFrame,
+    patterns: list[Pattern],
+    template: list[Pattern],
+    filters: list[str] | None = None,
+) -> DataFrame:
+    """SPARQL CONSTRUCT — the knowledge-graph construction verb: match
+    the WHERE BGP, instantiate each template triple per solution, and
+    emit the resulting GRAPH (a set: CONSTRUCT output dedups by RDF
+    semantics) as (subj, pred, obj) rows union-compatible with the
+    edge table, so constructed triples can be fed straight back into
+    every query in this module (materialized inference).
+
+    Scale: the template instantiation is a projection per template
+    triple over the already-joined solution relation — no new shuffle
+    beyond the BGP's joins + one distinct on the emitted graph. A
+    self-join template like colleague-of inherits the BGP's per-key
+    fan-out (C(f,2) on a hub key); the mega-bucket star cap from
+    operators/dedup.py is the documented upgrade path for hub orgs."""
+    proj_vars = sorted({v for pat in patterns for v in _pattern_vars(pat)})
+    sols = bgp_query(edges, patterns, proj_vars, distinct=False, filters=filters)
+    parts = []
+    for s, p, o in template:
+        parts.append(
+            sols.select(
+                (F.col(s.name) if isinstance(s, Var) else F.lit(s)).alias("subj"),
+                (F.col(p.name) if isinstance(p, Var) else F.lit(p)).alias("pred"),
+                (F.col(o.name) if isinstance(o, Var) else F.lit(o)).alias("obj"),
+            )
+        )
+    acc = parts[0]
+    for df in parts[1:]:
+        acc = acc.unionByName(df)
+    return acc.dropDuplicates()
 
 
 def path_query(
@@ -445,8 +549,196 @@ SELECT src, dst FROM reach ORDER BY src, dst
 """
 
 
+# ---------------------------------------------------------------------------
+# UNION / MINUS / solution modifiers / CONSTRUCT
+# ---------------------------------------------------------------------------
+
+BGP_WORKS: list[Pattern] = [(Var("person"), TERMS + "worksFor", Var("org"))]
+BGP_FOUNDED: list[Pattern] = [(Var("person"), TERMS + "founderOf", Var("org"))]
+UNION_AFFILIATION: list[dict] = [
+    {"patterns": BGP_WORKS, "binds": {"role": "employee"}},
+    {"patterns": BGP_FOUNDED, "binds": {"role": "founder"}},
+]
+
+
+def kg_sparql_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL UNION with per-branch BIND:
+
+        SELECT DISTINCT ?person ?org ?role WHERE {
+          { ?person kg:worksFor  ?org . BIND('employee' AS ?role) }
+          UNION
+          { ?person kg:founderOf ?org . BIND('founder'  AS ?role) }
+        }
+
+    Set semantics over the union (a person both founding and working
+    for the same org keeps both rows — distinct roles). Scale: each
+    branch is one pred-pruned edge scan; the union is a no-shuffle
+    concatenation and the DISTINCT one two-phase aggregate."""
+    from .queries import kg_webtext_edges
+
+    edges = kg_webtext_edges(spark, sf_dir)
+    return union_query(edges, UNION_AFFILIATION, ["person", "org", "role"]).orderBy(
+        "person", "org", "role"
+    )
+
+
+def _union_sql() -> str:
+    from .queries import _GOLDEN_EDGES
+
+    return f"""
+WITH e AS (SELECT * FROM read_csv('{_GOLDEN_EDGES}', header=true, all_varchar=true))
+SELECT DISTINCT person, org, role FROM (
+  SELECT subj AS person, obj AS org, 'employee' AS role FROM e
+  WHERE pred = '{TERMS}worksFor'
+  UNION ALL
+  SELECT subj AS person, obj AS org, 'founder' AS role FROM e
+  WHERE pred = '{TERMS}founderOf'
+) ORDER BY person, org, role
+"""
+
+
+MINUS_REQUIRED: list[Pattern] = [(Var("m"), "Material Name", Var("name"))]
+MINUS_GROUP: list[Pattern] = [(Var("m"), "has Manufacturer", Var("mfr"))]
+_GOLDEN_FIXTURE = "/root/repo/tests/golden/fixture_triples.csv"
+
+
+def kg_sparql_minus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL MINUS over the fixture triple graph (the webtext KB is
+    deliberately saturated — complete bipartite per predicate — so
+    every same-domain MINUS there is degenerate; the reference-fixture
+    graph is real and sparse):
+
+        SELECT DISTINCT ?m ?name WHERE {
+          ?m "Material Name"     ?name .
+          MINUS { ?m "has Manufacturer" ?mfr . }
+        }
+
+    — named materials with no manufacturer link (21 of 256). Fully-
+    bound MINUS = LEFT ANTI join on the shared variable ?m; Catalyst
+    keeps the anti-join's build side the (smaller) matched set. Truth-
+    anchored: the engine side runs the LIVE CSV→triple pipeline, the
+    oracle the independently-generated golden triple CSV."""
+    from ..plans.fixture_queries import fixture_triples
+
+    edges = fixture_triples(spark, sf_dir).select("subj", "pred", "obj")
+    return bgp_query(
+        edges,
+        MINUS_REQUIRED,
+        ["m", "name"],
+        minus_groups=[MINUS_GROUP],
+    ).orderBy("m", "name")
+
+
+def _minus_sql() -> str:
+    return f"""
+WITH e AS (SELECT * FROM read_csv('{_GOLDEN_FIXTURE}', header=true, all_varchar=true)),
+req AS (SELECT DISTINCT subj AS m, obj AS name FROM e WHERE pred = 'Material Name'),
+mg AS (SELECT DISTINCT subj AS m FROM e WHERE pred = 'has Manufacturer')
+SELECT m, name FROM req
+ANTI JOIN mg USING (m)
+ORDER BY m, name
+"""
+
+
+TOPK_LIMIT = 10
+
+
+def kg_sparql_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL solution modifiers — ORDER BY + LIMIT over an aggregated
+    UNION:
+
+        SELECT ?person (COUNT(DISTINCT ?org) AS n_orgs)
+        WHERE {{ {{ ?person kg:worksFor ?org }} UNION
+                 {{ ?person kg:founderOf ?org }} }}
+        GROUP BY ?person
+        ORDER BY DESC(?n_orgs) ?person LIMIT {TOPK_LIMIT}
+
+    Deterministic tie-break on ?person makes LIMIT reproducible (a
+    bare ORDER BY DESC(count) is nondeterministic under ties — the
+    classic top-k flake). Scale: Spark lowers orderBy+limit to
+    TakeOrderedAndProject — per-partition top-k then a k-row merge on
+    the driver, never a global sort of the aggregate."""
+    from .queries import kg_webtext_edges
+
+    edges = kg_webtext_edges(spark, sf_dir)
+    sols = union_query(
+        edges, UNION_AFFILIATION, ["person", "org"], distinct=True
+    )
+    return (
+        sols.groupBy("person")
+        .agg(F.countDistinct("org").cast("long").alias("n_orgs"))
+        .orderBy(F.col("n_orgs").desc(), "person")
+        .limit(TOPK_LIMIT)
+    )
+
+
+def _topk_sql() -> str:
+    from .queries import _GOLDEN_EDGES
+
+    return f"""
+WITH e AS (SELECT * FROM read_csv('{_GOLDEN_EDGES}', header=true, all_varchar=true)),
+u AS (
+  SELECT DISTINCT subj AS person, obj AS org FROM e
+  WHERE pred IN ('{TERMS}worksFor', '{TERMS}founderOf')
+)
+SELECT person, CAST(COUNT(DISTINCT org) AS BIGINT) AS n_orgs
+FROM u GROUP BY person
+ORDER BY n_orgs DESC, person LIMIT {TOPK_LIMIT}
+"""
+
+
+CONSTRUCT_WHERE: list[Pattern] = [
+    (Var("a"), TERMS + "worksFor", Var("org")),
+    (Var("b"), TERMS + "worksFor", Var("org")),
+]
+CONSTRUCT_TEMPLATE: list[Pattern] = [(Var("a"), TERMS + "colleague", Var("b"))]
+
+
+def kg_sparql_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL CONSTRUCT materializing an inferred relation:
+
+        CONSTRUCT {{ ?a kg:colleague ?b }}
+        WHERE {{ ?a kg:worksFor ?org . ?b kg:worksFor ?org .
+                 FILTER (?a < ?b) }}
+
+    The emitted graph is (subj, pred, obj)-shaped and feeds straight
+    back into the edge table (materialized inference — the KG-
+    construction loop closed). Returns summary counts, not the 30k-row
+    pair graph: n_triples, n_distinct_subj, n_distinct_obj."""
+    from .queries import kg_webtext_edges
+
+    edges = kg_webtext_edges(spark, sf_dir)
+    g = construct_query(edges, CONSTRUCT_WHERE, CONSTRUCT_TEMPLATE, filters=["a < b"])
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_triples"),
+        F.countDistinct("subj").cast("long").alias("n_distinct_subj"),
+        F.countDistinct("obj").cast("long").alias("n_distinct_obj"),
+    )
+
+
+def _construct_sql() -> str:
+    from .queries import _GOLDEN_EDGES
+
+    return f"""
+WITH e AS (SELECT * FROM read_csv('{_GOLDEN_EDGES}', header=true, all_varchar=true)),
+w AS (SELECT DISTINCT subj AS person, obj AS org FROM e WHERE pred = '{TERMS}worksFor'),
+g AS (
+  SELECT DISTINCT a.person AS subj, '{TERMS}colleague' AS pred, b.person AS obj
+  FROM w a JOIN w b ON a.org = b.org AND a.person < b.person
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triples,
+       CAST(COUNT(DISTINCT subj) AS BIGINT) AS n_distinct_subj,
+       CAST(COUNT(DISTINCT obj) AS BIGINT) AS n_distinct_obj
+FROM g
+"""
+
+
 KG_BGP_QUERIES: dict[str, tuple] = {
     "kg_sparql_bgp": (kg_sparql_bgp, _bgp_sql()),
+    "kg_sparql_union": (kg_sparql_union, _union_sql()),
+    "kg_sparql_minus": (kg_sparql_minus, _minus_sql()),
+    "kg_sparql_topk": (kg_sparql_topk, _topk_sql()),
+    "kg_sparql_construct": (kg_sparql_construct, _construct_sql()),
     "kg_sparql_optional": (kg_sparql_optional, _optional_sql()),
     "kg_sparql_agg": (kg_sparql_agg, _agg_sql()),
     "kg_sparql_path": (kg_sparql_path, _path_sql()),

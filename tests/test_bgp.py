@@ -252,3 +252,91 @@ def test_sparql_agg_matches_python_recompute(spark):
     }
     assert got == want
     assert 0 < len(want) < len(works_bag), "HAVING must prune, not annihilate"
+
+
+def test_union_pads_disjoint_vars_and_binds(edges):
+    from csv_to_jsonld_processor_spark.kg.bgp import Var, union_query
+
+    got = {
+        (r.x, r.org, r.city, r.kind)
+        for r in union_query(
+            edges,
+            [
+                {
+                    "patterns": [(Var("x"), "worksFor", Var("org"))],
+                    "binds": {"kind": "job"},
+                },
+                {
+                    "patterns": [(Var("org"), "locatedIn", Var("city"))],
+                    "binds": {"kind": "loc"},
+                },
+            ],
+            ["x", "org", "city", "kind"],
+        ).collect()
+    }
+    expected = {
+        ("c", "acme", None, "job"),
+        ("b", "acme", None, "job"),
+        ("a", "globex", None, "job"),
+        (None, "acme", "berlin", "loc"),
+        (None, "globex", "paris", "loc"),
+    }
+    assert got == expected
+
+
+def test_minus_anti_join_semantics(edges):
+    from csv_to_jsonld_processor_spark.kg.bgp import Var, bgp_query
+
+    # workers MINUS { those who know someone } -> only c knows nobody
+    got = {
+        (r.x, r.org)
+        for r in bgp_query(
+            edges,
+            [(Var("x"), "worksFor", Var("org"))],
+            ["x", "org"],
+            minus_groups=[[(Var("x"), "knows", Var("y"))]],
+        ).collect()
+    }
+    assert got == {("c", "acme")}
+    # required ∖ minus and required ∩ minus partition the required set
+    kept = bgp_query(
+        edges,
+        [(Var("x"), "worksFor", Var("org"))],
+        ["x", "org"],
+        minus_groups=[[(Var("x"), "knows", Var("y"))]],
+    ).count()
+    total = bgp_query(
+        edges, [(Var("x"), "worksFor", Var("org"))], ["x", "org"]
+    ).count()
+    assert kept == 1 and total == 3
+
+
+def test_minus_disjoint_domain_refused(edges):
+    from csv_to_jsonld_processor_spark.kg.bgp import Var, bgp_query
+
+    with pytest.raises(ValueError, match="MINUS"):
+        bgp_query(
+            edges,
+            [(Var("x"), "worksFor", Var("org"))],
+            ["x", "org"],
+            minus_groups=[[(Var("p"), "locatedIn", Var("q"))]],
+        )
+
+
+def test_construct_feeds_back_into_bgp(edges):
+    from csv_to_jsonld_processor_spark.kg.bgp import Var, bgp_query, construct_query
+
+    g = construct_query(
+        edges,
+        [(Var("a"), "worksFor", Var("org")), (Var("b"), "worksFor", Var("org"))],
+        [(Var("a"), "colleague", Var("b"))],
+        filters=["a < b"],
+    )
+    assert {(r.subj, r.pred, r.obj) for r in g.collect()} == {("b", "colleague", "c")}
+    # constructed graph is union-compatible: query it with the compiler
+    back = bgp_query(
+        edges.unionByName(g),
+        [(Var("p"), "colleague", Var("q")), (Var("p"), "worksFor", Var("org"))],
+        ["p", "q", "org"],
+    )
+    assert {(r.p, r.q, r.org) for r in back.collect()} == {("b", "c", "acme")}
