@@ -148,6 +148,12 @@ def _registry() -> dict[str, tuple]:
     except ImportError:
         pass
     try:
+        from csv_to_jsonld_processor_spark.kg.canonical import KG_CANONICAL_QUERIES
+
+        reg.update(KG_CANONICAL_QUERIES)
+    except ImportError:
+        pass
+    try:
         from csv_to_jsonld_processor_spark.kg.bgp import KG_BGP_QUERIES
 
         reg.update(KG_BGP_QUERIES)
