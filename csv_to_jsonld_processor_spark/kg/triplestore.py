@@ -302,8 +302,153 @@ FROM r2 GROUP BY subj ORDER BY subj
 """
 
 
+# --- quotient (summary) graph + cardinality estimation --------------------
+
+_GOLDEN_FIXTURE = "/root/repo/tests/golden/fixture_triples.csv"
+
+
+def _fixture_cs(spark: SparkSession, sf_dir: str):
+    """(triples, per-subject characteristic-set table) over the LIVE
+    fixture pipeline. cs_id is an 8-hex digest of the sorted distinct-
+    predicate signature — the quotient-class key."""
+    from ..plans.fixture_queries import fixture_triples
+
+    trips = (
+        fixture_triples(spark, sf_dir)
+        .select("subj", "pred", "obj", "obj_kind")
+        .localCheckpoint(eager=False)
+    )
+    cs = trips.groupBy("subj").agg(
+        F.substring(
+            F.md5(F.array_join(F.array_sort(F.collect_set("pred")), " ")), 1, 8
+        ).alias("cs_id")
+    )
+    return trips, cs
+
+
+def kg_summary_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quotient (summary) graph over characteristic sets — the SumRDF /
+    structural-index shape: collapse every subject to its CS class,
+    every object to its CS class when the object is itself a subject
+    and to ``lit:<obj_kind>`` otherwise, and count edges per
+    (subj_class, pred, obj_class). The summary is schema-sized, not
+    corpus-sized (here 10,105 triples / 1,040 subjects → 133 CS classes
+    / 2,524 summary edges; the ratio widens with corpus growth because
+    class count tracks the SCHEMA), fits in driver/broadcast memory at
+    ANY corpus scale — production systems additionally merge rare
+    signatures into an OTHER class to bound it (SumRDF's target-size
+    merge), the documented upgrade path if the schema itself is
+    unbounded. This is the index a query planner probes instead of the
+    graph — see kg_cardinality_est for the measured payoff."""
+    trips, cs = _fixture_cs(spark, sf_dir)
+    ocs = cs.select(F.col("subj").alias("obj"), F.col("cs_id").alias("obj_cs"))
+    return (
+        trips.join(cs, "subj")
+        .join(ocs, "obj", "left")
+        .select(
+            F.col("cs_id").alias("subj_class"),
+            "pred",
+            F.coalesce(F.col("obj_cs"), F.concat(F.lit("lit:"), F.col("obj_kind"))).alias(
+                "obj_class"
+            ),
+        )
+        .groupBy("subj_class", "pred", "obj_class")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+        .orderBy("subj_class", "pred", "obj_class")
+    )
+
+
+KG_SUMMARY_SQL = f"""
+WITH t AS (
+  SELECT subj, pred, obj, obj_kind
+  FROM read_csv('{_GOLDEN_FIXTURE}', header=true, all_varchar=true)
+),
+cs AS (
+  SELECT subj,
+         substr(md5(array_to_string(list_sort(list(DISTINCT pred)), ' ')), 1, 8) AS cs_id
+  FROM t GROUP BY subj
+)
+SELECT s.cs_id AS subj_class, t.pred,
+       COALESCE(o.cs_id, 'lit:' || t.obj_kind) AS obj_class,
+       CAST(COUNT(*) AS BIGINT) AS n_edges
+FROM t
+JOIN cs s ON s.subj = t.subj
+LEFT JOIN cs o ON o.subj = t.obj
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+CARD_P1 = "Material Name"
+CARD_P2 = "has Manufacturer"
+
+
+def kg_cardinality_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured cardinality-estimation audit for the star query
+    ``?m <{CARD_P1}> ?x . ?m <{CARD_P2}> ?y`` (subjects carrying both
+    predicates), RDF-3X style: the characteristic-set estimator sums
+    subject counts over signatures CONTAINING both predicates — exact
+    for star shapes BY CONSTRUCTION (cs_est == actual is the invariant
+    this row certifies) — against the textbook independence estimate
+    ``N·sel(p1)·sel(p2)`` reported in exact integer ppm arithmetic so
+    the cross-engine hash can check a float-free row. On the fixture
+    graph independence undershoots ~4×: the predicates are correlated
+    (both Material-class), exactly the error CS statistics exist to
+    kill."""
+    trips, _ = _fixture_cs(spark, sf_dir)
+    per_subj = trips.groupBy("subj").agg(
+        F.array_sort(F.collect_set("pred")).alias("sig"),
+        F.max(F.when(F.col("pred") == CARD_P1, 1).otherwise(0)).alias("h1"),
+        F.max(F.when(F.col("pred") == CARD_P2, 1).otherwise(0)).alias("h2"),
+    )
+    # the CS summary table (what a planner would keep): signature -> count
+    cs_classes = per_subj.groupBy("sig").agg(F.count(F.lit(1)).alias("n_subjects"))
+    cs_est = cs_classes.where(
+        F.array_contains("sig", CARD_P1) & F.array_contains("sig", CARD_P2)
+    ).agg(F.coalesce(F.sum("n_subjects"), F.lit(0)).cast("long").alias("cs_est"))
+    base = per_subj.agg(
+        F.count(F.lit(1)).cast("long").alias("n_subj"),
+        F.sum("h1").cast("long").alias("c_p1"),
+        F.sum("h2").cast("long").alias("c_p2"),
+        F.sum(F.col("h1") * F.col("h2")).cast("long").alias("actual_both"),
+    )
+    return base.crossJoin(F.broadcast(cs_est)).withColumn(
+        "indep_est_ppm",
+        F.expr("1000000 * c_p1 * c_p2 div n_subj").cast("long"),
+    )
+
+
+KG_CARD_SQL = f"""
+WITH t AS (
+  SELECT subj, pred FROM read_csv('{_GOLDEN_FIXTURE}', header=true, all_varchar=true)
+),
+per_subj AS (
+  SELECT subj, list_sort(list(DISTINCT pred)) AS sig,
+         MAX(CASE WHEN pred = '{CARD_P1}' THEN 1 ELSE 0 END) AS h1,
+         MAX(CASE WHEN pred = '{CARD_P2}' THEN 1 ELSE 0 END) AS h2
+  FROM t GROUP BY subj
+),
+cs_classes AS (
+  SELECT sig, COUNT(*) AS n_subjects FROM per_subj GROUP BY sig
+),
+est AS (
+  SELECT CAST(COALESCE(SUM(n_subjects), 0) AS BIGINT) AS cs_est
+  FROM cs_classes
+  WHERE list_contains(sig, '{CARD_P1}') AND list_contains(sig, '{CARD_P2}')
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_subj,
+       CAST(SUM(h1) AS BIGINT) AS c_p1,
+       CAST(SUM(h2) AS BIGINT) AS c_p2,
+       CAST(SUM(h1 * h2) AS BIGINT) AS actual_both,
+       (SELECT cs_est FROM est) AS cs_est,
+       CAST(1000000 * SUM(h1) * SUM(h2) // COUNT(*) AS BIGINT) AS indep_est_ppm
+FROM per_subj
+"""
+
+
 KG_TRIPLESTORE_QUERIES: dict[str, tuple] = {
     "kg_characteristic_sets": (kg_characteristic_sets, KG_CHARSETS_SQL),
+    "kg_summary_graph": (kg_summary_graph, KG_SUMMARY_SQL),
+    "kg_cardinality_est": (kg_cardinality_est, KG_CARD_SQL),
     "kg_dictionary_encode": (kg_dictionary_encode, KG_DICT_SQL),
     "kg_nquads_export": (kg_nquads_export, KG_NQUADS_SQL),
     "kg_sameas_resolve": (kg_sameas_resolve, KG_SAMEAS_SQL),

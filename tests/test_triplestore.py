@@ -79,3 +79,26 @@ def test_sameas_resolution_restores_canonical_counts(spark):
     assert {s: r.n_edges for s, r in got.items()} == dict(want)
     assert any(r.n_subj_forms > 1 for r in got.values()), "aliasing must trigger"
     assert all(not s.endswith(("#aka1", "#v2")) for s in got), "unresolved alias leaked"
+
+
+def test_summary_graph_marginals_lossless(spark):
+    """Quotient-graph edge counts must sum back to the full triple count
+    (the summary is a lossless MARGINAL of the graph), and every
+    subject class must appear — collapsing never drops a class."""
+    from csv_to_jsonld_processor_spark.kg.triplestore import (
+        kg_cardinality_est,
+        kg_summary_graph,
+    )
+    from csv_to_jsonld_processor_spark.plans.fixture_queries import fixture_triples
+
+    summ = kg_summary_graph(spark, SF).collect()
+    n_triples = fixture_triples(spark, SF).count()
+    assert sum(r.n_edges for r in summ) == n_triples
+    n_classes = len({r.subj_class for r in summ})
+    assert n_classes == 133  # schema-sized, pinned
+
+    row = kg_cardinality_est(spark, SF).collect()[0]
+    # CS estimator is EXACT for star queries; independence is not
+    assert row.cs_est == row.actual_both == 235
+    indep = row.indep_est_ppm / 1e6
+    assert indep < row.actual_both / 2, "independence should undershoot >2x here"
