@@ -166,6 +166,12 @@ def _registry() -> dict[str, tuple]:
     except ImportError:
         pass
     try:
+        from csv_to_jsonld_processor_spark.kg.rdfio import KG_RDFIO_QUERIES
+
+        reg.update(KG_RDFIO_QUERIES)
+    except ImportError:
+        pass
+    try:
         from csv_to_jsonld_processor_spark.kg.mlprep import KG_MLPREP_QUERIES
 
         reg.update(KG_MLPREP_QUERIES)
