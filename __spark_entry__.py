@@ -172,6 +172,12 @@ def _registry() -> dict[str, tuple]:
     except ImportError:
         pass
     try:
+        from csv_to_jsonld_processor_spark.kg.shacl import KG_SHACL_QUERIES
+
+        reg.update(KG_SHACL_QUERIES)
+    except ImportError:
+        pass
+    try:
         from csv_to_jsonld_processor_spark.kg.mlprep import KG_MLPREP_QUERIES
 
         reg.update(KG_MLPREP_QUERIES)

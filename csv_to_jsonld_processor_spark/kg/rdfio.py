@@ -433,8 +433,11 @@ _SFX_SQL = ("CASE g_sfx " + " ".join(
     f"WHEN {i} THEN {_sql_str(s)}" for i, s in enumerate(_SPECIALS)
 ) + " END")
 
-KG_NQUADS_ROUNDTRIP_SQL = f"""
-WITH e AS (SELECT * FROM read_csv('{_GOLDEN_EDGES}', header=true, all_varchar=true)),
+# Shared ground-truth CTE chain (e → k → g → q): the gated quad corpus
+# reconstructed straight from the golden edge CSV.  Reused by the SHACL
+# validator oracle (kg/shacl.py) — any consumer gets the exact table
+# that _ground_truth() computes on the Spark side.
+GROUND_TRUTH_CTES = f"""e AS (SELECT * FROM read_csv('{_GOLDEN_EDGES}', header=true, all_varchar=true)),
 k AS (
   SELECT *, url || chr(31) || sent_idx || chr(31) || subj || chr(31)
             || pred || chr(31) || obj AS rk
@@ -466,7 +469,10 @@ q AS (
     CASE WHEN g_obj = 3 THEN '{_XSD_INT}' ELSE '' END AS dt,
     CASE WHEN g_graph = 0 THEN url ELSE '' END AS graph
   FROM g
-),
+)"""
+
+KG_NQUADS_ROUNDTRIP_SQL = f"""
+WITH {GROUND_TRUTH_CTES},
 t AS (
   SELECT kind, CASE WHEN graph = '' THEN 1 ELSE 0 END AS in_default,
          CASE WHEN substr(s, 1, 2) = '_:' THEN 1 ELSE 0 END AS is_bnode,
