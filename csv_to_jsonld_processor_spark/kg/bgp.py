@@ -72,11 +72,18 @@ def _n_consts(pat: Pattern) -> int:
     return sum(1 for term in pat if not isinstance(term, Var))
 
 
-def _pattern_df(edges: DataFrame, pat: Pattern) -> DataFrame:
-    """One triple pattern → filtered+renamed edge scan."""
+def _pattern_df(edges: DataFrame, pat: Pattern, graph=None) -> DataFrame:
+    """One triple pattern → filtered+renamed edge scan.  ``graph``
+    (a Var or str constant, or None) is the SPARQL GRAPH term — the
+    provenance graph of each quad, carried by the edge table's ``url``
+    column (each crawled page is a named graph, exactly the N-Quads
+    export's graph position, kg/triplestore.py:148)."""
     s, p, o = pat
-    df = edges.select("subj", "pred", "obj")
-    for col, term in (("subj", s), ("pred", p), ("obj", o)):
+    positions = [("subj", s), ("pred", p), ("obj", o)]
+    if graph is not None:
+        positions.append(("url", graph))
+    df = edges.select(*[c for c, _ in positions])
+    for col, term in positions:
         if not isinstance(term, Var):
             df = df.where(F.col(col) == F.lit(term))
     # repeated-variable filters (?x p ?x)
@@ -88,16 +95,38 @@ def _pattern_df(edges: DataFrame, pat: Pattern) -> DataFrame:
         df = df.where(F.col("pred") == F.col("obj"))
     cols = []
     taken: set[str] = set()
-    for col, term in (("subj", s), ("pred", p), ("obj", o)):
+    for col, term in positions:
         if isinstance(term, Var) and term.name not in taken:
             cols.append(F.col(col).alias(term.name))
             taken.add(term.name)
     return df.select(*cols)
 
 
+def _compile_group(
+    edges: DataFrame, group: list[Pattern], use_stats: bool, graph=None
+) -> tuple[DataFrame, set[str]]:
+    """Compile one connected pattern group to (solutions, bound vars)."""
+    ordered = _order_patterns(edges, group, use_stats, graph)
+    gdf = _pattern_df(edges, ordered[0], graph)
+    bound = set(_pattern_vars(ordered[0]))
+    if isinstance(graph, Var):
+        bound.add(graph.name)
+    for pat in ordered[1:]:
+        pvars = set(_pattern_vars(pat))
+        if isinstance(graph, Var):
+            pvars.add(graph.name)
+        shared = sorted(bound & pvars)
+        gdf = gdf.join(_pattern_df(edges, pat, graph), on=shared, how="inner")
+        bound |= pvars
+    return gdf, bound
+
+
 def _order_patterns(
-    edges: DataFrame, patterns: list[Pattern], use_stats: bool
+    edges: DataFrame, patterns: list[Pattern], use_stats: bool, graph=None
 ) -> list[Pattern]:
+    # a GRAPH variable joins every pattern in the scope, so it makes
+    # any group connected for ordering purposes
+    gvar = {graph.name} if isinstance(graph, Var) else set()
     if use_stats:
         cost = {id(p): _pattern_df(edges, p).count() for p in patterns}
         key = lambda p: (cost[id(p)], repr(p))  # noqa: E731
@@ -105,11 +134,11 @@ def _order_patterns(
         key = lambda p: (-_n_consts(p), repr(p))  # noqa: E731
     remaining = sorted(patterns, key=key)
     ordered = [remaining.pop(0)]
-    bound = set(_pattern_vars(ordered[0]))
+    bound = set(_pattern_vars(ordered[0])) | gvar
     while remaining:
         nxt = None
         for cand in remaining:  # already selectivity-sorted
-            if bound & set(_pattern_vars(cand)):
+            if bound & (set(_pattern_vars(cand)) | gvar):
                 nxt = cand
                 break
         if nxt is None:
@@ -133,6 +162,11 @@ def bgp_query(
     filters: list[str] | None = None,
     minus_groups: list[list[Pattern]] | None = None,
     binds: dict[str, str] | None = None,
+    graph=None,
+    values: tuple[list[str], list[tuple]] | None = None,
+    bind_exprs: dict[str, str] | None = None,
+    exists_groups: list[list[Pattern]] | None = None,
+    not_exists_groups: list[list[Pattern]] | None = None,
 ) -> DataFrame:
     """Compile and run a conjunctive BGP over an edge DataFrame.
 
@@ -156,27 +190,51 @@ def bgp_query(
     always a query bug, so this compiler raises instead.
 
     ``binds``: SPARQL BIND of constants — extra literal columns
-    (e.g. a branch discriminator under ``union_query``)."""
+    (e.g. a branch discriminator under ``union_query``).
+
+    ``graph``: SPARQL GRAPH term (Var or str constant) scoping every
+    pattern group in this query to the provenance graph — the page URL
+    each quad was extracted from.  A Var binds the graph IRI as a
+    solution variable and joins all patterns on it (same-page
+    co-assertion); a constant prunes every scan to one named graph.
+
+    ``values``: SPARQL VALUES — inline solution sequence as
+    ``([var, ...], [row_tuple, ...])``, joined (broadcast: inline data
+    is always tiny) to the required bindings on the overlapping
+    variables; non-overlapping VALUES variables extend the bindings.
+
+    ``bind_exprs``: SPARQL BIND with expressions — SQL expression
+    strings over bound variables (vs ``binds``' constants), evaluated
+    after FILTER/VALUES so later groups can reference them.
+
+    ``exists_groups`` / ``not_exists_groups``: SPARQL FILTER (NOT)
+    EXISTS — each group compiled like the required BGP, then applied
+    as a LEFT SEMI / LEFT ANTI join on the shared bound variables
+    (exactly SPARQL's substitute-and-test semantics when the shared
+    variables are fully bound).  Unlike MINUS, a group sharing NO
+    variables is legal: it degenerates to a global emptiness test,
+    applied as an always-true-condition semi/anti join against the
+    group limited to one row."""
     if not patterns:
         raise ValueError("empty BGP")
-    ordered = _order_patterns(edges, patterns, use_stats)
-    acc = _pattern_df(edges, ordered[0])
-    bound = set(_pattern_vars(ordered[0]))
-    for pat in ordered[1:]:
-        pdf = _pattern_df(edges, pat)
-        shared = sorted(bound & set(_pattern_vars(pat)))
-        acc = acc.join(pdf, on=shared, how="inner")
-        bound |= set(_pattern_vars(pat))
+    acc, bound = _compile_group(edges, patterns, use_stats, graph)
     for expr in filters or []:
         acc = acc.where(F.expr(expr))
+    if values is not None:
+        v_vars, v_rows = values
+        if not v_rows:
+            raise ValueError("empty VALUES block")
+        vdf = edges.sparkSession.createDataFrame(v_rows, schema=list(v_vars))
+        shared = sorted(bound & set(v_vars))
+        if not shared:
+            raise ValueError("VALUES block shares no variable with the BGP")
+        acc = acc.join(F.broadcast(vdf), on=shared, how="inner")
+        bound |= set(v_vars)
+    for name, expr in (bind_exprs or {}).items():
+        acc = acc.withColumn(name, F.expr(expr))
+        bound.add(name)
     for group in optionals or []:
-        g_ordered = _order_patterns(edges, group, use_stats)
-        gdf = _pattern_df(edges, g_ordered[0])
-        g_bound = set(_pattern_vars(g_ordered[0]))
-        for pat in g_ordered[1:]:
-            shared = sorted(g_bound & set(_pattern_vars(pat)))
-            gdf = gdf.join(_pattern_df(edges, pat), on=shared, how="inner")
-            g_bound |= set(_pattern_vars(pat))
+        gdf, g_bound = _compile_group(edges, group, use_stats, graph)
         # OPTIONAL-group duplicates must not multiply required rows
         gdf = gdf.dropDuplicates()
         shared = sorted(bound & g_bound)
@@ -187,17 +245,21 @@ def bgp_query(
         acc = acc.join(gdf, on=shared, how="left")
         bound |= g_bound
     for group in minus_groups or []:
-        m_ordered = _order_patterns(edges, group, use_stats)
-        mdf = _pattern_df(edges, m_ordered[0])
-        m_bound = set(_pattern_vars(m_ordered[0]))
-        for pat in m_ordered[1:]:
-            shared = sorted(m_bound & set(_pattern_vars(pat)))
-            mdf = mdf.join(_pattern_df(edges, pat), on=shared, how="inner")
-            m_bound |= set(_pattern_vars(pat))
+        mdf, m_bound = _compile_group(edges, group, use_stats, graph)
         shared = sorted(bound & m_bound)
         if not shared:
             raise ValueError("MINUS group shares no variable with the required BGP")
         acc = acc.join(mdf.select(*shared).dropDuplicates(), on=shared, how="left_anti")
+    for groups, how in ((exists_groups, "left_semi"), (not_exists_groups, "left_anti")):
+        for group in groups or []:
+            gdf, g_bound = _compile_group(edges, group, use_stats, graph)
+            shared = sorted(bound & g_bound)
+            if shared:
+                acc = acc.join(
+                    gdf.select(*shared).dropDuplicates(), on=shared, how=how
+                )
+            else:  # variable-free (NOT) EXISTS: a global emptiness gate
+                acc = acc.join(gdf.limit(1), F.lit(True), how)
     for name, value in (binds or {}).items():
         acc = acc.withColumn(name, F.lit(value))
     out = acc.select(*project)
@@ -733,8 +795,127 @@ FROM g
 """
 
 
+_IDS = "http://example.org/kg/ids/organization/"
+
+VALUES_ORG_TIER: tuple[list[str], list[tuple]] = (
+    ["org", "tier"],
+    [
+        (_IDS + "acme-analytics", "gold"),
+        (_IDS + "umbrella-compute", "silver"),
+        (_IDS + "initech-systems", "silver"),
+    ],
+)
+
+
+def kg_sparql_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL GRAPH — provenance-scoped co-assertion:
+
+        SELECT ?g (COUNT(*) AS n_solutions)
+                  (COUNT(DISTINCT ?person) AS n_persons)
+        WHERE {{ GRAPH ?g {{ ?person kg:worksFor  ?org .
+                             ?person kg:residence ?city }} }}
+        GROUP BY ?g ORDER BY ?g
+
+    Each crawled page is a named graph (its URL); scoping both
+    patterns to the same ?g asks which PAGES assert both employment
+    and residence for the same person — the evidence-collocation
+    question entity-linking QA runs, and one plain pair-level join
+    cannot answer (this dense KB satisfies the pair-level version
+    everywhere; only 40 of 1,000 pages satisfy the graph-scoped one).
+    Compilation: the graph var joins the two pred-pruned scans on
+    (g, person) — one equi-join, no new shuffle shape vs a plain BGP."""
+    from .queries import kg_webtext_edges
+
+    edges = kg_webtext_edges(spark, sf_dir)
+    sols = bgp_query(
+        edges,
+        [
+            (Var("person"), TERMS + "worksFor", Var("org")),
+            (Var("person"), TERMS + "residence", Var("city")),
+        ],
+        ["g", "person", "org", "city"],
+        graph=Var("g"),
+        distinct=False,
+    )
+    return (
+        sols.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_solutions"),
+            F.countDistinct("person").cast("long").alias("n_persons"),
+        )
+        .orderBy("g")
+    )
+
+
+def _graph_sql() -> str:
+    from .queries import _GOLDEN_EDGES
+
+    return f"""
+WITH e AS (SELECT * FROM read_csv('{_GOLDEN_EDGES}', header=true, all_varchar=true)),
+w AS (SELECT url AS g, subj AS person, obj AS org FROM e WHERE pred = '{TERMS}worksFor'),
+r AS (SELECT url AS g, subj AS person, obj AS city FROM e WHERE pred = '{TERMS}residence')
+SELECT g, CAST(COUNT(*) AS BIGINT) AS n_solutions,
+       CAST(COUNT(DISTINCT person) AS BIGINT) AS n_persons
+FROM w JOIN r USING (g, person)
+GROUP BY g ORDER BY g
+"""
+
+
+def kg_sparql_values_bind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL VALUES + expression BIND + FILTER NOT EXISTS:
+
+        SELECT DISTINCT ?person ?org ?tier ?site
+        WHERE {{
+          GRAPH ?g {{ ?person kg:worksFor ?org }}
+          VALUES (?org ?tier) {{ (acme 'gold') (umbrella 'silver')
+                                 (initech 'silver') }}
+          BIND(regexp_extract(?g, 'site([0-9]+)', 1) AS ?site)
+          FILTER NOT EXISTS {{ GRAPH ?g {{ ?person kg:residence ?c }} }}
+        }} ORDER BY ?person ?org ?site
+
+    VALUES is an inline broadcast-joined solution sequence (brings the
+    unbound ?tier variable along); BIND derives the crawl shard from
+    the graph IRI; NOT EXISTS is graph-scoped — keep employment
+    assertions from pages that do NOT co-assert the person's residence
+    on the same page (an anti-join on (g, person), which MINUS over
+    pair-level bindings could not express on this dense KB)."""
+    from .queries import kg_webtext_edges
+
+    edges = kg_webtext_edges(spark, sf_dir)
+    return bgp_query(
+        edges,
+        [(Var("person"), TERMS + "worksFor", Var("org"))],
+        ["person", "org", "tier", "site"],
+        graph=Var("g"),
+        values=VALUES_ORG_TIER,
+        bind_exprs={"site": "regexp_extract(g, 'site([0-9]+)', 1)"},
+        not_exists_groups=[[(Var("person"), TERMS + "residence", Var("c"))]],
+    ).orderBy("person", "org", "site")
+
+
+def _values_bind_sql() -> str:
+    from .queries import _GOLDEN_EDGES
+
+    values_rows = ", ".join(
+        f"('{org}', '{tier}')" for org, tier in VALUES_ORG_TIER[1]
+    )
+    return f"""
+WITH e AS (SELECT * FROM read_csv('{_GOLDEN_EDGES}', header=true, all_varchar=true)),
+w AS (SELECT url AS g, subj AS person, obj AS org FROM e WHERE pred = '{TERMS}worksFor'),
+r AS (SELECT url AS g, subj AS person FROM e WHERE pred = '{TERMS}residence'),
+v(org, tier) AS (VALUES {values_rows})
+SELECT DISTINCT person, org, tier,
+       regexp_extract(g, 'site([0-9]+)', 1) AS site
+FROM w JOIN v USING (org)
+WHERE NOT EXISTS (SELECT 1 FROM r WHERE r.g = w.g AND r.person = w.person)
+ORDER BY person, org, site
+"""
+
+
 KG_BGP_QUERIES: dict[str, tuple] = {
     "kg_sparql_bgp": (kg_sparql_bgp, _bgp_sql()),
+    "kg_sparql_graph": (kg_sparql_graph, _graph_sql()),
+    "kg_sparql_values_bind": (kg_sparql_values_bind, _values_bind_sql()),
     "kg_sparql_union": (kg_sparql_union, _union_sql()),
     "kg_sparql_minus": (kg_sparql_minus, _minus_sql()),
     "kg_sparql_topk": (kg_sparql_topk, _topk_sql()),

@@ -340,3 +340,119 @@ def test_construct_feeds_back_into_bgp(edges):
         ["p", "q", "org"],
     )
     assert {(r.p, r.q, r.org) for r in back.collect()} == {("b", "c", "acme")}
+
+
+# ---------------------------------------------------------------------------
+# GRAPH / VALUES / BIND-expr / FILTER (NOT) EXISTS
+# ---------------------------------------------------------------------------
+
+QUADS = [
+    ("a", "worksFor", "org1", "http://pages/p1"),
+    ("a", "residence", "cityX", "http://pages/p1"),  # same-page co-assertion
+    ("b", "worksFor", "org1", "http://pages/p2"),
+    ("b", "residence", "cityY", "http://pages/p3"),  # different pages
+    ("c", "worksFor", "org2", "http://pages/p4"),
+]
+
+
+@pytest.fixture(scope="module")
+def quads(spark):
+    return spark.createDataFrame(
+        QUADS, "subj string, pred string, obj string, url string"
+    )
+
+
+def test_graph_var_scopes_patterns_to_same_page(quads):
+    from csv_to_jsonld_processor_spark.kg.bgp import Var, bgp_query
+
+    pats = [
+        (Var("p"), "worksFor", Var("o")),
+        (Var("p"), "residence", Var("c")),
+    ]
+    # without GRAPH: page-blind join finds both a and b
+    got = {tuple(r) for r in bgp_query(quads, pats, ["p"]).collect()}
+    assert got == {("a",), ("b",)}
+    # with GRAPH ?g: only a co-asserts on one page; ?g binds to it
+    got = {
+        tuple(r)
+        for r in bgp_query(quads, pats, ["p", "g"], graph=Var("g")).collect()
+    }
+    assert got == {("a", "http://pages/p1")}
+
+
+def test_graph_constant_prunes_to_named_graph(quads):
+    from csv_to_jsonld_processor_spark.kg.bgp import Var, bgp_query
+
+    pats = [(Var("p"), "worksFor", Var("o"))]
+    got = {
+        tuple(r)
+        for r in bgp_query(quads, pats, ["p", "o"], graph="http://pages/p2").collect()
+    }
+    assert got == {("b", "org1")}
+
+
+def test_values_joins_and_extends_bindings(quads):
+    from csv_to_jsonld_processor_spark.kg.bgp import Var, bgp_query
+
+    pats = [(Var("p"), "worksFor", Var("o"))]
+    vals = (["o", "tier"], [("org1", "gold")])
+    got = {
+        tuple(r)
+        for r in bgp_query(quads, pats, ["p", "o", "tier"], values=vals).collect()
+    }
+    assert got == {("a", "org1", "gold"), ("b", "org1", "gold")}
+    with pytest.raises(ValueError, match="empty VALUES"):
+        bgp_query(quads, pats, ["p"], values=(["o"], []))
+    with pytest.raises(ValueError, match="shares no variable"):
+        bgp_query(quads, pats, ["p"], values=(["zzz"], [("x",)]))
+
+
+def test_bind_expr_evaluates_over_bound_vars(quads):
+    from csv_to_jsonld_processor_spark.kg.bgp import Var, bgp_query
+
+    pats = [(Var("p"), "worksFor", Var("o"))]
+    got = {
+        tuple(r)
+        for r in bgp_query(
+            quads, pats, ["p", "shout"],
+            bind_exprs={"shout": "upper(p)"},
+        ).collect()
+    }
+    assert got == {("a", "A"), ("b", "B"), ("c", "C")}
+
+
+def test_exists_and_not_exists_semantics(quads):
+    from csv_to_jsonld_processor_spark.kg.bgp import Var, bgp_query
+
+    pats = [(Var("p"), "worksFor", Var("o"))]
+    res_group = [[(Var("p"), "residence", Var("c"))]]
+    got = {
+        tuple(r)
+        for r in bgp_query(quads, pats, ["p"], exists_groups=res_group).collect()
+    }
+    assert got == {("a",), ("b",)}
+    got = {
+        tuple(r)
+        for r in bgp_query(quads, pats, ["p"], not_exists_groups=res_group).collect()
+    }
+    assert got == {("c",)}
+    # graph-scoped NOT EXISTS: b's residence is on a different page
+    got = {
+        tuple(r)
+        for r in bgp_query(
+            quads, pats, ["p"], graph=Var("g"), not_exists_groups=res_group
+        ).collect()
+    }
+    assert got == {("b",), ("c",)}
+
+
+def test_variable_free_not_exists_is_global_gate(quads):
+    from csv_to_jsonld_processor_spark.kg.bgp import Var, bgp_query
+
+    pats = [(Var("p"), "worksFor", Var("o"))]
+    # a non-empty variable-disjoint group empties the result
+    gate = [[(Var("x"), "residence", Var("y"))]]
+    assert bgp_query(quads, pats, ["p"], not_exists_groups=gate).count() == 0
+    # an empty one leaves it untouched
+    gate = [[(Var("x"), "noSuchPred", Var("y"))]]
+    assert bgp_query(quads, pats, ["p"], not_exists_groups=gate).count() == 3
