@@ -142,6 +142,12 @@ def _registry() -> dict[str, tuple]:
     except ImportError:
         pass
     try:
+        from csv_to_jsonld_processor_spark.streaming.kgstream import KG_STREAM_QUERIES
+
+        reg.update(KG_STREAM_QUERIES)
+    except ImportError:
+        pass
+    try:
         from csv_to_jsonld_processor_spark.operators.search import SEARCH_QUERIES
 
         reg.update(SEARCH_QUERIES)
