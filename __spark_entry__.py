@@ -148,6 +148,12 @@ def _registry() -> dict[str, tuple]:
     except ImportError:
         pass
     try:
+        from csv_to_jsonld_processor_spark.sources.jsonld import JSONLD_QUERIES
+
+        reg.update(JSONLD_QUERIES)
+    except ImportError:
+        pass
+    try:
         from csv_to_jsonld_processor_spark.operators.search import SEARCH_QUERIES
 
         reg.update(SEARCH_QUERIES)
