@@ -756,6 +756,129 @@ CONSTRUCT_WHERE: list[Pattern] = [
 CONSTRUCT_TEMPLATE: list[Pattern] = [(Var("a"), TERMS + "colleague", Var("b"))]
 
 
+def ask_query(edges: DataFrame, label: str, patterns: list[Pattern], **kw) -> DataFrame:
+    """SPARQL ASK — does the pattern group have ANY solution?  One-row
+    DataFrame (ask_id, answer 0/1).  Compiled as the BGP limited to a
+    single solution before the existence count, so the scan can stop at
+    first match (Spark's CollectLimit early-exit) instead of
+    enumerating the full solution multiset."""
+    sols = bgp_query(edges, patterns, _ask_project(patterns), distinct=False, **kw)
+    return sols.limit(1).agg(
+        F.lit(label).alias("ask_id"),
+        (F.count(F.lit(1)) > 0).cast("int").alias("answer"),
+    )
+
+
+def _ask_project(patterns: list[Pattern]) -> list[str]:
+    seen: list[str] = []
+    for pat in patterns:
+        for v in _pattern_vars(pat):
+            if v not in seen:
+                seen.append(v)
+    return seen
+
+
+# ASK battery: two provably-true and two provably-false questions about
+# the KB's relational structure (symmetry / irreflexivity / type
+# disjointness) — each a distinct compiled shape
+ASKS: list[tuple[str, list[Pattern]]] = [
+    # employment and residence co-occur for some person
+    ("works_and_lives", [
+        (Var("p"), TERMS + "worksFor", Var("o")),
+        (Var("p"), TERMS + "residence", Var("c")),
+    ]),
+    # partner is symmetric somewhere
+    ("partner_symmetric", [
+        (Var("x"), TERMS + "partner", Var("y")),
+        (Var("y"), TERMS + "partner", Var("x")),
+    ]),
+    # nothing acquires itself (repeated-var position filter)
+    ("self_acquisition", [(Var("x"), TERMS + "acquired", Var("x"))]),
+    # headquarters is never mutual (org -> city is type-disjoint)
+    ("hq_mutual", [
+        (Var("x"), TERMS + "headquarters", Var("y")),
+        (Var("y"), TERMS + "headquarters", Var("x")),
+    ]),
+]
+
+
+def kg_sparql_ask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The four-question ASK battery as one (ask_id, answer) table."""
+    from .queries import kg_webtext_edges
+
+    edges = kg_webtext_edges(spark, sf_dir)
+    acc = None
+    for label, pats in ASKS:
+        row = ask_query(edges, label, pats)
+        acc = row if acc is None else acc.unionAll(row)
+    return acc.orderBy("ask_id")
+
+
+def _ask_sql() -> str:
+    from .queries import _GOLDEN_EDGES
+
+    return f"""
+WITH e AS (SELECT * FROM read_csv('{_GOLDEN_EDGES}', header=true, all_varchar=true))
+SELECT 'works_and_lives' AS ask_id, CAST(EXISTS (
+  SELECT 1 FROM e w JOIN e r ON w.subj = r.subj
+  WHERE w.pred = '{TERMS}worksFor' AND r.pred = '{TERMS}residence') AS INT) AS answer
+UNION ALL
+SELECT 'partner_symmetric', CAST(EXISTS (
+  SELECT 1 FROM e a JOIN e b ON a.subj = b.obj AND a.obj = b.subj
+  WHERE a.pred = '{TERMS}partner' AND b.pred = '{TERMS}partner') AS INT)
+UNION ALL
+SELECT 'self_acquisition', CAST(EXISTS (
+  SELECT 1 FROM e WHERE pred = '{TERMS}acquired' AND subj = obj) AS INT)
+UNION ALL
+SELECT 'hq_mutual', CAST(EXISTS (
+  SELECT 1 FROM e a JOIN e b ON a.subj = b.obj AND a.obj = b.subj
+  WHERE a.pred = '{TERMS}headquarters' AND b.pred = '{TERMS}headquarters') AS INT)
+ORDER BY ask_id
+"""
+
+
+DESCRIBE_IRI = "http://example.org/kg/ids/organization/acme-analytics"
+
+
+def describe_query(edges: DataFrame, iri: str) -> DataFrame:
+    """SPARQL DESCRIBE — symmetric concise bounded description: the
+    resource's distinct outgoing and incoming triples, each tagged with
+    its direction.  (The KG has no blank nodes — kg/canonical.py owns
+    bnode closure — so CBD needs no iterative bnode chase here; the
+    semi-naive delta loop of kg_sparql_path_closure is the upgrade
+    path.)  Two pred-pruned pushed-filter scans, one union, one
+    distinct — no join at all."""
+    out = edges.where(F.col("subj") == iri).select(
+        F.lit("out").alias("direction"), "subj", "pred", "obj"
+    )
+    inc = edges.where(F.col("obj") == iri).select(
+        F.lit("in").alias("direction"), "subj", "pred", "obj"
+    )
+    return out.unionAll(inc).dropDuplicates()
+
+
+def kg_sparql_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE the hub org: its full symmetric CBD, ordered."""
+    from .queries import kg_webtext_edges
+
+    edges = kg_webtext_edges(spark, sf_dir)
+    return describe_query(edges, DESCRIBE_IRI).orderBy(
+        "direction", "subj", "pred", "obj"
+    )
+
+
+def _describe_sql() -> str:
+    from .queries import _GOLDEN_EDGES
+
+    return f"""
+WITH e AS (SELECT * FROM read_csv('{_GOLDEN_EDGES}', header=true, all_varchar=true))
+SELECT DISTINCT 'out' AS direction, subj, pred, obj FROM e WHERE subj = '{DESCRIBE_IRI}'
+UNION
+SELECT DISTINCT 'in', subj, pred, obj FROM e WHERE obj = '{DESCRIBE_IRI}'
+ORDER BY direction, subj, pred, obj
+"""
+
+
 def kg_sparql_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL CONSTRUCT materializing an inferred relation:
 
@@ -916,6 +1039,8 @@ KG_BGP_QUERIES: dict[str, tuple] = {
     "kg_sparql_bgp": (kg_sparql_bgp, _bgp_sql()),
     "kg_sparql_graph": (kg_sparql_graph, _graph_sql()),
     "kg_sparql_values_bind": (kg_sparql_values_bind, _values_bind_sql()),
+    "kg_sparql_ask": (kg_sparql_ask, _ask_sql()),
+    "kg_sparql_describe": (kg_sparql_describe, _describe_sql()),
     "kg_sparql_union": (kg_sparql_union, _union_sql()),
     "kg_sparql_minus": (kg_sparql_minus, _minus_sql()),
     "kg_sparql_topk": (kg_sparql_topk, _topk_sql()),

@@ -456,3 +456,23 @@ def test_variable_free_not_exists_is_global_gate(quads):
     # an empty one leaves it untouched
     gate = [[(Var("x"), "noSuchPred", Var("y"))]]
     assert bgp_query(quads, pats, ["p"], not_exists_groups=gate).count() == 3
+
+
+def test_ask_and_describe(quads):
+    from csv_to_jsonld_processor_spark.kg.bgp import Var, ask_query, describe_query
+
+    t = ask_query(quads, "t", [(Var("p"), "worksFor", Var("o"))]).collect()[0]
+    assert (t["ask_id"], t["answer"]) == ("t", 1)
+    f = ask_query(quads, "f", [(Var("x"), "worksFor", Var("x"))]).collect()[0]
+    assert (f["ask_id"], f["answer"]) == ("f", 0)
+
+    cbd = {tuple(r) for r in describe_query(quads, "org1").collect()}
+    assert cbd == {
+        ("in", "a", "worksFor", "org1"),
+        ("in", "b", "worksFor", "org1"),
+    }
+    cbd = {tuple(r) for r in describe_query(quads, "a").collect()}
+    assert cbd == {
+        ("out", "a", "worksFor", "org1"),
+        ("out", "a", "residence", "cityX"),
+    }
