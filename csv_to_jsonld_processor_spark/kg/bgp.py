@@ -121,13 +121,56 @@ def _compile_group(
     return gdf, bound
 
 
+def collect_pred_stats(edges: DataFrame) -> dict[str, tuple[int, int, int]]:
+    """Per-predicate (n_edges, n_distinct_subj, n_distinct_obj) — the
+    RDF-3X/Jena-style planning statistic.  One tiny aggregate, output
+    bounded by |predicates| (7 here, dozens in practice), computed once
+    per store and reusable across every query — unlike ``use_stats=
+    True``'s one count JOB per pattern per query."""
+    rows = (
+        edges.groupBy("pred")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("subj").alias("ns"),
+            F.countDistinct("obj").alias("no"),
+        )
+        .collect()
+    )
+    return {r["pred"]: (r["n"], r["ns"], r["no"]) for r in rows}
+
+
+def estimate_pattern(pat: Pattern, stats: dict[str, tuple[int, int, int]]) -> float:
+    """Estimated match count of one triple pattern under independence:
+    start from the predicate's edge count, divide by distinct-subject /
+    distinct-object cardinality for each constant in that position
+    (uniformity assumption — the textbook RDF selectivity model).  A
+    variable predicate sums over all predicates."""
+    s, p, o = pat
+    if isinstance(p, Var):
+        n = sum(v[0] for v in stats.values())
+        ns = max(sum(v[1] for v in stats.values()), 1)
+        no = max(sum(v[2] for v in stats.values()), 1)
+    else:
+        n, ns, no = stats.get(p, (0, 1, 1))
+        ns, no = max(ns, 1), max(no, 1)
+    est = float(n)
+    if not isinstance(s, Var):
+        est = est / ns
+    if not isinstance(o, Var):
+        est = est / no
+    return est
+
+
 def _order_patterns(
-    edges: DataFrame, patterns: list[Pattern], use_stats: bool, graph=None
+    edges: DataFrame, patterns: list[Pattern], use_stats, graph=None
 ) -> list[Pattern]:
     # a GRAPH variable joins every pattern in the scope, so it makes
     # any group connected for ordering purposes
     gvar = {graph.name} if isinstance(graph, Var) else set()
-    if use_stats:
+    if isinstance(use_stats, dict):
+        # precomputed per-predicate statistics → estimated cardinality
+        key = lambda p: (estimate_pattern(p, use_stats), repr(p))  # noqa: E731
+    elif use_stats:
         cost = {id(p): _pattern_df(edges, p).count() for p in patterns}
         key = lambda p: (cost[id(p)], repr(p))  # noqa: E731
     else:
@@ -837,6 +880,79 @@ ORDER BY ask_id
 """
 
 
+AUDIT_PATTERNS: list[tuple[str, Pattern]] = [
+    ("?p worksFor <acme>",
+     (Var("p"), TERMS + "worksFor",
+      "http://example.org/kg/ids/organization/acme-analytics")),
+    ("?p residence ?c", (Var("p"), TERMS + "residence", Var("c"))),
+    ("?o headquarters ?c", (Var("o"), TERMS + "headquarters", Var("c"))),
+]
+
+
+def kg_bgp_planner_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistics-based join ordering, audited: per pattern of a
+    3-pattern BGP, the planner's ESTIMATED cardinality (per-predicate
+    (n, distinct subj, distinct obj) stats + uniformity division per
+    constant — ``estimate_pattern``), the MEASURED match count, and the
+    position the estimate-driven ordering assigns.  The same audit
+    discipline as kg_cardinality_est: the oracle recomputes estimates
+    AND actuals from the golden edges, so a drifting statistic or a
+    broken selectivity rule flips the hash.  The stats table is one
+    bounded aggregate reusable across every query — per-query measured
+    counts (``use_stats=True``) cost one job per pattern instead."""
+    from .queries import kg_webtext_edges
+
+    edges = kg_webtext_edges(spark, sf_dir).localCheckpoint()
+    stats = collect_pred_stats(edges)
+    ordered = _order_patterns(edges, [p for _l, p in AUDIT_PATTERNS], stats)
+    pos = {repr(p): i for i, p in enumerate(ordered)}
+    rows = []
+    for label, pat in AUDIT_PATTERNS:
+        rows.append(
+            (
+                label,
+                estimate_pattern(pat, stats),
+                _pattern_df(edges, pat).count(),
+                pos[repr(pat)],
+            )
+        )
+    return spark.createDataFrame(
+        rows, "pattern string, est_rows double, actual_rows long, order_pos int"
+    ).orderBy("order_pos")
+
+
+def _planner_audit_sql() -> str:
+    from .queries import _GOLDEN_EDGES
+
+    return f"""
+WITH e AS (SELECT * FROM read_csv('{_GOLDEN_EDGES}', header=true, all_varchar=true)),
+s AS (
+  SELECT pred, COUNT(*) AS n, COUNT(DISTINCT subj) AS ns, COUNT(DISTINCT obj) AS no
+  FROM e GROUP BY pred
+),
+rows_ AS (
+  SELECT '?p worksFor <acme>' AS pattern,
+         (SELECT CAST(n AS DOUBLE) / GREATEST(no, 1) FROM s
+           WHERE pred = '{TERMS}worksFor') AS est_rows,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM e
+           WHERE pred = '{TERMS}worksFor'
+             AND obj = 'http://example.org/kg/ids/organization/acme-analytics')
+           AS actual_rows
+  UNION ALL
+  SELECT '?p residence ?c',
+         (SELECT CAST(n AS DOUBLE) FROM s WHERE pred = '{TERMS}residence'),
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM e WHERE pred = '{TERMS}residence')
+  UNION ALL
+  SELECT '?o headquarters ?c',
+         (SELECT CAST(n AS DOUBLE) FROM s WHERE pred = '{TERMS}headquarters'),
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM e WHERE pred = '{TERMS}headquarters')
+)
+SELECT pattern, est_rows, actual_rows,
+       CAST(ROW_NUMBER() OVER (ORDER BY est_rows) - 1 AS INT) AS order_pos
+FROM rows_ ORDER BY order_pos
+"""
+
+
 DESCRIBE_IRI = "http://example.org/kg/ids/organization/acme-analytics"
 
 
@@ -1040,6 +1156,7 @@ KG_BGP_QUERIES: dict[str, tuple] = {
     "kg_sparql_graph": (kg_sparql_graph, _graph_sql()),
     "kg_sparql_values_bind": (kg_sparql_values_bind, _values_bind_sql()),
     "kg_sparql_ask": (kg_sparql_ask, _ask_sql()),
+    "kg_bgp_planner_audit": (kg_bgp_planner_audit, _planner_audit_sql()),
     "kg_sparql_describe": (kg_sparql_describe, _describe_sql()),
     "kg_sparql_union": (kg_sparql_union, _union_sql()),
     "kg_sparql_minus": (kg_sparql_minus, _minus_sql()),

@@ -476,3 +476,41 @@ def test_ask_and_describe(quads):
         ("out", "a", "worksFor", "org1"),
         ("out", "a", "residence", "cityX"),
     }
+
+
+def test_stats_dict_ordering_and_estimates(quads, edges):
+    from csv_to_jsonld_processor_spark.kg.bgp import (
+        Var,
+        _order_patterns,
+        bgp_query,
+        collect_pred_stats,
+        estimate_pattern,
+    )
+
+    stats = collect_pred_stats(quads)
+    # worksFor: 3 edges, 3 subj, 2 obj; residence: 2 edges
+    assert stats["worksFor"] == (3, 3, 2)
+    assert estimate_pattern((Var("p"), "worksFor", Var("o")), stats) == 3.0
+    assert estimate_pattern((Var("p"), "worksFor", "org1"), stats) == 1.5
+    assert estimate_pattern(("a", "worksFor", "org1"), stats) == 0.5
+    # variable predicate sums over all predicates
+    total = sum(v[0] for v in stats.values())
+    assert estimate_pattern((Var("s"), Var("p"), Var("o")), stats) == float(total)
+
+    # estimate-driven ordering puts the anchored (cheapest) pattern first
+    pats = [
+        (Var("p"), "worksFor", Var("o")),
+        (Var("p"), "residence", Var("c")),
+        (Var("p"), "worksFor", "org2"),
+    ]
+    ordered = _order_patterns(quads, pats, stats)
+    assert ordered[0] == (Var("p"), "worksFor", "org2")
+
+    # results are ordering-invariant: stats plan == static plan (here
+    # empty — only c works for org2, and c has no residence)
+    want = {tuple(r) for r in bgp_query(quads, pats, ["p", "o", "c"]).collect()}
+    got = {
+        tuple(r)
+        for r in bgp_query(quads, pats, ["p", "o", "c"], use_stats=stats).collect()
+    }
+    assert got == want == set()
