@@ -880,6 +880,73 @@ ORDER BY ask_id
 """
 
 
+def kg_sparql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 subquery — an aggregating SELECT nested in WHERE:
+
+        SELECT ?org ?person ?n_pair ?org_avg WHERE {{
+          ?person kg:worksFor ?org .
+          {{ SELECT ?org (COUNT(*) / COUNT(DISTINCT ?person) AS ?org_avg)
+             WHERE {{ ?person kg:worksFor ?org }} GROUP BY ?org }}
+        }}
+        GROUP BY ?org ?person ?org_avg
+        HAVING (COUNT(*) > ?org_avg)
+
+    — "persons with more employment evidence than their org's average":
+    the inner solution sequence aggregates per org, the outer bag joins
+    it back on ?org.  Compilation is pure composition: the subquery is
+    its own bgp_query → groupBy plan, joined (broadcast — aggregate
+    output is |orgs|-sized) into the outer solution relation; no new
+    operator, which is the point — nested SELECTs fall out of the
+    algebra.  org_avg is an explicit integer-ratio DOUBLE division on
+    both engines (no engine AVG kernels)."""
+    from .queries import kg_webtext_edges
+
+    edges = kg_webtext_edges(spark, sf_dir)
+    sols = bgp_query(
+        edges,
+        [(Var("person"), TERMS + "worksFor", Var("org"))],
+        ["person", "org"],
+        distinct=False,
+    )
+    inner = sols.groupBy("org").agg(
+        (
+            F.count(F.lit(1)).cast("double")
+            / F.countDistinct("person").cast("double")
+        ).alias("org_avg")
+    )
+    pair = sols.groupBy("org", "person").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pair")
+    )
+    return (
+        pair.join(F.broadcast(inner), "org")
+        .where(F.col("n_pair") > F.col("org_avg"))
+        .select("org", "person", "n_pair", "org_avg")
+        .orderBy("org", "person")
+    )
+
+
+def _subquery_sql() -> str:
+    from .queries import _GOLDEN_EDGES
+
+    return f"""
+WITH e AS (SELECT * FROM read_csv('{_GOLDEN_EDGES}', header=true, all_varchar=true)),
+w AS (SELECT subj AS person, obj AS org FROM e WHERE pred = '{TERMS}worksFor'),
+inner_ AS (
+  SELECT org, CAST(COUNT(*) AS DOUBLE) / CAST(COUNT(DISTINCT person) AS DOUBLE)
+         AS org_avg
+  FROM w GROUP BY org
+),
+pair AS (
+  SELECT org, person, CAST(COUNT(*) AS BIGINT) AS n_pair
+  FROM w GROUP BY org, person
+)
+SELECT pair.org, person, n_pair, org_avg
+FROM pair JOIN inner_ ON pair.org = inner_.org
+WHERE n_pair > org_avg
+ORDER BY pair.org, person
+"""
+
+
 AUDIT_PATTERNS: list[tuple[str, Pattern]] = [
     ("?p worksFor <acme>",
      (Var("p"), TERMS + "worksFor",
@@ -1157,6 +1224,7 @@ KG_BGP_QUERIES: dict[str, tuple] = {
     "kg_sparql_values_bind": (kg_sparql_values_bind, _values_bind_sql()),
     "kg_sparql_ask": (kg_sparql_ask, _ask_sql()),
     "kg_bgp_planner_audit": (kg_bgp_planner_audit, _planner_audit_sql()),
+    "kg_sparql_subquery": (kg_sparql_subquery, _subquery_sql()),
     "kg_sparql_describe": (kg_sparql_describe, _describe_sql()),
     "kg_sparql_union": (kg_sparql_union, _union_sql()),
     "kg_sparql_minus": (kg_sparql_minus, _minus_sql()),
