@@ -154,6 +154,12 @@ def _registry() -> dict[str, tuple]:
     except ImportError:
         pass
     try:
+        from csv_to_jsonld_processor_spark.kg.rules import KG_RULE_QUERIES
+
+        reg.update(KG_RULE_QUERIES)
+    except ImportError:
+        pass
+    try:
         from csv_to_jsonld_processor_spark.operators.search import SEARCH_QUERIES
 
         reg.update(SEARCH_QUERIES)

@@ -1,0 +1,184 @@
+"""Forward-chaining rule materialization (datalog-lite): a general
+semi-naive engine over the triple table, generalizing the repo's
+single-purpose closures (kg_type_inference's subclass loop,
+kg_sparql_path_closure's single-predicate transitive closure,
+kg_sameas_resolve's bounded chains) to an arbitrary RULE SET — the
+OWL-RL/RDFS materialization shape every production KG store runs at
+load time.
+
+A rule is (body patterns → head templates) over (subj, pred, obj).
+Evaluation is SEMI-NAIVE: each round, every body position is joined
+once against the PREVIOUS ROUND'S DELTA and the rest against the full
+graph (the Datalog delta decomposition), derived heads are
+deduplicated and anti-joined against the known set, and the loop stops
+at the empty-delta fixpoint.  Per-round localCheckpoint truncates the
+growing lineage exactly as the repo's other iterative operators do
+(operators/dedup.py connected components).  At 10^12 triples every
+join in a round is an equi-join on a bound variable of a pred-pruned
+scan — the same shuffle shape as the BGP compiler, repeated a
+bounded-by-graph-diameter number of rounds.
+
+Registered query ``kg_rule_closure`` materializes four interacting
+rules — partner symmetry, worksFor→employs inverse, acquired
+transitivity, and employs propagation through the acquisition
+hierarchy ("the acquirer employs the subsidiary's staff") — and emits
+per-predicate distinct-triple counts with an order-free checksum.  The
+DuckDB oracle computes the same fixpoint CLOSED-FORM (WITH RECURSIVE
+for the transitive part, joins for the rest) — two independent
+evaluation strategies must land on the identical triple set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .bgp import TERMS, Pattern, Var, _pattern_df, _pattern_vars
+
+EMPLOYS = TERMS + "employs"
+
+# (name, body, head) — body patterns share variables; heads are
+# templates over the body's variables (constants allowed)
+Rule = tuple[str, list[Pattern], list[Pattern]]
+
+RULES: list[Rule] = [
+    ("partner_symmetric",
+     [(Var("x"), TERMS + "partner", Var("y"))],
+     [(Var("y"), TERMS + "partner", Var("x"))]),
+    ("works_for_inverse",
+     [(Var("p"), TERMS + "worksFor", Var("o"))],
+     [(Var("o"), EMPLOYS, Var("p"))]),
+    ("acquired_transitive",
+     [(Var("x"), TERMS + "acquired", Var("y")),
+      (Var("y"), TERMS + "acquired", Var("z"))],
+     [(Var("x"), TERMS + "acquired", Var("z"))]),
+    ("employs_through_acquisition",
+     [(Var("q"), TERMS + "acquired", Var("o")),
+      (Var("o"), EMPLOYS, Var("p"))],
+     [(Var("q"), EMPLOYS, Var("p"))]),
+]
+
+
+def _join_body(sources: list[DataFrame], body: list[Pattern]) -> DataFrame:
+    """Join body patterns left-to-right, pattern i scanning sources[i]
+    (the semi-naive delta substitution point)."""
+    acc = _pattern_df(sources[0], body[0])
+    bound = set(_pattern_vars(body[0]))
+    for src, pat in zip(sources[1:], body[1:]):
+        shared = sorted(bound & set(_pattern_vars(pat)))
+        if not shared:
+            raise ValueError("disconnected rule body")
+        acc = acc.join(_pattern_df(src, pat), on=shared, how="inner")
+        bound |= set(_pattern_vars(pat))
+    return acc
+
+
+def _instantiate(sols: DataFrame, head: list[Pattern]) -> DataFrame:
+    parts = []
+    for s, p, o in head:
+        parts.append(
+            sols.select(
+                (F.col(s.name) if isinstance(s, Var) else F.lit(s)).alias("subj"),
+                (F.col(p.name) if isinstance(p, Var) else F.lit(p)).alias("pred"),
+                (F.col(o.name) if isinstance(o, Var) else F.lit(o)).alias("obj"),
+            )
+        )
+    acc = parts[0]
+    for df in parts[1:]:
+        acc = acc.unionByName(df)
+    return acc
+
+
+def materialize_rules(
+    graph: DataFrame, rules: list[Rule], max_rounds: int = 25
+) -> tuple[DataFrame, int]:
+    """Semi-naive fixpoint: returns (materialized distinct graph,
+    rounds executed).  Raises if max_rounds is hit before the fixpoint
+    (a diverging rule set is a modeling bug, not a bigger-budget ask)."""
+    full = graph.select("subj", "pred", "obj").dropDuplicates().localCheckpoint()
+    delta = full
+    for rounds in range(1, max_rounds + 1):
+        parts = []
+        for _name, body, head in rules:
+            for i in range(len(body)):
+                srcs = [delta if j == i else full for j in range(len(body))]
+                parts.append(_instantiate(_join_body(srcs, body), head))
+        derived = parts[0]
+        for df in parts[1:]:
+            derived = derived.unionByName(df)
+        delta = (
+            derived.dropDuplicates()
+            .join(full, on=["subj", "pred", "obj"], how="left_anti")
+            .localCheckpoint()
+        )
+        if delta.isEmpty():
+            return full, rounds
+        full = full.unionByName(delta).localCheckpoint()
+    raise RuntimeError(f"no fixpoint after {max_rounds} rounds")
+
+
+def kg_rule_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize RULES over the webtext KG's distinct triple set;
+    per-predicate distinct-triple count + order-free checksum."""
+    from .queries import kg_webtext_edges
+
+    base = kg_webtext_edges(spark, sf_dir).select("subj", "pred", "obj")
+    full, _rounds = materialize_rules(base, RULES)
+    csum = F.conv(
+        F.substring(F.md5(F.concat_ws("\x1f", "subj", "pred", "obj")), 1, 8), 16, 10
+    ).cast("long")
+    return (
+        full.groupBy("pred")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_triples"),
+            F.sum(csum).cast("long").alias("checksum"),
+        )
+        .orderBy("pred")
+    )
+
+
+def _rule_closure_sql() -> str:
+    from .queries import _GOLDEN_EDGES
+
+    return f"""
+WITH e AS (SELECT DISTINCT subj, pred, obj
+           FROM read_csv('{_GOLDEN_EDGES}', header=true, all_varchar=true)),
+acq AS (SELECT subj, obj FROM e WHERE pred = '{TERMS}acquired'),
+tc AS (
+  WITH RECURSIVE r(subj, obj) AS (
+    SELECT subj, obj FROM acq
+    UNION
+    SELECT r.subj, a.obj FROM r JOIN acq a ON r.obj = a.subj
+  ) SELECT * FROM r
+),
+partner_all AS (
+  SELECT subj, obj FROM e WHERE pred = '{TERMS}partner'
+  UNION
+  SELECT obj, subj FROM e WHERE pred = '{TERMS}partner'
+),
+employs_base AS (
+  SELECT obj AS subj, subj AS obj FROM e WHERE pred = '{TERMS}worksFor'
+),
+employs_all AS (
+  SELECT subj, obj FROM employs_base
+  UNION
+  SELECT tc.subj, eb.obj FROM tc JOIN employs_base eb ON tc.obj = eb.subj
+),
+closed AS (
+  SELECT subj, pred, obj FROM e
+  WHERE pred NOT IN ('{TERMS}partner', '{TERMS}acquired')
+  UNION SELECT subj, '{TERMS}partner', obj FROM partner_all
+  UNION SELECT subj, '{TERMS}acquired', obj FROM tc
+  UNION SELECT subj, '{EMPLOYS}', obj FROM employs_all
+)
+SELECT pred,
+       CAST(COUNT(*) AS BIGINT) AS n_triples,
+       CAST(SUM(CAST(('0x' || substr(md5(subj || chr(31) || pred || chr(31) || obj),
+            1, 8)) AS BIGINT)) AS BIGINT) AS checksum
+FROM closed GROUP BY pred ORDER BY pred
+"""
+
+
+KG_RULE_QUERIES: dict[str, tuple] = {
+    "kg_rule_closure": (kg_rule_closure, _rule_closure_sql()),
+}

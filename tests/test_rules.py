@@ -1,0 +1,70 @@
+"""Forward-chaining rule engine: semi-naive fixpoint semantics."""
+
+import pytest
+
+from csv_to_jsonld_processor_spark.kg.bgp import Var
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from csv_to_jsonld_processor_spark.session import get_spark
+
+    return get_spark("rules", cpus=8)
+
+
+def _graph(spark, triples):
+    return spark.createDataFrame(triples, "subj string, pred string, obj string")
+
+
+def test_transitive_closure_matches_python(spark):
+    from csv_to_jsonld_processor_spark.kg.rules import materialize_rules
+
+    chain = [(f"n{i}", "next", f"n{i+1}") for i in range(6)]
+    rules = [
+        ("trans",
+         [(Var("x"), "next", Var("y")), (Var("y"), "next", Var("z"))],
+         [(Var("x"), "next", Var("z"))]),
+    ]
+    full, rounds = materialize_rules(_graph(spark, chain), rules)
+    got = {(r.subj, r.obj) for r in full.collect()}
+    want = {(f"n{i}", f"n{j}") for i in range(6) for j in range(i + 1, 7)}
+    assert got == want
+    # doubling closure: 6-hop chain closes in ~log2 rounds + empty check
+    assert rounds <= 4
+
+
+def test_interacting_rules_and_head_constants(spark):
+    from csv_to_jsonld_processor_spark.kg.rules import materialize_rules
+
+    g = [("a", "knows", "b"), ("b", "boss", "c")]
+    rules = [
+        ("sym", [(Var("x"), "knows", Var("y"))], [(Var("y"), "knows", Var("x"))]),
+        ("mark",
+         [(Var("x"), "knows", Var("y")), (Var("y"), "boss", Var("z"))],
+         [(Var("x"), "indirect", Var("z")), (Var("x"), "flag", "seen")]),
+    ]
+    full, _ = materialize_rules(_graph(spark, g), rules)
+    got = {tuple(r) for r in full.collect()}
+    assert ("b", "knows", "a") in got
+    assert ("a", "indirect", "c") in got
+    assert ("a", "flag", "seen") in got
+    # symmetry-derived knows(b,a) does NOT fire mark (a has no boss)
+    assert not any(t[0] == "b" and t[1] == "indirect" for t in got)
+
+
+def test_divergence_guard(spark):
+    from csv_to_jsonld_processor_spark.kg.rules import materialize_rules
+
+    # a counter in the predicate position can't happen (finite terms),
+    # so force divergence via ever-growing object terms? terms are
+    # copied, never invented — rule heads only rearrange bound values,
+    # so ANY rule set over a finite graph converges. The guard instead
+    # trips when max_rounds is set below the true closure depth.
+    chain = [(f"n{i}", "next", f"n{i+1}") for i in range(12)]
+    rules = [
+        ("trans",
+         [(Var("x"), "next", Var("y")), (Var("y"), "next", Var("z"))],
+         [(Var("x"), "next", Var("z"))]),
+    ]
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        materialize_rules(_graph(spark, chain), rules, max_rounds=2)
