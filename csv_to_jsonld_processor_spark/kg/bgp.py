@@ -86,13 +86,13 @@ def _pattern_df(edges: DataFrame, pat: Pattern, graph=None) -> DataFrame:
     for col, term in positions:
         if not isinstance(term, Var):
             df = df.where(F.col(col) == F.lit(term))
-    # repeated-variable filters (?x p ?x)
-    if isinstance(s, Var) and isinstance(o, Var) and s.name == o.name:
-        df = df.where(F.col("subj") == F.col("obj"))
-    if isinstance(s, Var) and isinstance(p, Var) and s.name == p.name:
-        df = df.where(F.col("subj") == F.col("pred"))
-    if isinstance(p, Var) and isinstance(o, Var) and p.name == o.name:
-        df = df.where(F.col("pred") == F.col("obj"))
+    # repeated-variable filters (?x p ?x) — including the graph position
+    # (GRAPH ?g { ?g p ?o } constrains subj == url)
+    var_positions = [(c, t) for c, t in positions if isinstance(t, Var)]
+    for i, (col_a, term_a) in enumerate(var_positions):
+        for col_b, term_b in var_positions[i + 1:]:
+            if term_a.name == term_b.name:
+                df = df.where(F.col(col_a) == F.col(col_b))
     cols = []
     taken: set[str] = set()
     for col, term in positions:
@@ -947,12 +947,16 @@ ORDER BY pair.org, person
 """
 
 
+# all three patterns share ?p, so the greedy-connected ordering reduces
+# to a pure estimate sort — the oracle's ROW_NUMBER over est_rows is
+# then exact for ANY statistics, not just today's (a star around a
+# different variable would make the greedy step diverge from the sort)
 AUDIT_PATTERNS: list[tuple[str, Pattern]] = [
     ("?p worksFor <acme>",
      (Var("p"), TERMS + "worksFor",
       "http://example.org/kg/ids/organization/acme-analytics")),
     ("?p residence ?c", (Var("p"), TERMS + "residence", Var("c"))),
-    ("?o headquarters ?c", (Var("o"), TERMS + "headquarters", Var("c"))),
+    ("?p birthPlace ?b", (Var("p"), TERMS + "birthPlace", Var("b"))),
 ]
 
 
@@ -969,7 +973,7 @@ def kg_bgp_planner_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts (``use_stats=True``) cost one job per pattern instead."""
     from .queries import kg_webtext_edges
 
-    edges = kg_webtext_edges(spark, sf_dir).localCheckpoint()
+    edges = kg_webtext_edges(spark, sf_dir)  # already memo-checkpointed
     stats = collect_pred_stats(edges)
     ordered = _order_patterns(edges, [p for _l, p in AUDIT_PATTERNS], stats)
     pos = {repr(p): i for i, p in enumerate(ordered)}
@@ -1010,9 +1014,9 @@ rows_ AS (
          (SELECT CAST(n AS DOUBLE) FROM s WHERE pred = '{TERMS}residence'),
          (SELECT CAST(COUNT(*) AS BIGINT) FROM e WHERE pred = '{TERMS}residence')
   UNION ALL
-  SELECT '?o headquarters ?c',
-         (SELECT CAST(n AS DOUBLE) FROM s WHERE pred = '{TERMS}headquarters'),
-         (SELECT CAST(COUNT(*) AS BIGINT) FROM e WHERE pred = '{TERMS}headquarters')
+  SELECT '?p birthPlace ?b',
+         (SELECT CAST(n AS DOUBLE) FROM s WHERE pred = '{TERMS}birthPlace'),
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM e WHERE pred = '{TERMS}birthPlace')
 )
 SELECT pattern, est_rows, actual_rows,
        CAST(ROW_NUMBER() OVER (ORDER BY est_rows) - 1 AS INT) AS order_pos

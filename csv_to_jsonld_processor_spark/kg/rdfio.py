@@ -75,11 +75,32 @@ def escape_literal(value: str) -> str:
     return "".join(out)
 
 
+_IRI_ILLEGAL = set(' <>"{}|^`\\') | {chr(c) for c in range(0x21)}
+
+
+def _check_iri(iri: str) -> str:
+    """Reject IRIs the N-Quads grammar cannot carry unescaped — the
+    serializer refuses rather than silently emitting a line its own
+    parser would classify '#malformed' (quad loss).  The KG pipeline
+    guarantees this upstream (kg/graph.py ``validate_node_iris`` routes
+    bad IRIs to the violations table); this guard covers direct
+    callers."""
+    bad = _IRI_ILLEGAL.intersection(iri)
+    if bad:
+        raise ValueError(f"IRI contains characters illegal in N-Quads: {sorted(bad)!r}")
+    return iri
+
+
 def quad_to_line(subj: str, pred: str, kind: str, value: str,
                  lang: Optional[str] = None, dt: Optional[str] = None,
                  graph: Optional[str] = None) -> str:
     """Serialize one quad. ``subj`` starting with ``_:`` is a blank
-    node; ``kind`` in {iri, plain, lang, typed} picks the object form."""
+    node; ``kind`` in {iri, plain, lang, typed} picks the object form.
+    IRI positions are validated — see :func:`_check_iri`."""
+    for term in (subj if not subj.startswith("_:") else None, pred,
+                 value if kind == "iri" else None, dt, graph):
+        if term is not None:
+            _check_iri(term)
     s = subj if subj.startswith("_:") else f"<{subj}>"
     if kind == "iri":
         o = f"<{value}>"
@@ -191,7 +212,9 @@ def parse_nquads_line(line: str):
                 raise ValueError("missing terminator")
             c = line[i]
             if c == ".":
-                if line[i + 1:].strip():
+                # W3C grammar allows an end-of-line comment after '.'
+                tail = line[i + 1:].strip()
+                if tail and not tail.startswith("#"):
                     raise ValueError("content after terminator")
                 ended = True
                 break
@@ -343,7 +366,12 @@ def _ground_truth(edges: DataFrame) -> DataFrame:
 def write_nquads_lines(truth: DataFrame) -> DataFrame:
     """Expression-side serializer over the ground-truth quads, plus the
     deterministic pollution lines (comments / blanks / malformed) that
-    the parser must classify and skip.  Returns one column ``line``."""
+    the parser must classify and skip.  Returns one column ``line``.
+
+    Precondition: IRI-position values contain no characters illegal in
+    an unescaped IRIREF (space, angle brackets, quote, control chars) —
+    guaranteed for pipeline edges by kg/graph.py ``validate_node_iris``;
+    the Python twin :func:`quad_to_line` enforces it for direct use."""
     sep = F.when(F.col("g_ws") == 0, F.lit("\t")).otherwise(F.lit(" "))
     s_term = F.when(F.col("s").startswith("_:"), F.col("s")).otherwise(
         F.concat(F.lit("<"), F.col("s"), F.lit(">"))

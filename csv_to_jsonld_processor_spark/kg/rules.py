@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..checksum import u32
 from .bgp import TERMS, Pattern, Var, _pattern_df, _pattern_vars
 
 EMPLOYS = TERMS + "employs"
@@ -100,7 +101,10 @@ def materialize_rules(
     for rounds in range(1, max_rounds + 1):
         parts = []
         for _name, body, head in rules:
-            for i in range(len(body)):
+            # round 1: delta == full, so every position substitution is
+            # the same full-graph join — evaluate each rule once
+            positions = [0] if rounds == 1 else range(len(body))
+            for i in positions:
                 srcs = [delta if j == i else full for j in range(len(body))]
                 parts.append(_instantiate(_join_body(srcs, body), head))
         derived = parts[0]
@@ -124,9 +128,7 @@ def kg_rule_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = kg_webtext_edges(spark, sf_dir).select("subj", "pred", "obj")
     full, _rounds = materialize_rules(base, RULES)
-    csum = F.conv(
-        F.substring(F.md5(F.concat_ws("\x1f", "subj", "pred", "obj")), 1, 8), 16, 10
-    ).cast("long")
+    csum = u32(F.concat_ws("\x1f", "subj", "pred", "obj"))
     return (
         full.groupBy("pred")
         .agg(

@@ -49,16 +49,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..checksum import u32 as _u32
 from .queries import kg_webtext_edges
 from .rdfio import _US, _XSD_INT, GROUND_TRUTH_CTES, _ground_truth
 
 _TERMS = "http://example.org/kg/terms/"
 _ID_PAT = "^http://example\\.org/kg/ids/"
 _LANGS = ("en", "de-DE")
-
-
-def _u32(col: F.Column) -> F.Column:
-    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
 def kg_shacl_validate(spark: SparkSession, sf_dir: str) -> DataFrame:

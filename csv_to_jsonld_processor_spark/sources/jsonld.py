@@ -29,6 +29,8 @@ from typing import Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..checksum import u32
+
 _US = "\x1f"
 
 
@@ -82,9 +84,7 @@ def fixture_jsonld_reload(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = assemble_entities_json(triples).select("node")
     parsed = read_jsonld_nodes(nodes)
 
-    str_sum = F.conv(
-        F.substring(F.md5(F.concat_ws(_US, "subj", "pred", "sval")), 1, 8), 16, 10
-    ).cast("long")
+    str_sum = u32(F.concat_ws(_US, "subj", "pred", "sval"))
     return (
         parsed.groupBy("pred", "jtype")
         .agg(
@@ -107,7 +107,10 @@ def _reload_sql() -> str:
 
     return f"""
 WITH t AS (
-  SELECT subj, pred, obj,
+  -- DISTINCT mirrors the writer: assemble_entities_json dedups values
+  -- per (subj, pred, value, kind) before serializing, so the reload
+  -- yields one row per distinct triple even if the golden grows dups
+  SELECT DISTINCT subj, pred, obj,
          CASE WHEN obj_kind = 'number' AND obj NOT LIKE '%.%'
                    AND lower(obj) NOT LIKE '%e%' THEN 'int'
               WHEN obj_kind = 'number' THEN 'float'

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..checksum import u32
 from ..sources.pages import ENTITIES, PREDICATES
 from ..kg.graph import canonicalize_edges, predicate_context
 from ..kg.link import kb_index
@@ -53,7 +54,7 @@ def _edge_checksum() -> F.Column:
     key = F.concat_ws(
         _US, "url", F.col("sent_idx").cast("string"), "subj", "pred", "obj"
     )
-    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+    return u32(key)
 
 
 def kg_stream_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -98,6 +99,8 @@ def kg_stream_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     deadline = time.time() + 300
     try:
         while time.time() < deadline:
+            if q.exception() is not None:  # fail fast, not at the deadline
+                raise q.exception()
             p = q.lastProgress
             if p and p["sources"]:
                 end = p["sources"][0]["endOffset"]

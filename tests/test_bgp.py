@@ -514,3 +514,23 @@ def test_stats_dict_ordering_and_estimates(quads, edges):
         for r in bgp_query(quads, pats, ["p", "o", "c"], use_stats=stats).collect()
     }
     assert got == want == set()
+
+
+def test_graph_var_sharing_pattern_var_name(quads):
+    """GRAPH ?g { ?g ?p ?o } must constrain subj == url (the repeated
+    variable spans the graph position)."""
+    from csv_to_jsonld_processor_spark.kg.bgp import Var, bgp_query
+
+    pats = [(Var("g"), Var("p"), Var("o"))]
+    assert bgp_query(quads, pats, ["g"], graph=Var("g")).count() == 0
+    extra = quads.sparkSession.createDataFrame(
+        [("http://pages/p9", "self", "x", "http://pages/p9")],
+        "subj string, pred string, obj string, url string",
+    )
+    got = {
+        tuple(r)
+        for r in bgp_query(
+            quads.unionByName(extra), pats, ["g", "o"], graph=Var("g")
+        ).collect()
+    }
+    assert got == {("http://pages/p9", "x")}

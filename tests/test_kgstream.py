@@ -20,6 +20,8 @@ def spark():
 def _drain(q, n):
     deadline = time.time() + 180
     while time.time() < deadline:
+        if q.exception() is not None:
+            raise q.exception()
         p = q.lastProgress
         if p and p["sources"]:
             end = p["sources"][0]["endOffset"]

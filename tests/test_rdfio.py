@@ -125,3 +125,15 @@ def test_distributed_roundtrip(spark):
     assert ("_:b9", P, "lang", "v", "en", None, None) in out
     kinds = sorted(r[2] for r in out if r[0] is None)
     assert kinds == ["#blank", "#comment", "#malformed"]
+
+
+def test_trailing_comment_after_terminator():
+    r = parse_nquads_line(f"<{S}> <{P}> <http://ex.org/o> . # provenance note")
+    assert r[:3] == ("quad", S, P)
+
+
+def test_serializer_rejects_illegal_iri():
+    with pytest.raises(ValueError, match="illegal in N-Quads"):
+        quad_to_line("http://ex.org/bad iri", P, "iri", "http://ex.org/o")
+    with pytest.raises(ValueError, match="illegal in N-Quads"):
+        quad_to_line(S, P, "iri", "http://ex.org/o>o")
