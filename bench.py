@@ -60,6 +60,13 @@ BENCH_QUERIES = [
     "doc_bpe_train",
     "kg_sparql_bgp",
     "warc_roundtrip_stats",
+    # round-5 session-5 additions (edges memoized once per process —
+    # the first kg_* query pays the construction, the rest scan it)
+    "kg_nquads_roundtrip",
+    "kg_shacl_validate",
+    "kg_rule_closure",
+    "fixture_jsonld_reload",
+    "kg_stream_edges",
 ]
 
 
