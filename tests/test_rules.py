@@ -68,3 +68,29 @@ def test_divergence_guard(spark):
     ]
     with pytest.raises(RuntimeError, match="no fixpoint"):
         materialize_rules(_graph(spark, chain), rules, max_rounds=2)
+
+
+def test_extend_rules_incremental_equals_recompute(spark):
+    from csv_to_jsonld_processor_spark.kg.rules import extend_rules, materialize_rules
+
+    rules = [
+        ("trans",
+         [(Var("x"), "next", Var("y")), (Var("y"), "next", Var("z"))],
+         [(Var("x"), "next", Var("z"))]),
+    ]
+    base = [(f"n{i}", "next", f"n{i+1}") for i in range(4)]
+    late = [("n4", "next", "n5"), ("n5", "next", "n6")]
+
+    m_base, _ = materialize_rules(_graph(spark, base), rules)
+    final, _ = extend_rules(m_base, _graph(spark, late), rules)
+    full, _ = materialize_rules(_graph(spark, base + late), rules)
+    got = {tuple(r) for r in final.collect()}
+    want = {tuple(r) for r in full.collect()}
+    assert got == want
+    # the batch genuinely extended reachability (new pairs exist)
+    assert ("n0", "next", "n6") in got
+
+    # empty / already-known delta is a 0-round no-op
+    same, rounds = extend_rules(m_base, _graph(spark, base[:1]), rules)
+    assert rounds == 0
+    assert {tuple(r) for r in same.collect()} == {tuple(r) for r in m_base.collect()}
