@@ -38,6 +38,12 @@ DEFAULT_QUERIES = [
     "fixture_triples",
     "corpus_curation_funnel",
     "events_hourly_rollup",
+    "kg_nquads_roundtrip",
+    "kg_shacl_validate",
+    "kg_rule_closure",
+    "kg_rule_closure_incremental",
+    "kg_sparql_graph",
+    "fixture_jsonld_reload",
 ]
 
 
