@@ -143,8 +143,8 @@ def extend_rules(
     first delta is the genuinely-new edge set; every subsequent round
     is ordinary semi-naive — the already-materialized closure is never
     recomputed (the classic Datalog view-maintenance shortcut for
-    insertions; DELETIONS need DRed-style over-delete/re-derive, which
-    this engine does not implement).  At 10^12 triples this is the
+    insertions; DELETIONS are :func:`retract_rules`, the DRed
+    over-delete/re-derive twin).  At 10^12 triples this is the
     difference between touching the whole store per crawl batch and
     touching O(|batch| × closure-fanout)."""
     base = materialized.select("subj", "pred", "obj")
@@ -158,6 +158,106 @@ def extend_rules(
         return materialized, 0
     full = base.unionByName(delta).localCheckpoint()
     return _seminaive_loop(full, delta, rules, max_rounds, delta_is_full=False)
+
+
+_SPO = ["subj", "pred", "obj"]
+
+
+def retract_rules(
+    materialized: DataFrame,
+    base: DataFrame,
+    removed: DataFrame,
+    rules: list[Rule],
+    max_rounds: int = 25,
+) -> DataFrame:
+    """DELETION maintenance of a materialized closure — DRed
+    (delete-and-re-derive, Gupta/Mumick/Subrahmanian):
+
+    1. OVER-DELETE: starting from the retracted base facts, iteratively
+       mark every triple with a derivation that uses a marked triple
+       (delta-restricted semi-naive over the OLD store — each round
+       joins one body position against the deletion delta).
+    2. RE-DERIVE: rescue marked triples that still hold.  Surviving
+       BASE facts are axioms — any of them caught in the over-delete
+       sweep is rescued unconditionally first (the materialized store
+       carries no provenance, so the base table must ride along as the
+       axiom set).  Then marked triples with an alternative derivation
+       from the surviving store are rescued: the first round is one
+       full rule evaluation filtered to the marked set, later rounds
+       delta-restricted to freshly rescued triples.
+
+    A retracted base fact itself is rescuable only via a rule
+    (retracting partner(a,b) while partner(b,a) survives re-derives
+    it — Datalog view semantics).  Work is O(|affected| × fanout),
+    never a full recompute; the registered query pins equality with the
+    oracle's independent from-scratch closure of the surviving base."""
+    full = materialized.select(*_SPO).dropDuplicates().localCheckpoint()
+    removed = removed.select(*_SPO).dropDuplicates()
+    d0 = removed.join(full, on=_SPO, how="left_semi").localCheckpoint()
+    if d0.isEmpty():
+        return full
+
+    # --- phase 1: over-delete ------------------------------------------
+    overdel, delta = d0, d0
+    for _ in range(max_rounds):
+        parts = []
+        for _name, body, head in rules:
+            for i in range(len(body)):
+                srcs = [delta if j == i else full for j in range(len(body))]
+                parts.append(_instantiate(_join_body(srcs, body), head))
+        derived = parts[0]
+        for df in parts[1:]:
+            derived = derived.unionByName(df)
+        delta = (
+            derived.dropDuplicates()
+            .join(full, on=_SPO, how="left_semi")  # only triples we hold
+            .join(overdel, on=_SPO, how="left_anti")
+            .localCheckpoint()
+        )
+        if delta.isEmpty():
+            break
+        overdel = overdel.unionByName(delta).localCheckpoint()
+    else:
+        raise RuntimeError(f"over-delete did not converge in {max_rounds} rounds")
+
+    # --- phase 2: re-derive --------------------------------------------
+    # axiom rescue: over-deleted but still-asserted base facts come back
+    axioms = (
+        base.select(*_SPO).dropDuplicates()
+        .join(removed, on=_SPO, how="left_anti")
+        .join(overdel, on=_SPO, how="left_semi")
+        .localCheckpoint()
+    )
+    remaining = (
+        full.join(overdel, on=_SPO, how="left_anti")
+        .unionByName(axioms)
+        .localCheckpoint()
+    )
+    cand = overdel.join(axioms, on=_SPO, how="left_anti").localCheckpoint()
+    for round_i in range(max_rounds):
+        parts = []
+        for _name, body, head in rules:
+            if round_i == 0:
+                parts.append(
+                    _instantiate(_join_body([remaining] * len(body), body), head)
+                )
+            else:
+                for i in range(len(body)):
+                    srcs = [delta if j == i else remaining for j in range(len(body))]
+                    parts.append(_instantiate(_join_body(srcs, body), head))
+        derived = parts[0]
+        for df in parts[1:]:
+            derived = derived.unionByName(df)
+        delta = (
+            derived.dropDuplicates()
+            .join(cand, on=_SPO, how="left_semi")  # only rescuing marked ones
+            .localCheckpoint()
+        )
+        if delta.isEmpty():
+            return remaining
+        remaining = remaining.unionByName(delta).localCheckpoint()
+        cand = cand.join(delta, on=_SPO, how="left_anti").localCheckpoint()
+    raise RuntimeError(f"re-derive did not converge in {max_rounds} rounds")
 
 
 def kg_rule_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -296,10 +396,75 @@ GROUP BY f.pred ORDER BY f.pred
 """
 
 
+def kg_rule_closure_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRed deletion maintenance, audited against full recompute: the
+    SAME ~10% md5-gated edge batch the incremental query inserts is
+    here RETRACTED from the full materialized closure.  Over-delete
+    marks everything those edges supported; re-derive rescues triples
+    with surviving alternative derivations (e.g. a symmetric partner
+    edge whose mirror is still asserted).  Output per predicate:
+    surviving count + checksum + net-removed count — all of which must
+    equal the oracle's independent from-scratch closure of the 90%
+    base.  A missing rescue leaves n_total short; a missed over-delete
+    leaves it long; either flips the hash."""
+    from .queries import kg_webtext_edges
+
+    distinct = (
+        kg_webtext_edges(spark, sf_dir).select("subj", "pred", "obj").dropDuplicates()
+    )
+    gate = _delta_gate_spark()
+    full_closure, _ = materialize_rules(distinct, RULES)
+    final = retract_rules(full_closure, distinct, distinct.where(gate), RULES)
+    gone = full_closure.join(final, on=_SPO, how="left_anti")
+    totals = final.groupBy("pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum(u32(F.concat_ws("\x1f", "subj", "pred", "obj")))
+        .cast("long").alias("checksum"),
+    )
+    removed = gone.groupBy("pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_removed")
+    )
+    return (
+        totals.join(removed, "pred", "left")
+        .na.fill({"n_removed": 0})
+        .select("pred", "n_total", "checksum", "n_removed")
+        .orderBy("pred")
+    )
+
+
+def _rule_closure_retract_sql() -> str:
+    from .queries import _GOLDEN_EDGES
+
+    return f"""
+WITH e AS (SELECT DISTINCT subj, pred, obj
+           FROM read_csv('{_GOLDEN_EDGES}', header=true, all_varchar=true)),
+eb AS (
+  SELECT * FROM e
+  WHERE (CAST(('0x' || substr(md5(subj || chr(31) || pred || chr(31) || obj),
+         1, 4)) AS BIGINT) % 10) <> 0
+),
+{_closure_ctes("e", "")},
+{_closure_ctes("eb", "_b")}
+SELECT b.pred,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CAST(('0x' || substr(md5(b.subj || chr(31) || b.pred || chr(31)
+            || b.obj), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum,
+       CAST(COALESCE(MAX(f.n), 0) - COUNT(*) AS BIGINT) AS n_removed
+FROM closed_b b
+LEFT JOIN (SELECT pred, COUNT(*) AS n FROM closed GROUP BY pred) f
+       ON b.pred = f.pred
+GROUP BY b.pred ORDER BY b.pred
+"""
+
+
 KG_RULE_QUERIES: dict[str, tuple] = {
     "kg_rule_closure": (kg_rule_closure, _rule_closure_sql()),
     "kg_rule_closure_incremental": (
         kg_rule_closure_incremental,
         _rule_closure_incremental_sql(),
+    ),
+    "kg_rule_closure_retract": (
+        kg_rule_closure_retract,
+        _rule_closure_retract_sql(),
     ),
 }

@@ -94,3 +94,40 @@ def test_extend_rules_incremental_equals_recompute(spark):
     same, rounds = extend_rules(m_base, _graph(spark, base[:1]), rules)
     assert rounds == 0
     assert {tuple(r) for r in same.collect()} == {tuple(r) for r in m_base.collect()}
+
+
+def test_retract_rules_dred_semantics(spark):
+    from csv_to_jsonld_processor_spark.kg.rules import materialize_rules, retract_rules
+
+    rules = [
+        ("sym", [(Var("x"), "peer", Var("y"))], [(Var("y"), "peer", Var("x"))]),
+        ("trans",
+         [(Var("x"), "next", Var("y")), (Var("y"), "next", Var("z"))],
+         [(Var("x"), "next", Var("z"))]),
+    ]
+    base = [
+        ("a", "next", "b"), ("b", "next", "c"), ("c", "next", "d"),
+        ("p", "peer", "q"),                      # q-peer-p is derived only
+        ("m", "peer", "n"), ("n", "peer", "m"),  # mutually asserted
+    ]
+    bdf = _graph(spark, base)
+    full, _ = materialize_rules(bdf, rules)
+
+    # retract a->b: the whole a->* closure prefix cascades away,
+    # b->c / c->d and their closure survive via axiom rescue
+    final = retract_rules(full, bdf, _graph(spark, [("a", "next", "b")]), rules)
+    got = {tuple(r) for r in final.collect()}
+    expect, _ = materialize_rules(
+        _graph(spark, [t for t in base if t != ("a", "next", "b")]), rules
+    )
+    assert got == {tuple(r) for r in expect.collect()}
+    assert ("a", "next", "c") not in got and ("b", "next", "d") in got
+
+    # retract p->peer->q: its derived mirror dies too (no alt support)
+    final = retract_rules(full, bdf, _graph(spark, [("p", "peer", "q")]), rules)
+    got = {tuple(r) for r in final.collect()}
+    assert ("q", "peer", "p") not in got and ("p", "peer", "q") not in got
+    # but the mutually-asserted pair survives a one-sided retraction
+    final = retract_rules(full, bdf, _graph(spark, [("m", "peer", "n")]), rules)
+    got = {tuple(r) for r in final.collect()}
+    assert ("m", "peer", "n") in got and ("n", "peer", "m") in got
