@@ -160,6 +160,12 @@ def _registry() -> dict[str, tuple]:
     except ImportError:
         pass
     try:
+        from csv_to_jsonld_processor_spark.kg.lineage_audit import KG_LINEAGE_QUERIES
+
+        reg.update(KG_LINEAGE_QUERIES)
+    except ImportError:
+        pass
+    try:
         from csv_to_jsonld_processor_spark.operators.search import SEARCH_QUERIES
 
         reg.update(SEARCH_QUERIES)
