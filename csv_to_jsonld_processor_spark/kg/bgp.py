@@ -612,6 +612,12 @@ def closure_query(edges: DataFrame, pred: str) -> DataFrame:
         .dropDuplicates()
         .localCheckpoint()
     )
+    return _closure_of_step(step)
+
+
+def _closure_of_step(step: DataFrame) -> DataFrame:
+    """Semi-naive ``+`` closure of an arbitrary (src, dst) step
+    relation — shared by ``closure_query`` and the path algebra."""
     total = step
     delta = step
     while True:
@@ -625,6 +631,99 @@ def closure_query(edges: DataFrame, pred: str) -> DataFrame:
         if delta.isEmpty():
             return total
         total = total.unionByName(delta).localCheckpoint()
+
+
+def path_rel(edges: DataFrame, expr) -> DataFrame:
+    """SPARQL 1.1 property-path ALGEBRA compiler: expression AST →
+    distinct (src, dst) relation.  Forms:
+
+    - ``("pred", iri)``   — one predicate hop (pred-pruned scan)
+    - ``("inv", e)``      — ``^e``: swap endpoints (pure projection)
+    - ``("alt", a, b)``   — ``a|b``: union + distinct
+    - ``("seq", a, b)``   — ``a/b``: equi-join on the midpoint
+    - ``("plus", e)``     — ``e+``: semi-naive unbounded closure
+
+    Compositional like the BGP compiler — no interpreter at run time,
+    each form lowers to the obvious Catalyst plan, and closure reuses
+    the shared delta-iteration (``_closure_of_step``)."""
+    kind = expr[0]
+    if kind == "pred":
+        return (
+            edges.where(F.col("pred") == F.lit(expr[1]))
+            .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+            .dropDuplicates()
+        )
+    if kind == "inv":
+        r = path_rel(edges, expr[1])
+        return r.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    if kind == "alt":
+        return (
+            path_rel(edges, expr[1])
+            .unionByName(path_rel(edges, expr[2]))
+            .dropDuplicates()
+        )
+    if kind == "seq":
+        a = path_rel(edges, expr[1]).withColumnRenamed("dst", "_mid")
+        b = path_rel(edges, expr[2]).withColumnRenamed("src", "_mid")
+        return a.join(b, on="_mid", how="inner").select("src", "dst").dropDuplicates()
+    if kind == "plus":
+        return _closure_of_step(path_rel(edges, expr[1]).localCheckpoint())
+    raise ValueError(f"unknown path form {kind!r}")
+
+
+# two expressions exercising every algebra form:
+#   p1 = (acquired|partner)+ / headquarters   — HQ cities of every org
+#        reachable through the M&A/partnership network
+#   p2 = ^worksFor / residence                — where each org's
+#        employees live (inverse + sequence)
+PATH_ALGEBRA: list[tuple[str, tuple]] = [
+    ("(acquired|partner)+/headquarters",
+     ("seq",
+      ("plus", ("alt", ("pred", TERMS + "acquired"), ("pred", TERMS + "partner"))),
+      ("pred", TERMS + "headquarters"))),
+    ("^worksFor/residence",
+     ("seq", ("inv", ("pred", TERMS + "worksFor")), ("pred", TERMS + "residence"))),
+]
+
+
+def kg_sparql_path_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both PATH_ALGEBRA expressions as one labeled pair table."""
+    from .queries import kg_webtext_edges
+
+    edges = kg_webtext_edges(spark, sf_dir)
+    parts = [
+        path_rel(edges, expr).select(F.lit(label).alias("path"), "src", "dst")
+        for label, expr in PATH_ALGEBRA
+    ]
+    return parts[0].unionByName(parts[1]).orderBy("path", "src", "dst")
+
+
+def _path_algebra_sql() -> str:
+    from .queries import _GOLDEN_EDGES
+
+    return f"""
+WITH e AS (SELECT * FROM read_csv('{_GOLDEN_EDGES}', header=true, all_varchar=true)),
+ap AS (SELECT DISTINCT subj AS src, obj AS dst FROM e
+       WHERE pred IN ('{TERMS}acquired', '{TERMS}partner')),
+tc AS (
+  WITH RECURSIVE r(src, dst) AS (
+    SELECT src, dst FROM ap
+    UNION
+    SELECT r.src, a.dst FROM r JOIN ap a ON r.dst = a.src
+  ) SELECT * FROM r
+),
+hq AS (SELECT DISTINCT subj AS src, obj AS dst FROM e
+       WHERE pred = '{TERMS}headquarters'),
+p1 AS (SELECT DISTINCT tc.src, hq.dst FROM tc JOIN hq ON tc.dst = hq.src),
+w AS (SELECT DISTINCT obj AS src, subj AS dst FROM e WHERE pred = '{TERMS}worksFor'),
+res AS (SELECT DISTINCT subj AS src, obj AS dst FROM e
+        WHERE pred = '{TERMS}residence'),
+p2 AS (SELECT DISTINCT w.src, res.dst FROM w JOIN res ON w.dst = res.src)
+SELECT '(acquired|partner)+/headquarters' AS path, src, dst FROM p1
+UNION ALL
+SELECT '^worksFor/residence', src, dst FROM p2
+ORDER BY path, src, dst
+"""
 
 
 def kg_sparql_path_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1229,6 +1328,7 @@ KG_BGP_QUERIES: dict[str, tuple] = {
     "kg_sparql_ask": (kg_sparql_ask, _ask_sql()),
     "kg_bgp_planner_audit": (kg_bgp_planner_audit, _planner_audit_sql()),
     "kg_sparql_subquery": (kg_sparql_subquery, _subquery_sql()),
+    "kg_sparql_path_algebra": (kg_sparql_path_algebra, _path_algebra_sql()),
     "kg_sparql_describe": (kg_sparql_describe, _describe_sql()),
     "kg_sparql_union": (kg_sparql_union, _union_sql()),
     "kg_sparql_minus": (kg_sparql_minus, _minus_sql()),

@@ -534,3 +534,24 @@ def test_graph_var_sharing_pattern_var_name(quads):
         ).collect()
     }
     assert got == {("http://pages/p9", "x")}
+
+
+def test_path_algebra_forms(quads):
+    """inv / alt / seq / plus lower to the expected pair relations."""
+    from csv_to_jsonld_processor_spark.kg.bgp import path_rel
+
+    g = quads.sparkSession.createDataFrame(
+        [("a", "n", "b"), ("b", "n", "c"), ("b", "m", "d"), ("d", "m", "a")],
+        "subj string, pred string, obj string",
+    )
+    rel = lambda e: {tuple(r) for r in path_rel(g, e).collect()}  # noqa: E731
+    assert rel(("pred", "n")) == {("a", "b"), ("b", "c")}
+    assert rel(("inv", ("pred", "n"))) == {("b", "a"), ("c", "b")}
+    assert rel(("alt", ("pred", "n"), ("pred", "m"))) == {
+        ("a", "b"), ("b", "c"), ("b", "d"), ("d", "a")}
+    assert rel(("seq", ("pred", "n"), ("pred", "m"))) == {("a", "d")}
+    # (n|m)+ from 'a': cycle a->b->d->a closes; c is a sink
+    plus = rel(("plus", ("alt", ("pred", "n"), ("pred", "m"))))
+    assert ("a", "a") in plus and ("a", "c") in plus and ("c", "a") not in plus
+    with pytest.raises(ValueError, match="unknown path form"):
+        path_rel(g, ("star", ("pred", "n")))
