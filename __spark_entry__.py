@@ -166,6 +166,12 @@ def _registry() -> dict[str, tuple]:
     except ImportError:
         pass
     try:
+        from csv_to_jsonld_processor_spark.kg.er import KG_ER_QUERIES
+
+        reg.update(KG_ER_QUERIES)
+    except ImportError:
+        pass
+    try:
         from csv_to_jsonld_processor_spark.operators.search import SEARCH_QUERIES
 
         reg.update(SEARCH_QUERIES)
