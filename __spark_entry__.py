@@ -202,6 +202,12 @@ def _registry() -> dict[str, tuple]:
     except ImportError:
         pass
     try:
+        from csv_to_jsonld_processor_spark.kg.turtle import KG_TURTLE_QUERIES
+
+        reg.update(KG_TURTLE_QUERIES)
+    except ImportError:
+        pass
+    try:
         from csv_to_jsonld_processor_spark.kg.shacl import KG_SHACL_QUERIES
 
         reg.update(KG_SHACL_QUERIES)
