@@ -319,8 +319,154 @@ FROM comp GROUP BY scc_id ORDER BY scc_id""")
 KG_SCC_SQL = _scc_sql()
 
 
+HB_K = 64        # bottom-k sketch size; rsd ~ 1/sqrt(k-2) ≈ 13%
+HB_ROUNDS = 4    # ball radius — covers the purchase graph's short diameters
+HB_SRC_MOD = 64  # md5 source sample the gate aggregates over (~V/64 sources)
+HB_HSCALE = 1 << 52  # 52-bit vertex hashes; (k-1)*HSCALE stays in BIGINT
+
+
+def _h52(c: F.Column) -> F.Column:
+    """52-bit integer hash of a vertex id (md5 prefix)."""
+    return F.conv(F.substring(F.md5(c), 1, 13), 16, 10).cast("long")
+
+
+def kg_hyperball_nf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall neighborhood function (Boldi & Vigna 2013) over the
+    purchase graph, with BOTTOM-K (KMV) counters instead of HLL
+    registers: per vertex, the k smallest 52-bit hashes of the vertices
+    in its radius-r ball.  Each superstep merges every vertex's counter
+    with its neighbors' — ``bottomk(∪ bottomk(..))`` — and because the
+    bottom-k merge is LOSSLESS (the k smallest of a union are computable
+    from the k smallest of each part), the distributed iteration yields
+    EXACTLY the bottom-k of the true ball.  That choice upgrades the
+    sketch gate from the ``within_tol`` pattern (operators/sketches.py:
+    register-HLL estimates can never hash-match across engines) to a
+    hash-EXACT one: the DuckDB oracle recomputes every sampled ball by
+    recursive-CTE BFS, takes the same k-th smallest hash, applies the
+    same integer estimator, and must agree to the last bit.
+
+    Output per radius r = 0..{HB_ROUNDS}, aggregated over a
+    deterministic md5-sampled source set (the full sketch state is
+    maintained for ALL vertices — the sample only bounds the oracle's
+    exact BFS): source count, estimated neighborhood function
+    ``nf_est`` = Σ est|ball(v,r)| (exact size when the ball holds < k
+    hashes, else the KMV estimator floor((k-1)·2^52 / h_k) in pure
+    BIGINT arithmetic), how many balls were still exact, and a checksum
+    over the h_k frontier hashes.
+
+    Scale shape: per superstep ONE equi-join (adjacency probing the
+    state table on the vertex key) + ONE partial-aggregated groupBy
+    folding arrays — O((V+E)·k) state movement per round regardless of
+    ball sizes, which is the entire reason HyperBall exists: exact ball
+    materialization is O(Σ|ball|) ≈ O(V²) on a 10^12-edge graph, the
+    sketch pass is linear.  ``localCheckpoint`` truncates per-round
+    lineage exactly like BFS/PageRank above."""
+    e = _purchase_edges(spark, sf_dir)
+    adj = (
+        e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(e.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .localCheckpoint()
+    )
+    state = (
+        adj.select(F.col("src").alias("v")).distinct()
+        .select("v", F.array(_h52(F.col("v"))).alias("sk"))
+        .localCheckpoint()
+    )
+    is_src = (
+        F.conv(F.substring(F.md5("v"), 1, 4), 16, 10).cast("long")
+        % HB_SRC_MOD == 0
+    )
+    sz = F.size("sk")
+    est = F.when(sz < HB_K, sz.cast("long")).otherwise(
+        F.expr(f"CAST({(HB_K - 1) * HB_HSCALE} AS BIGINT)"
+               f" DIV element_at(sk, {HB_K})")
+    )
+    hk = F.element_at("sk", HB_K)
+    rounds = []
+    for r in range(HB_ROUNDS + 1):
+        if r > 0:
+            msgs = adj.join(state, adj.dst == state.v).select(
+                F.col("src").alias("v"), "sk"
+            )
+            state = (
+                state.unionByName(msgs)
+                .groupBy("v")
+                .agg(
+                    F.slice(
+                        F.array_sort(
+                            F.array_distinct(F.flatten(F.collect_list("sk")))
+                        ),
+                        1, HB_K,
+                    ).alias("sk")
+                )
+                .localCheckpoint()
+            )
+        rounds.append(
+            state.where(is_src)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_sources"),
+                F.sum(est).cast("long").alias("nf_est"),
+                F.sum((sz < HB_K).cast("int")).cast("long").alias("n_exact_balls"),
+                F.sum(F.when(sz >= HB_K, hk).otherwise(F.lit(0)))
+                .cast("long").alias("hk_checksum"),
+            )
+            .select(F.lit(r).cast("int").alias("r"), "*")
+        )
+    out = rounds[0]
+    for df in rounds[1:]:
+        out = out.unionByName(df)
+    return out.orderBy("r")
+
+
+KG_HYPERBALL_SQL = f"""
+WITH RECURSIVE e0 AS MATERIALIZED ({_EDGE_SQL}),
+adj AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0
+),
+verts AS MATERIALIZED (SELECT DISTINCT src AS v FROM adj),
+srcs AS MATERIALIZED (
+  SELECT v FROM verts
+  WHERE CAST(('0x' || substr(md5(v), 1, 4)) AS BIGINT) % {HB_SRC_MOD} = 0
+),
+reach(src, dst, d) AS (
+  SELECT v, v, 0 FROM srcs
+  UNION
+  SELECT r.src, a.dst, r.d + 1
+  FROM reach r JOIN adj a ON a.src = r.dst
+  WHERE r.d < {HB_ROUNDS}
+),
+rad AS (SELECT unnest(generate_series(0, {HB_ROUNDS})) AS r),
+hh AS (
+  SELECT DISTINCT re.src, rad.r,
+         CAST(('0x' || substr(md5(re.dst), 1, 13)) AS BIGINT) AS h
+  FROM reach re JOIN rad ON re.d <= rad.r
+),
+ranked AS (
+  SELECT src, r, h,
+         ROW_NUMBER() OVER (PARTITION BY src, r ORDER BY h) AS rn,
+         COUNT(*) OVER (PARTITION BY src, r) AS sz
+  FROM hh
+),
+per_src AS (
+  SELECT src, r, MAX(sz) AS sz,
+         MAX(CASE WHEN rn = {HB_K} THEN h END) AS hk
+  FROM ranked GROUP BY src, r
+)
+SELECT CAST(r AS INT) AS r,
+       CAST(COUNT(*) AS BIGINT) AS n_sources,
+       CAST(SUM(CASE WHEN sz < {HB_K} THEN sz
+                ELSE {(HB_K - 1) * HB_HSCALE} // hk END) AS BIGINT) AS nf_est,
+       CAST(SUM(CASE WHEN sz < {HB_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exact_balls,
+       CAST(SUM(CASE WHEN sz >= {HB_K} THEN hk ELSE 0 END) AS BIGINT)
+         AS hk_checksum
+FROM per_src GROUP BY r ORDER BY r
+"""
+
+
 KG_GRAPHALG_QUERIES: dict[str, tuple] = {
     "kg_bfs_distance": (kg_bfs_distance, KG_BFS_SQL),
     "kg_hits": (kg_hits, KG_HITS_SQL),
     "kg_scc": (kg_scc, KG_SCC_SQL),
+    "kg_hyperball_nf": (kg_hyperball_nf, KG_HYPERBALL_SQL),
 }

@@ -157,3 +157,73 @@ def test_reciprocity_discriminates_symmetric_predicates(spark):
         assert rows[pred].n_mutual == 0
     for r in rows.values():
         assert 0 <= r.n_mutual <= r.n_pairs
+
+
+def _python_hyperball(edges):
+    """Brute-force recompute of the HyperBall gate aggregate: exact BFS
+    balls per sampled source, bottom-k of the true ball, same integer
+    estimator."""
+    import hashlib
+
+    from csv_to_jsonld_processor_spark.kg.graphalgs import (
+        HB_HSCALE, HB_K, HB_ROUNDS, HB_SRC_MOD)
+
+    def md5hex(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    adj = defaultdict(list)
+    for a, b in edges:
+        adj[a].append(b)
+        adj[b].append(a)
+    srcs = [v for v in adj if int(md5hex(v)[:4], 16) % HB_SRC_MOD == 0]
+    out = {}
+    for r in range(HB_ROUNDS + 1):
+        n_src, nf, n_exact, cks = 0, 0, 0, 0
+        for s in srcs:
+            dist = {s: 0}
+            q = deque([s])
+            while q:
+                u = q.popleft()
+                if dist[u] >= r:
+                    continue
+                for w in adj[u]:
+                    if w not in dist:
+                        dist[w] = dist[u] + 1
+                        q.append(w)
+            hs = sorted({int(md5hex(v)[:13], 16) for v in dist})
+            n_src += 1
+            if len(hs) < HB_K:
+                nf += len(hs)
+                n_exact += 1
+            else:
+                hk = hs[HB_K - 1]
+                nf += (HB_K - 1) * HB_HSCALE // hk
+                cks += hk
+        out[r] = (n_src, nf, n_exact, cks)
+    return out
+
+
+def test_hyperball_matches_exact_ball_bottomk(spark, edges):
+    """The lossless-merge property: the distributed sketch iteration
+    must produce EXACTLY the bottom-k of each true ball — verified by
+    brute-force BFS + estimator recompute, radius by radius."""
+    from csv_to_jsonld_processor_spark.kg.graphalgs import kg_hyperball_nf
+
+    got = {r.r: (r.n_sources, r.nf_est, r.n_exact_balls, r.hk_checksum)
+           for r in kg_hyperball_nf(spark, SF).collect()}
+    assert got == _python_hyperball(edges)
+
+
+def test_hyperball_neighborhood_function_grows(spark):
+    """nf_est at r=0 is exactly the source count (every ball is {v});
+    the neighborhood function is nondecreasing in r and some ball must
+    saturate past k by the final radius at sf0.001 — otherwise the
+    estimator branch is untested."""
+    from csv_to_jsonld_processor_spark.kg.graphalgs import (
+        HB_ROUNDS, kg_hyperball_nf)
+
+    rows = sorted(kg_hyperball_nf(spark, SF).collect(), key=lambda r: r.r)
+    assert rows[0].nf_est == rows[0].n_sources
+    assert all(a.nf_est <= b.nf_est for a, b in zip(rows, rows[1:]))
+    assert rows[-1].n_exact_balls < rows[-1].n_sources
+    assert len(rows) == HB_ROUNDS + 1
