@@ -67,6 +67,10 @@ BENCH_QUERIES = [
     "kg_rule_closure",
     "fixture_jsonld_reload",
     "kg_stream_edges",
+    # round-5 session-6 additions
+    "kg_turtle_roundtrip",
+    "kg_hyperball_nf",
+    "kg_transe_epoch",
 ]
 
 

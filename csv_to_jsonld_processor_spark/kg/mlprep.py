@@ -455,8 +455,281 @@ FROM ranked GROUP BY pred ORDER BY pred
 """
 
 
+EPOCH_GAMMA = 2000  # hinge margin; distances live in ~[0, 4*2000]
+EPOCH_LR = 5        # integer learning rate — updates stay in BIGINT
+
+
+def _dim_val_col(col: F.Column, dim: F.Column) -> F.Column:
+    """_dim_val with a COLUMN dimension index (same hash text as the
+    literal form: f'#{{dim}}' == '#' || dim)."""
+    return F.pmod(
+        _u32(F.concat(col, F.lit("#"), dim.cast("string"))), F.lit(EVAL_MOD)
+    ) - F.lit(EVAL_MOD // 2)
+
+
+def _isign(c: F.Column) -> F.Column:
+    """Integer sign (Spark's signum returns DOUBLE — a float in the
+    gradient path is exactly the cross-engine hazard this op avoids)."""
+    return (
+        F.when(c > 0, F.lit(1)).when(c < 0, F.lit(-1)).otherwise(F.lit(0))
+        .cast("long")
+    )
+
+
+def kg_transe_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One FULL-BATCH TransE training epoch (Bordes et al. 2013), bit-
+    exact across engines: margin hinge L = max(0, γ + d(s,p,o) −
+    d(s,p,o′)) over L1 distances, deterministic hash-initialized integer
+    embeddings (the same ``_dim_val`` vectors ``kg_transe_mrr`` scores
+    with), one uniformly-corrupted tail per triple (salt 'T', same
+    index arithmetic as kg_negative_samples), subgradient signs in
+    {{-1,0,1}}, and an integer SGD step e ← e − LR·∂L/∂e with no
+    normalization.  Everything — distances, hinges, gradients, updated
+    losses — is BIGINT, so the DuckDB oracle replays the entire epoch
+    and must agree to the last unit.
+
+    Output per predicate: triple count, margin-violating count and total
+    hinge loss BEFORE the step, the same AFTER the step, and a checksum
+    over the applied update magnitudes.  (A training step that silently
+    stopped updating, mis-signed a gradient, or double-applied a delta
+    flips at least one column.)
+
+    Scale shape — the canonical data-parallel SGD epoch: the forward
+    pass is stateless per-row expressions riding the triple scan; the
+    gradient all-reduce is ONE partial-aggregated groupBy on (parameter,
+    dim) — the shuffle carries O(model) not O(data); the updated model
+    is broadcast back for the after-loss pass (model tables outgrow a
+    broadcast only past ~10^8 entities, where the same plan becomes a
+    range-partitioned equi-join).  No Python in the loop."""
+    trip = _distinct_triples(spark, sf_dir)
+    ents = (
+        trip.select(F.col("subj").alias("ent"))
+        .unionByName(trip.select(F.col("obj").alias("ent")))
+        .dropDuplicates()
+    )
+    pool = ents.withColumn("idx", F.row_number().over(Window.orderBy("ent")) - 1)
+    pool_n = pool.agg(F.count(F.lit(1)).cast("long").alias("pool_n"))
+    tn = (
+        trip.crossJoin(F.broadcast(pool_n))
+        .withColumn(
+            "idx",
+            F.pmod(
+                _u32(F.concat_ws("|", "subj", "pred", "obj", F.lit("T"))),
+                F.col("pool_n"),
+            ),
+        )
+        .join(F.broadcast(pool.select("idx", F.col("ent").alias("neg_obj"))), "idx")
+        .select("subj", "pred", "obj", "neg_obj")
+    )
+    pcol = F.concat(F.lit("P|"), F.col("pred"))
+    d_pos = _l1_distance("subj", "pred", "obj")
+    terms_neg = [
+        F.abs(
+            _dim_val(F.col("subj"), i)
+            + _dim_val(F.concat(F.lit("P|"), F.col("pred")), i)
+            - _dim_val(F.col("neg_obj"), i)
+        )
+        for i in range(EVAL_DIMS)
+    ]
+    d_neg = terms_neg[0]
+    for t in terms_neg[1:]:
+        d_neg = d_neg + t
+    scored = tn.select(
+        "subj", "pred", "obj", "neg_obj",
+        d_pos.alias("d_pos"), d_neg.cast("long").alias("d_neg"),
+    ).withColumn(
+        "active",
+        (F.lit(EPOCH_GAMMA) + F.col("d_pos") - F.col("d_neg") > 0),
+    ).localCheckpoint()
+
+    # per-dim subgradient signs on the ACTIVE triples, fanned out to the
+    # four parameter roles, then the (parameter, dim) all-reduce
+    gp = [
+        _isign(
+            _dim_val(F.col("subj"), i) + _dim_val(pcol, i)
+            - _dim_val(F.col("obj"), i)
+        )
+        for i in range(EVAL_DIMS)
+    ]
+    gn = [
+        _isign(
+            _dim_val(F.col("subj"), i) + _dim_val(pcol, i)
+            - _dim_val(F.col("neg_obj"), i)
+        )
+        for i in range(EVAL_DIMS)
+    ]
+    lr = F.lit(EPOCH_LR)
+    act = scored.where("active")
+    role_frames = [
+        act.select(F.col("subj").alias("key"),
+                   F.array(*[(-lr * (gp[i] - gn[i])) for i in range(EVAL_DIMS)])
+                   .alias("delta")),
+        act.select(pcol.alias("key"),
+                   F.array(*[(-lr * (gp[i] - gn[i])) for i in range(EVAL_DIMS)])
+                   .alias("delta")),
+        act.select(F.col("obj").alias("key"),
+                   F.array(*[(lr * gp[i]) for i in range(EVAL_DIMS)])
+                   .alias("delta")),
+        act.select(F.col("neg_obj").alias("key"),
+                   F.array(*[(-lr * gn[i]) for i in range(EVAL_DIMS)])
+                   .alias("delta")),
+    ]
+    roles = role_frames[0]
+    for rf in role_frames[1:]:
+        roles = roles.unionByName(rf)
+    upd = (
+        roles.select("key", F.posexplode("delta").alias("dim", "dv"))
+        .groupBy("key", "dim")
+        .agg(F.sum("dv").cast("long").alias("ddelta"))
+    )
+
+    # after-loss pass: (triple, dim) grid, model deltas broadcast back in
+    dims = F.array(*[F.lit(i) for i in range(EVAL_DIMS)])
+    grid = scored.select(
+        "subj", "pred", "obj", "neg_obj", "d_pos", "d_neg", "active",
+        F.explode(dims).alias("dim"),
+    )
+    g = grid
+    for role, key_expr in [
+        ("s", F.col("subj")), ("p", pcol), ("o", F.col("obj")),
+        ("n", F.col("neg_obj")),
+    ]:
+        u = F.broadcast(
+            upd.select(F.col("key").alias(f"{role}_key"),
+                       F.col("dim").alias(f"{role}_dim"),
+                       F.col("ddelta").alias(f"{role}_d"))
+        )
+        g = g.join(
+            u,
+            (key_expr == F.col(f"{role}_key")) & (F.col("dim") == F.col(f"{role}_dim")),
+            "left",
+        ).drop(f"{role}_key", f"{role}_dim")
+    zero = F.lit(0).cast("long")
+    h2 = _dim_val_col(F.col("subj"), F.col("dim")) + F.coalesce("s_d", zero)
+    r2 = _dim_val_col(pcol, F.col("dim")) + F.coalesce("p_d", zero)
+    t2 = _dim_val_col(F.col("obj"), F.col("dim")) + F.coalesce("o_d", zero)
+    n2 = _dim_val_col(F.col("neg_obj"), F.col("dim")) + F.coalesce("n_d", zero)
+    per2 = (
+        g.select(
+            "subj", "pred", "obj", "d_pos", "d_neg", "active",
+            F.abs(h2 + r2 - t2).alias("c_pos"),
+            F.abs(h2 + r2 - n2).alias("c_neg"),
+        )
+        .groupBy("subj", "pred", "obj", "d_pos", "d_neg", "active")
+        .agg(F.sum("c_pos").cast("long").alias("d_pos2"),
+             F.sum("c_neg").cast("long").alias("d_neg2"))
+    )
+    hinge_b = F.greatest(zero, F.lit(EPOCH_GAMMA) + F.col("d_pos") - F.col("d_neg"))
+    hinge_a = F.greatest(zero, F.lit(EPOCH_GAMMA) + F.col("d_pos2") - F.col("d_neg2"))
+    upd_cks = upd.agg(
+        F.coalesce(F.sum(F.abs("ddelta")), zero).cast("long").alias("upd_l1")
+    )
+    return (
+        per2.groupBy("pred")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_triples"),
+            F.sum(F.col("active").cast("int")).cast("long").alias("n_active"),
+            F.sum(hinge_b).cast("long").alias("loss_before"),
+            F.sum((hinge_a > 0).cast("int")).cast("long").alias("n_active_after"),
+            F.sum(hinge_a).cast("long").alias("loss_after"),
+        )
+        .crossJoin(F.broadcast(upd_cks))
+        .orderBy("pred")
+    )
+
+
+def _transe_epoch_sql() -> str:
+    from .queries import _GOLDEN_EDGES
+
+    def dv(expr: str) -> str:
+        # per-dim value with the CTE's dim column in scope
+        return (
+            f"(CAST(('0x' || substr(md5({expr} || '#' || CAST(dim AS VARCHAR)),"
+            f" 1, 8)) AS BIGINT) % {EVAL_MOD} - {EVAL_MOD // 2})"
+        )
+
+    def isign(x: str) -> str:
+        return f"(CASE WHEN {x} > 0 THEN 1 WHEN {x} < 0 THEN -1 ELSE 0 END)"
+
+    p_expr = "'P|' || pred"
+    return f"""
+WITH trip AS (
+  SELECT DISTINCT subj, pred, obj
+  FROM read_csv('{_GOLDEN_EDGES}', header=true, all_varchar=true)
+), pool AS (
+  SELECT ent, ROW_NUMBER() OVER (ORDER BY ent) - 1 AS idx
+  FROM (SELECT DISTINCT subj AS ent FROM trip
+        UNION SELECT DISTINCT obj FROM trip)
+), tn AS (
+  SELECT t.subj, t.pred, t.obj, p.ent AS neg_obj
+  FROM (
+    SELECT subj, pred, obj,
+           CAST(('0x' || substr(md5(subj || '|' || pred || '|' || obj || '|T'),
+                 1, 8)) AS BIGINT) % (SELECT COUNT(*) FROM pool) AS idx
+    FROM trip
+  ) t JOIN pool p ON t.idx = p.idx
+), dims AS (SELECT unnest(generate_series(0, {EVAL_DIMS - 1})) AS dim),
+pd AS (
+  SELECT tn.*, d.dim,
+         {dv('subj')} AS h, {dv(p_expr)} AS r,
+         {dv('obj')} AS t, {dv('neg_obj')} AS n
+  FROM tn CROSS JOIN dims d
+), per_trip AS (
+  SELECT subj, pred, obj, neg_obj,
+         CAST(SUM(ABS(h + r - t)) AS BIGINT) AS d_pos,
+         CAST(SUM(ABS(h + r - n)) AS BIGINT) AS d_neg
+  FROM pd GROUP BY 1, 2, 3, 4
+), flag AS (
+  SELECT *, ({EPOCH_GAMMA} + d_pos - d_neg > 0) AS active FROM per_trip
+), gr AS (
+  SELECT pd.*, {isign('h + r - t')} AS gpos, {isign('h + r - n')} AS gneg
+  FROM pd JOIN flag USING (subj, pred, obj, neg_obj)
+  WHERE flag.active
+), upd AS (
+  SELECT key, dim, CAST(SUM(delta) AS BIGINT) AS ddelta FROM (
+    SELECT subj AS key, dim, -{EPOCH_LR} * (gpos - gneg) AS delta FROM gr
+    UNION ALL SELECT {p_expr}, dim, -{EPOCH_LR} * (gpos - gneg) FROM gr
+    UNION ALL SELECT obj, dim, {EPOCH_LR} * gpos FROM gr
+    UNION ALL SELECT neg_obj, dim, -{EPOCH_LR} * gneg FROM gr
+  ) GROUP BY key, dim
+), pd2 AS (
+  SELECT pd.subj, pd.pred, pd.obj, pd.neg_obj, pd.dim,
+         pd.h + COALESCE(us.ddelta, 0) AS h2,
+         pd.r + COALESCE(up.ddelta, 0) AS r2,
+         pd.t + COALESCE(uo.ddelta, 0) AS t2,
+         pd.n + COALESCE(un.ddelta, 0) AS n2
+  FROM pd
+  LEFT JOIN upd us ON us.key = pd.subj AND us.dim = pd.dim
+  LEFT JOIN upd up ON up.key = 'P|' || pd.pred AND up.dim = pd.dim
+  LEFT JOIN upd uo ON uo.key = pd.obj AND uo.dim = pd.dim
+  LEFT JOIN upd un ON un.key = pd.neg_obj AND un.dim = pd.dim
+), per2 AS (
+  SELECT subj, pred, obj, neg_obj,
+         CAST(SUM(ABS(h2 + r2 - t2)) AS BIGINT) AS d_pos2,
+         CAST(SUM(ABS(h2 + r2 - n2)) AS BIGINT) AS d_neg2
+  FROM pd2 GROUP BY 1, 2, 3, 4
+), cks AS (
+  SELECT CAST(COALESCE(SUM(ABS(ddelta)), 0) AS BIGINT) AS upd_l1 FROM upd
+)
+SELECT f.pred,
+       CAST(COUNT(*) AS BIGINT) AS n_triples,
+       CAST(SUM(CASE WHEN f.active THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+       CAST(SUM(GREATEST(0, {EPOCH_GAMMA} + f.d_pos - f.d_neg)) AS BIGINT)
+         AS loss_before,
+       CAST(SUM(CASE WHEN {EPOCH_GAMMA} + p2.d_pos2 - p2.d_neg2 > 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_active_after,
+       CAST(SUM(GREATEST(0, {EPOCH_GAMMA} + p2.d_pos2 - p2.d_neg2)) AS BIGINT)
+         AS loss_after,
+       (SELECT upd_l1 FROM cks) AS upd_l1
+FROM flag f
+JOIN per2 p2 USING (subj, pred, obj, neg_obj)
+GROUP BY f.pred ORDER BY f.pred
+"""
+
+
 KG_MLPREP_QUERIES: dict[str, tuple] = {
     "kg_edge_split": (kg_edge_split, _edge_split_sql()),
     "kg_negative_samples": (kg_negative_samples, _neg_samples_sql()),
     "kg_transe_mrr": (kg_transe_mrr, _transe_mrr_sql()),
+    "kg_transe_epoch": (kg_transe_epoch, _transe_epoch_sql()),
 }

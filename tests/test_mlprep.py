@@ -137,3 +137,81 @@ def test_transe_mrr_matches_full_recompute(spark, triples):
     # below perfection everywhere the corruption pool survived filtering
     assert any(v[3] > 0 for v in got.values())
     assert any(v[1] > 0 and v[2] < v[0] for v in got.values())
+
+
+def test_transe_epoch_matches_full_recompute(spark, triples):
+    """Brute-force Python replay of the full-batch epoch: forward pass,
+    hinge, per-dim subgradients, parameter all-reduce, after-loss —
+    every column must match exactly."""
+    from csv_to_jsonld_processor_spark.kg.mlprep import (
+        EPOCH_GAMMA,
+        EPOCH_LR,
+        EVAL_DIMS,
+        EVAL_MOD,
+        kg_transe_epoch,
+    )
+
+    pool = sorted({s for s, _p, _o in triples} | {o for _s, _p, o in triples})
+    n = len(pool)
+
+    def emb(name: str):
+        return [
+            _u32(f"{name}#{i}") % EVAL_MOD - EVAL_MOD // 2 for i in range(EVAL_DIMS)
+        ]
+
+    def sgn(x):
+        return 1 if x > 0 else (-1 if x < 0 else 0)
+
+    tn = [(s, p, o, pool[_u32(f"{s}|{p}|{o}|T") % n]) for s, p, o in triples]
+    upd = {}
+    before = {}
+    for s, p, o, ng in tn:
+        es, rp, eo, en = emb(s), emb(f"P|{p}"), emb(o), emb(ng)
+        d_pos = sum(abs(es[i] + rp[i] - eo[i]) for i in range(EVAL_DIMS))
+        d_neg = sum(abs(es[i] + rp[i] - en[i]) for i in range(EVAL_DIMS))
+        before[(s, p, o)] = (d_pos, d_neg)
+        if EPOCH_GAMMA + d_pos - d_neg > 0:
+            for i in range(EVAL_DIMS):
+                gp = sgn(es[i] + rp[i] - eo[i])
+                gn = sgn(es[i] + rp[i] - en[i])
+                for key, dv in ((s, -EPOCH_LR * (gp - gn)),
+                                (f"P|{p}", -EPOCH_LR * (gp - gn)),
+                                (o, EPOCH_LR * gp), (ng, -EPOCH_LR * gn)):
+                    upd[(key, i)] = upd.get((key, i), 0) + dv
+    upd_l1 = sum(abs(v) for v in upd.values())
+
+    def emb2(name: str):
+        base = emb(name)
+        return [base[i] + upd.get((name, i), 0) for i in range(EVAL_DIMS)]
+
+    agg = {}
+    for s, p, o, ng in tn:
+        d_pos, d_neg = before[(s, p, o)]
+        es, rp, eo, en = emb2(s), emb2(f"P|{p}"), emb2(o), emb2(ng)
+        d_pos2 = sum(abs(es[i] + rp[i] - eo[i]) for i in range(EVAL_DIMS))
+        d_neg2 = sum(abs(es[i] + rp[i] - en[i]) for i in range(EVAL_DIMS))
+        a = agg.setdefault(p, [0, 0, 0, 0, 0])
+        a[0] += 1
+        a[1] += 1 if EPOCH_GAMMA + d_pos - d_neg > 0 else 0
+        a[2] += max(0, EPOCH_GAMMA + d_pos - d_neg)
+        a[3] += 1 if EPOCH_GAMMA + d_pos2 - d_neg2 > 0 else 0
+        a[4] += max(0, EPOCH_GAMMA + d_pos2 - d_neg2)
+
+    got = {
+        r.pred: (r.n_triples, r.n_active, r.loss_before,
+                 r.n_active_after, r.loss_after, r.upd_l1)
+        for r in kg_transe_epoch(spark, SF).collect()
+    }
+    assert got == {p: tuple(v) + (upd_l1,) for p, v in agg.items()}
+
+
+def test_transe_epoch_descends(spark):
+    """One integer SGD step must reduce the total hinge loss on the
+    training triples — the sign conventions are wrong otherwise — and
+    the step must be non-trivial (some parameter actually moved)."""
+    from csv_to_jsonld_processor_spark.kg.mlprep import kg_transe_epoch
+
+    rows = kg_transe_epoch(spark, SF).collect()
+    assert sum(r.loss_after for r in rows) < sum(r.loss_before for r in rows)
+    assert rows[0].upd_l1 > 0
+    assert all(r.n_triples >= r.n_active for r in rows)
