@@ -589,10 +589,164 @@ FROM pairs GROUP BY user_id ORDER BY user_id
 """
 
 
+# --- stream-stream LEFT OUTER join ------------------------------------------
+
+OUTER_SEAL_SLACK_SEC = 3600  # extra margin inside the guaranteed-evicted region
+
+
+def attribution_outer_join_stream(views: DataFrame, purchases: DataFrame,
+                                  watermark: str = "2 hours") -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER interval join: every
+    (view, purchase-within-the-hour) pair as it matches, PLUS each
+    unmatched view emitted exactly once with a NULL purchase — but only
+    after the watermark proves no future purchase can still match it
+    (eviction time = v_ts + window + watermark delay).  That deferred
+    null emission is the semantic difference from the inner topology
+    above, and the reason outer stream-stream joins are the hard case:
+    correctness depends on state eviction, not just matching."""
+    v = (
+        views.select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").cast("timestamp").alias("v_ts"),
+            F.col("value").alias("v_value"),
+        ).withWatermark("v_ts", watermark)
+    )
+    p = (
+        purchases.select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").cast("timestamp").alias("p_ts"),
+        ).withWatermark("p_ts", watermark)
+    )
+    return v.join(
+        p,
+        F.expr(
+            f"v_user = p_user AND v_ts <= p_ts "
+            f"AND v_ts >= p_ts - INTERVAL {ATTRIB_WINDOW_SEC} SECONDS"
+        ),
+        "left_outer",
+    )
+
+
+def events_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated LEFT OUTER stream-stream join, drained with
+    availableNow (the trailing no-data micro-batch flushes evicted
+    state — `spark.sql.streaming.noDataMicroBatches.enabled` default).
+
+    Stream == batch needs care at the tail: a view whose match window
+    has not aged past the FINAL watermark when the stream ends sits in
+    state forever and never emits its null row, so the raw outer result
+    is not batch-equal.  The gate therefore aggregates null rows only
+    inside the SEALED region — v_ts older than min(max view ts, max
+    purchase ts) − watermark − join window − {OUTER_SEAL_SLACK_SEC}s
+    slack, where eviction is guaranteed to have happened — and the
+    DuckDB oracle applies the identical cutoff to the batch LEFT JOIN.
+    Matched pairs are exact with no cutoff (inner results never defer
+    past the drain).  The cutoff derives from the input data, not the
+    clock, so both engines compute it identically."""
+    import tempfile
+
+    from ..session import load_tables
+
+    t = load_tables(spark, sf_dir)
+    src = t["events"].where(F.col("user_id") < 30)
+    d_v = tempfile.mkdtemp(prefix="events_oviews_")
+    d_p = tempfile.mkdtemp(prefix="events_opurch_")
+    src.where(F.col("event_type") == "view").repartitionByRange(3, "ts").write.mode(
+        "overwrite"
+    ).parquet(d_v)
+    src.where(F.col("event_type") == "purchase").repartitionByRange(3, "ts").write.mode(
+        "overwrite"
+    ).parquet(d_p)
+    order_stream_files(d_v)
+    order_stream_files(d_p)
+    schema = src.schema.simpleString().replace("struct<", "").rstrip(">").replace(":", " ")
+
+    seal_sec = 2 * 3600 + ATTRIB_WINDOW_SEC + OUTER_SEAL_SLACK_SEC
+    cutoff = (
+        src.groupBy("event_type")
+        .agg(F.max(F.col("ts").cast("timestamp")).alias("mx"))
+        .where(F.col("event_type").isin("view", "purchase"))
+        .agg((F.min("mx") - F.expr(f"INTERVAL {seal_sec} SECONDS")).alias("cut"))
+        .collect()[0]["cut"]
+    )
+
+    views = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d_v)
+    purchases = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d_p)
+    conf_key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "8")
+    try:
+        q = (
+            attribution_outer_join_stream(views, purchases)
+            .writeStream.format("memory")
+            .queryName("events_attrib_outer_join")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(conf_key, prev)
+    out = spark.table("events_attrib_outer_join")
+    matched = F.col("purchase_id").isNotNull()
+    sealed_null = F.col("purchase_id").isNull() & (F.col("v_ts") < F.lit(cutoff))
+    return (
+        out.where(matched | sealed_null)
+        .groupBy(F.col("v_user").alias("user_id"))
+        .agg(
+            F.sum(matched.cast("int")).cast("long").alias("n_pairs"),
+            F.sum(sealed_null.cast("int")).cast("long").alias("n_unmatched_sealed"),
+            F.sum(
+                F.when(sealed_null, F.col("v_value").cast("decimal(18,4)"))
+                .otherwise(F.lit(0).cast("decimal(18,4)"))
+            ).cast("double").alias("unattributed_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EVENTS_STREAM_OUTER_JOIN_SQL = f"""
+WITH v AS (
+  SELECT user_id, event_id AS view_id, CAST(ts AS TIMESTAMP) AS v_ts, value
+  FROM events WHERE user_id < 30 AND event_type = 'view'
+), p AS (
+  SELECT user_id, event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS p_ts
+  FROM events WHERE user_id < 30 AND event_type = 'purchase'
+), cut AS (
+  SELECT LEAST(
+           (SELECT MAX(v_ts) FROM v),
+           (SELECT MAX(p_ts) FROM p)
+         ) - INTERVAL {2 * 3600 + ATTRIB_WINDOW_SEC + OUTER_SEAL_SLACK_SEC} SECOND
+         AS c
+), pairs AS (
+  SELECT v.user_id, v.v_ts, v.value, p.purchase_id
+  FROM v LEFT JOIN p ON v.user_id = p.user_id
+   AND v.v_ts <= p.p_ts AND v.v_ts >= p.p_ts - INTERVAL {ATTRIB_WINDOW_SEC} SECOND
+)
+SELECT user_id,
+       CAST(SUM(CASE WHEN purchase_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pairs,
+       CAST(SUM(CASE WHEN purchase_id IS NULL AND v_ts < (SELECT c FROM cut)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched_sealed,
+       CAST(SUM(CASE WHEN purchase_id IS NULL AND v_ts < (SELECT c FROM cut)
+                THEN CAST(value AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4))
+                END) AS DOUBLE) AS unattributed_value
+FROM pairs
+WHERE purchase_id IS NOT NULL OR v_ts < (SELECT c FROM cut)
+GROUP BY user_id ORDER BY user_id
+"""
+
+
 STREAMING_QUERIES: dict[str, tuple] = {
     "events_sessionization": (events_sessionization, EVENTS_SESSION_SQL),
     "events_user_profiles": (events_user_profiles, EVENTS_PROFILE_SQL),
     "events_stream_dedup": (events_stream_dedup, EVENTS_STREAM_DEDUP_SQL),
     "events_trending_topk": (events_trending_topk, EVENTS_TRENDING_SQL),
     "events_stream_join": (events_stream_join, EVENTS_STREAM_JOIN_SQL),
+    "events_stream_outer_join": (
+        events_stream_outer_join,
+        EVENTS_STREAM_OUTER_JOIN_SQL,
+    ),
 }

@@ -338,3 +338,85 @@ def test_stream_stream_join_equals_batch(spark, tmp_path):
         ).collect()
     }
     assert streamed == expected and len(expected) > 0
+
+
+def test_stream_stream_outer_join_seals_unmatched(spark, tmp_path):
+    """LEFT OUTER stream-stream join: every batch match must be
+    streamed, every sealed unmatched view must emit exactly one NULL
+    row via state eviction, and no sealed view may be missing —
+    the eviction-driven null path is the semantics under test."""
+    from pyspark.sql import functions as F
+
+    from csv_to_jsonld_processor_spark.session import load_tables
+    from csv_to_jsonld_processor_spark.streaming.events import (
+        ATTRIB_WINDOW_SEC,
+        OUTER_SEAL_SLACK_SEC,
+        attribution_outer_join_stream,
+        order_stream_files,
+    )
+
+    src = load_tables(spark, "/root/testdata/sf0.001")["events"].where(
+        F.col("user_id") < 40
+    )
+    views = src.where(F.col("event_type") == "view")
+    purchases = src.where(F.col("event_type") == "purchase")
+    d_v, d_p = str(tmp_path / "v"), str(tmp_path / "p")
+    views.repartitionByRange(3, "ts").write.parquet(d_v)
+    purchases.repartitionByRange(3, "ts").write.parquet(d_p)
+    order_stream_files(d_v)
+    order_stream_files(d_p)
+    schema = src.schema.simpleString().replace("struct<", "").rstrip(">").replace(":", " ")
+
+    sv = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d_v)
+    sp = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d_p)
+    q = (
+        attribution_outer_join_stream(sv, sp)
+        .writeStream.format("memory")
+        .queryName("attrib_outer_join_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("attrib_outer_join_test").collect()
+    streamed_pairs = {(r.view_id, r.purchase_id) for r in out
+                      if r.purchase_id is not None}
+    streamed_nulls = {r.view_id for r in out if r.purchase_id is None}
+
+    v = views.select(
+        F.col("user_id").alias("v_user"), F.col("event_id").alias("view_id"),
+        F.col("ts").cast("timestamp").alias("v_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"), F.col("event_id").alias("purchase_id"),
+        F.col("ts").cast("timestamp").alias("p_ts"),
+    )
+    batch = v.join(
+        p,
+        F.expr(
+            f"v_user = p_user AND v_ts <= p_ts "
+            f"AND v_ts >= p_ts - INTERVAL {ATTRIB_WINDOW_SEC} SECONDS"
+        ),
+        "left_outer",
+    ).collect()
+    expected_pairs = {(r.view_id, r.purchase_id) for r in batch
+                      if r.purchase_id is not None}
+    assert streamed_pairs == expected_pairs
+
+    seal_sec = 2 * 3600 + ATTRIB_WINDOW_SEC + OUTER_SEAL_SLACK_SEC
+    mx = min(
+        views.agg(F.max(F.col("ts").cast("timestamp"))).collect()[0][0],
+        purchases.agg(F.max(F.col("ts").cast("timestamp"))).collect()[0][0],
+    )
+    import datetime
+
+    cutoff = mx - datetime.timedelta(seconds=seal_sec)
+    expected_sealed_nulls = {
+        r.view_id for r in batch
+        if r.purchase_id is None and r.v_ts < cutoff
+    }
+    # every sealed unmatched view was emitted (eviction fired), and no
+    # matched view ever produced a null row
+    assert expected_sealed_nulls <= streamed_nulls
+    assert expected_sealed_nulls, "seal region empty — test is vacuous"
+    assert not (streamed_nulls & {vid for vid, _ in expected_pairs})
