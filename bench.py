@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "kg_turtle_roundtrip",
     "kg_hyperball_nf",
     "kg_transe_epoch",
+    "kg_mis",
 ]
 
 

@@ -464,9 +464,140 @@ FROM per_src GROUP BY r ORDER BY r
 """
 
 
+MIS_ROUNDS = 6  # Luby decides all but O(V/2^R) whp; leftovers REPORTED
+
+
+def kg_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal independent set by the deterministic-priority variant of
+    Luby's algorithm (Luby 1986) on the purchase graph: each vertex
+    draws a fixed md5 priority; per round, an undecided vertex joins
+    the MIS iff its priority beats every undecided neighbor's, and MIS
+    neighbors become excluded.  Fixed {MIS_ROUNDS} rounds — the expected
+    undecided residue halves (better) per round; stragglers are
+    REPORTED as undecided rather than resolved by a driver loop, so the
+    operator is deterministic and both engines unroll identically.
+
+    Output per vertex side: MIS size, excluded count, undecided count,
+    and an order-free checksum over the MIS members.
+
+    Scale shape (per round): ONE equi-join of the undecided-neighbor
+    table against the undecided set + ONE min-groupBy (the priority
+    floor per vertex), then two hash semi/anti-joins to retire decided
+    vertices — the same superstep cost model as BFS above; priorities
+    are recomputed expressions, never shuffled state.  MIS is the
+    building block for distributed graph coloring and maximal matching;
+    at 10^12 edges every step is still plain partial-aggregated joins
+    on the vertex key."""
+    e = _purchase_edges(spark, sf_dir)
+    adj = (
+        e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(e.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .localCheckpoint()
+    )
+    prio_src = F.md5(F.concat(F.lit("MIS|"), F.col("src")))
+    und = adj.select(F.col("src").alias("v")).distinct().localCheckpoint()
+    mis = und.limit(0)
+    for _ in range(MIS_ROUNDS):
+        nb_min = (
+            adj.join(und.select(F.col("v").alias("dst")), "dst")
+            .groupBy("src")
+            .agg(F.min(F.md5(F.concat(F.lit("MIS|"), F.col("dst")))).alias("nb_prio"))
+        )
+        new_mis = (
+            und.join(nb_min, und.v == nb_min.src, "left")
+            .where(
+                F.col("nb_prio").isNull()
+                | (F.md5(F.concat(F.lit("MIS|"), F.col("v"))) < F.col("nb_prio"))
+            )
+            .select("v")
+            .localCheckpoint()
+        )
+        mis = mis.unionByName(new_mis).localCheckpoint()
+        excl = (
+            adj.join(new_mis.select(F.col("v").alias("src")), "src")
+            .select(F.col("dst").alias("v"))
+            .distinct()
+        )
+        und = (
+            und.join(new_mis, "v", "left_anti")
+            .join(excl, "v", "left_anti")
+            .localCheckpoint()
+        )
+    verts = adj.select(F.col("src").alias("v")).distinct()
+    state = (
+        verts.join(mis.withColumn("in_mis", F.lit(1)), "v", "left")
+        .join(und.withColumn("undec", F.lit(1)), "v", "left")
+    )
+    u32 = F.conv(F.substring(F.md5("v"), 1, 8), 16, 10).cast("long")
+    return (
+        state.groupBy(F.substring("v", 1, 1).alias("side"))
+        .agg(
+            F.sum(F.coalesce("in_mis", F.lit(0))).cast("long").alias("n_mis"),
+            F.sum(
+                F.when(F.col("in_mis").isNull() & F.col("undec").isNull(), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_excluded"),
+            F.sum(F.coalesce("undec", F.lit(0))).cast("long").alias("n_undecided"),
+            F.sum(F.when(F.col("in_mis") == 1, u32).otherwise(F.lit(0)))
+            .cast("long").alias("mis_checksum"),
+        )
+        .orderBy("side")
+    )
+
+
+def _mis_sql() -> str:
+    parts = [f"""
+WITH e0 AS MATERIALIZED ({_EDGE_SQL}),
+adj AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0
+),
+verts AS MATERIALIZED (SELECT DISTINCT src AS v FROM adj),
+und0 AS MATERIALIZED (SELECT v FROM verts),
+mis0 AS MATERIALIZED (SELECT v FROM verts WHERE FALSE)"""]
+    for r in range(1, MIS_ROUNDS + 1):
+        p = r - 1
+        parts.append(f""",
+nbmin{r} AS MATERIALIZED (
+  SELECT a.src, MIN(md5('MIS|' || a.dst)) AS nb_prio
+  FROM adj a JOIN und{p} u ON a.dst = u.v
+  GROUP BY a.src
+),
+new{r} AS MATERIALIZED (
+  SELECT u.v FROM und{p} u LEFT JOIN nbmin{r} n ON u.v = n.src
+  WHERE n.nb_prio IS NULL OR md5('MIS|' || u.v) < n.nb_prio
+),
+mis{r} AS MATERIALIZED (SELECT v FROM mis{p} UNION ALL SELECT v FROM new{r}),
+und{r} AS MATERIALIZED (
+  SELECT u.v FROM und{p} u
+  WHERE u.v NOT IN (SELECT v FROM new{r})
+    AND u.v NOT IN (SELECT DISTINCT a.dst FROM adj a
+                    JOIN new{r} nw ON a.src = nw.v)
+)""")
+    R = MIS_ROUNDS
+    parts.append(f"""
+SELECT substr(v.v, 1, 1) AS side,
+       CAST(SUM(CASE WHEN m.v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_mis,
+       CAST(SUM(CASE WHEN m.v IS NULL AND u.v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_excluded,
+       CAST(SUM(CASE WHEN u.v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_undecided,
+       CAST(SUM(CASE WHEN m.v IS NOT NULL
+                THEN CAST(('0x' || substr(md5(v.v), 1, 8)) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS mis_checksum
+FROM verts v
+LEFT JOIN mis{R} m ON v.v = m.v
+LEFT JOIN und{R} u ON v.v = u.v
+GROUP BY 1 ORDER BY side""")
+    return "".join(parts)
+
+
+KG_MIS_SQL = _mis_sql()
+
+
 KG_GRAPHALG_QUERIES: dict[str, tuple] = {
     "kg_bfs_distance": (kg_bfs_distance, KG_BFS_SQL),
     "kg_hits": (kg_hits, KG_HITS_SQL),
     "kg_scc": (kg_scc, KG_SCC_SQL),
     "kg_hyperball_nf": (kg_hyperball_nf, KG_HYPERBALL_SQL),
+    "kg_mis": (kg_mis, KG_MIS_SQL),
 }

@@ -227,3 +227,62 @@ def test_hyperball_neighborhood_function_grows(spark):
     assert all(a.nf_est <= b.nf_est for a, b in zip(rows, rows[1:]))
     assert rows[-1].n_exact_balls < rows[-1].n_sources
     assert len(rows) == HB_ROUNDS + 1
+
+
+def _python_mis(edges):
+    """Brute-force Luby replay with the same md5 priorities."""
+    import hashlib
+
+    from csv_to_jsonld_processor_spark.kg.graphalgs import MIS_ROUNDS
+
+    def prio(v):
+        return hashlib.md5(f"MIS|{v}".encode()).hexdigest()
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    und = set(adj)
+    mis, excl = set(), set()
+    for _ in range(MIS_ROUNDS):
+        new = {v for v in und
+               if all(prio(v) < prio(u) for u in adj[v] if u in und)}
+        mis |= new
+        newexcl = {u for v in new for u in adj[v]} & und
+        und -= new | newexcl
+        excl |= newexcl - new
+    return mis, excl, und
+
+
+def test_mis_matches_python_recompute(spark, edges):
+    import hashlib
+
+    from csv_to_jsonld_processor_spark.kg.graphalgs import kg_mis
+
+    mis, excl, und = _python_mis(edges)
+    got = {r.side: (r.n_mis, r.n_excluded, r.n_undecided, r.mis_checksum)
+           for r in kg_mis(spark, SF).collect()}
+    for side in ("c", "p"):
+        cks = sum(int(hashlib.md5(v.encode()).hexdigest()[:8], 16)
+                  for v in mis if v[0] == side)
+        assert got[side] == (
+            sum(1 for v in mis if v[0] == side),
+            sum(1 for v in excl if v[0] == side),
+            sum(1 for v in und if v[0] == side),
+            cks,
+        )
+
+
+def test_mis_is_independent_and_maximal(spark, edges):
+    """The defining properties: no two MIS members are adjacent, and if
+    the rounds decided everything, every non-member has an MIS
+    neighbor (maximality)."""
+    mis, excl, und = _python_mis(edges)
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    assert all(not (adj[v] & mis) for v in mis)
+    assert len(mis) > 0
+    if not und:
+        assert all(adj[v] & mis for v in excl)
