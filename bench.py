@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "kg_hyperball_nf",
     "kg_transe_epoch",
     "kg_mis",
+    "events_sequence_motifs",
 ]
 
 

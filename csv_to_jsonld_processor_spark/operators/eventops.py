@@ -492,7 +492,101 @@ ORDER BY event_type
 """
 
 
+# --- event-sequence motif matching (MATCH_RECOGNIZE-lite CEP) ---------------
+
+# single-char alphabet for the per-user event string
+_SEQ_CHARS = {"click": "c", "error": "e", "purchase": "p",
+              "signup": "s", "view": "v"}
+# motifs restricted to leftmost-greedy-safe regex (literals, classes,
+# +/* quantifiers): Java (Spark) and RE2 (DuckDB) agree on the
+# non-overlapping match set for this fragment — no backrefs, no
+# lookaround, no lazy quantifiers, where the engines could diverge
+SEQ_MOTIFS = {
+    "browse_convert": "v[cv]*p",  # view, browsing noise, purchase
+    "error_burst": "ee+",         # 2+ consecutive errors
+    "signup_view": "sv",          # activation: signup then view
+    "view_convert": "v+p",        # straight view(s)-to-purchase
+}
+
+
+def events_sequence_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite complex-event detection: each user's event
+    history becomes an ordered single-char string (ts, event_id
+    tie-break), and each motif counts its non-overlapping leftmost
+    matches per user.  Output per motif: users matched, total
+    occurrences, and the per-user max — the conversion/error-burst
+    shape a behavioral pipeline alerts on.
+
+    Scale shape: ONE groupBy(user) building the sequence (sorted struct
+    fold, partial-aggregated), then stateless per-row regex counting —
+    no second shuffle; the 4-motif fan-out is a union of per-row
+    expressions over the same sequence table (localCheckpoint'd so the
+    sort-fold runs once).  Per-user state is the sequence string, which
+    a production topology bounds by sessionizing first
+    (streaming/events.py sessionize_*); the operator composes with
+    that gate unchanged — group on (user, session) instead."""
+    t = load_tables(spark, sf_dir)
+    ch = F.element_at(
+        F.create_map(*[F.lit(x) for kv in _SEQ_CHARS.items() for x in kv]),
+        F.col("event_type"),
+    )
+    seqs = (
+        t["events"]
+        .select("user_id", "ts", "event_id", ch.alias("ch"))
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ts", "event_id", "ch"))),
+                    lambda s: s["ch"],
+                ),
+                "",
+            ).alias("seq")
+        )
+        .localCheckpoint()
+    )
+    outs = []
+    for motif, pat in sorted(SEQ_MOTIFS.items()):
+        n = F.size(F.regexp_extract_all("seq", F.lit(pat), F.lit(0)))
+        outs.append(
+            seqs.select(n.alias("n"))
+            .agg(
+                F.sum((F.col("n") > 0).cast("int")).cast("long").alias("n_users"),
+                F.sum("n").cast("long").alias("n_occurrences"),
+                F.max("n").cast("long").alias("max_per_user"),
+            )
+            .select(F.lit(motif).alias("motif"), "*")
+        )
+    out = outs[0]
+    for df in outs[1:]:
+        out = out.unionByName(df)
+    return out.orderBy("motif")
+
+
+def _seq_motifs_sql() -> str:
+    ch_case = "CASE event_type " + " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in _SEQ_CHARS.items()
+    ) + " END"
+    vals = ", ".join(f"('{m}', '{p}')" for m, p in sorted(SEQ_MOTIFS.items()))
+    return f"""
+WITH seqs AS (
+  SELECT user_id, string_agg({ch_case}, '' ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY user_id
+), m(motif, pat) AS (VALUES {vals}),
+cnt AS (
+  SELECT m.motif, len(regexp_extract_all(s.seq, m.pat)) AS n
+  FROM seqs s CROSS JOIN m
+)
+SELECT motif,
+       CAST(SUM(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_users,
+       CAST(SUM(n) AS BIGINT) AS n_occurrences,
+       CAST(MAX(n) AS BIGINT) AS max_per_user
+FROM cnt GROUP BY motif ORDER BY motif
+"""
+
+
 EVENTOPS_QUERIES: dict[str, tuple] = {
+    "events_sequence_motifs": (events_sequence_motifs, _seq_motifs_sql()),
     "events_drift_tv": (events_drift_tv, EVENTS_DRIFT_SQL),
     "events_type_transitions": (events_type_transitions, EVENTS_TRANSITIONS_SQL),
     "events_props_variant": (events_props_variant, EVENTS_PROPS_VARIANT_SQL),

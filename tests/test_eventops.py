@@ -150,3 +150,42 @@ def test_drift_tv_fires_on_planted_shift(spark):
     # second half moved entirely out of buckets 0-2 into 3-6: TV = 100%
     assert hot.tv_bp >= 7000
     assert hot.top_drift_bucket in (0, 1, 2, 4, 5, 6)
+
+
+def test_sequence_motifs_match_python_regex_replay(spark):
+    """Per-user sequence reconstruction + Python re.findall replay; also
+    pins the leftmost-greedy non-overlap semantics both engines must
+    share (an 'eee' run is ONE error_burst match, not two)."""
+    import re
+
+    from csv_to_jsonld_processor_spark.operators.eventops import (
+        _SEQ_CHARS,
+        SEQ_MOTIFS,
+        events_sequence_motifs,
+    )
+    from csv_to_jsonld_processor_spark.session import load_tables
+
+    sf = "/root/testdata/sf0.001"
+    rows = load_tables(spark, sf)["events"].select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(
+            (r.ts, r.event_id, _SEQ_CHARS[r.event_type])
+        )
+    seqs = {u: "".join(ch for _, _, ch in sorted(v)) for u, v in by_user.items()}
+    expected = {}
+    for motif, pat in SEQ_MOTIFS.items():
+        counts = [len(re.findall(pat, s)) for s in seqs.values()]
+        expected[motif] = (
+            sum(1 for n in counts if n > 0), sum(counts), max(counts),
+        )
+    got = {
+        r.motif: (r.n_users, r.n_occurrences, r.max_per_user)
+        for r in events_sequence_motifs(spark, sf).collect()
+    }
+    assert got == expected
+    # non-degenerate: every motif fires somewhere at sf0.001
+    assert all(v[1] > 0 for v in got.values())
+    assert len(re.findall(SEQ_MOTIFS["error_burst"], "eee")) == 1
