@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "kg_transe_epoch",
     "kg_mis",
     "events_sequence_motifs",
+    "kg_sssp_weighted",
 ]
 
 

@@ -594,10 +594,100 @@ GROUP BY 1 ORDER BY side""")
 KG_MIS_SQL = _mis_sql()
 
 
+SSSP_ROUNDS = 6   # Bellman-Ford supersteps: exact ≤R-hop shortest distance
+SSSP_WMOD = 9     # edge weights 1..9, md5-derived (deterministic attribute)
+
+
+def kg_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source-set shortest paths by {SSSP_ROUNDS}
+    Bellman-Ford supersteps over the purchase graph (integer edge
+    weights 1..{SSSP_WMOD}, md5-derived per undirected edge — the
+    deterministic stand-in for a cost attribute).  Distances after R
+    rounds are the EXACT ≤R-hop shortest distances — a well-defined
+    deterministic object both engines unroll identically, exactly like
+    the BFS hop histogram above; unreached vertices report -1.
+
+    Output: (side, dist, n_vertices) histogram — weighted distances
+    spread into ~{SSSP_ROUNDS}×{SSSP_WMOD} buckets, so the histogram is
+    a far sharper fingerprint of the relaxation than reach counts.
+
+    Scale shape: identical to BFS — per round ONE equi-join (distance
+    table probing adjacency) + ONE min-groupBy, INT min is order-free,
+    only the frontier table moves; weights are recomputed expressions
+    riding the join, never stored state."""
+    e = _purchase_edges(spark, sf_dir)
+    w = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws("|", "a", "b")), 1, 8), 16, 10
+        ).cast("long") % SSSP_WMOD + 1
+    )
+    ew = e.select("a", "b", w.alias("w"))
+    adj = (
+        ew.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w")
+        .unionAll(ew.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w"))
+        .localCheckpoint()
+    )
+    verts = adj.select(F.col("src").alias("v")).distinct().localCheckpoint()
+    dist = verts.where(F.expr(_SEED_PRED)).withColumn("d", F.lit(0).cast("long"))
+    for _ in range(SSSP_ROUNDS):
+        hop = (
+            adj.join(dist, adj.src == dist.v)
+            .select(F.col("dst").alias("v"), (F.col("d") + F.col("w")).alias("d"))
+        )
+        dist = (
+            dist.unionByName(hop).groupBy("v").agg(F.min("d").alias("d"))
+            .localCheckpoint()
+        )
+    full = verts.join(dist, "v", "left").select(
+        "v", F.coalesce(F.col("d"), F.lit(-1)).alias("d")
+    )
+    return (
+        full.groupBy(
+            F.substring("v", 1, 1).alias("side"), F.col("d").cast("int").alias("dist")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vertices"))
+        .orderBy("side", "dist")
+    )
+
+
+def _sssp_sql() -> str:
+    w_sql = ("(CAST(('0x' || substr(md5(a || '|' || b), 1, 8)) AS BIGINT)"
+             f" % {SSSP_WMOD} + 1)")
+    parts = [f"""
+WITH e0 AS MATERIALIZED ({_EDGE_SQL}),
+ew AS MATERIALIZED (SELECT a, b, {w_sql} AS w FROM e0),
+adj AS MATERIALIZED (
+  SELECT a AS src, b AS dst, w FROM ew UNION ALL SELECT b, a, w FROM ew
+),
+verts AS MATERIALIZED (SELECT DISTINCT src AS v FROM adj),
+d0 AS MATERIALIZED (SELECT v, CAST(0 AS BIGINT) AS d FROM verts WHERE {_SEED_PRED})"""]
+    for r in range(1, SSSP_ROUNDS + 1):
+        p = r - 1
+        parts.append(f""",
+d{r} AS MATERIALIZED (
+  SELECT v, MIN(d) AS d FROM (
+    SELECT v, d FROM d{p}
+    UNION ALL
+    SELECT a.dst AS v, dd.d + a.w AS d FROM adj a JOIN d{p} dd ON a.src = dd.v
+  ) GROUP BY v
+)""")
+    parts.append(f"""
+SELECT substr(vv.v, 1, 1) AS side,
+       CAST(COALESCE(dd.d, -1) AS INT) AS dist,
+       CAST(COUNT(*) AS BIGINT) AS n_vertices
+FROM verts vv LEFT JOIN d{SSSP_ROUNDS} dd ON vv.v = dd.v
+GROUP BY 1, 2 ORDER BY side, dist""")
+    return "".join(parts)
+
+
+KG_SSSP_SQL = _sssp_sql()
+
+
 KG_GRAPHALG_QUERIES: dict[str, tuple] = {
     "kg_bfs_distance": (kg_bfs_distance, KG_BFS_SQL),
     "kg_hits": (kg_hits, KG_HITS_SQL),
     "kg_scc": (kg_scc, KG_SCC_SQL),
     "kg_hyperball_nf": (kg_hyperball_nf, KG_HYPERBALL_SQL),
     "kg_mis": (kg_mis, KG_MIS_SQL),
+    "kg_sssp_weighted": (kg_sssp_weighted, KG_SSSP_SQL),
 }

@@ -286,3 +286,43 @@ def test_mis_is_independent_and_maximal(spark, edges):
     assert len(mis) > 0
     if not und:
         assert all(adj[v] & mis for v in excl)
+
+
+def test_sssp_weighted_matches_python_bellman_ford(spark, edges):
+    """DP replay of the bounded-hop relaxation: dist_r(v) =
+    min(dist_{r-1}(v), min over edges (dist_{r-1}(u) + w))."""
+    import hashlib
+
+    from csv_to_jsonld_processor_spark.kg.graphalgs import (
+        SSSP_ROUNDS,
+        SSSP_WMOD,
+        kg_sssp_weighted,
+    )
+
+    def w(a, b):
+        return int(hashlib.md5(f"{a}|{b}".encode()).hexdigest()[:8], 16) \
+            % SSSP_WMOD + 1
+
+    adj = defaultdict(list)
+    for a, b in edges:
+        adj[a].append((b, w(a, b)))
+        adj[b].append((a, w(a, b)))
+    dist = {v: 0 for v in adj
+            if v.startswith("c") and int(v[1:]) % BFS_SEED_MOD == 0}
+    for _ in range(SSSP_ROUNDS):
+        nxt = dict(dist)
+        for u, d in dist.items():
+            for v, ww in adj[u]:
+                if v not in nxt or d + ww < nxt[v]:
+                    nxt[v] = d + ww
+        dist = nxt
+    hist = defaultdict(int)
+    for v in adj:
+        hist[(v[0], dist.get(v, -1))] += 1
+    got = {(r.side, r.dist): r.n_vertices
+           for r in kg_sssp_weighted(spark, SF).collect()}
+    assert got == dict(hist)
+    # weighted histogram must be strictly richer than hop counts: more
+    # distinct finite distances than BFS rounds
+    finite = {d for (_s, d) in got if d >= 0}
+    assert len(finite) > SSSP_ROUNDS + 1
