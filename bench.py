@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "kg_mis",
     "events_sequence_motifs",
     "kg_sssp_weighted",
+    "kg_sparql_path_nps",
 ]
 
 

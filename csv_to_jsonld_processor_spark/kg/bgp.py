@@ -668,7 +668,42 @@ def path_rel(edges: DataFrame, expr) -> DataFrame:
         return a.join(b, on="_mid", how="inner").select("src", "dst").dropDuplicates()
     if kind == "plus":
         return _closure_of_step(path_rel(edges, expr[1]).localCheckpoint())
+    if kind == "nps":
+        # !(p1|...|pn): one hop over any predicate NOT in the set —
+        # still a single pred-pruned scan, the filter just negates
+        return (
+            edges.where(~F.col("pred").isin(list(expr[1])))
+            .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+            .dropDuplicates()
+        )
+    if kind == "star":
+        # e* = identity over the graph's node set ∪ e+ (SPARQL 1.1
+        # ZeroOrMorePath: zero-length paths relate every RDF term in
+        # the graph to itself)
+        return (
+            _nodes_identity(edges)
+            .unionByName(path_rel(edges, ("plus", expr[1])))
+            .dropDuplicates()
+        )
+    if kind == "opt":
+        # e? = identity ∪ e (ZeroOrOnePath)
+        return (
+            _nodes_identity(edges)
+            .unionByName(path_rel(edges, expr[1]))
+            .dropDuplicates()
+        )
     raise ValueError(f"unknown path form {kind!r}")
+
+
+def _nodes_identity(edges: DataFrame) -> DataFrame:
+    """(x, x) for every node of the graph — the zero-length path
+    relation shared by ``e*`` and ``e?``."""
+    return (
+        edges.select(F.col("subj").alias("src"))
+        .unionByName(edges.select(F.col("obj").alias("src")))
+        .dropDuplicates()
+        .select("src", F.col("src").alias("dst"))
+    )
 
 
 # two expressions exercising every algebra form:
@@ -722,6 +757,79 @@ p2 AS (SELECT DISTINCT w.src, res.dst FROM w JOIN res ON w.dst = res.src)
 SELECT '(acquired|partner)+/headquarters' AS path, src, dst FROM p1
 UNION ALL
 SELECT '^worksFor/residence', src, dst FROM p2
+ORDER BY path, src, dst
+"""
+
+
+# the remaining SPARQL 1.1 path forms: negated property set, */?
+#   p3 = !(worksFor|residence|birthPlace)   — every non-person-fact hop
+#   p4 = acquired*/headquarters             — own HQ or any transitive
+#        acquisition's HQ (star's zero-length identity matters: nodes
+#        with their own hq edge appear even with no acquisitions)
+#   p5 = partner?                            — identity ∪ partner
+PATH_ALGEBRA2: list[tuple[str, tuple]] = [
+    ("!(worksFor|residence|birthPlace)",
+     ("nps", [TERMS + "worksFor", TERMS + "residence", TERMS + "birthPlace"])),
+    ("acquired*/headquarters",
+     ("seq", ("star", ("pred", TERMS + "acquired")),
+      ("pred", TERMS + "headquarters"))),
+    ("partner?", ("opt", ("pred", TERMS + "partner"))),
+]
+
+
+def kg_sparql_path_nps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three remaining SPARQL 1.1 path forms — negated property
+    set, ZeroOrMorePath, ZeroOrOnePath — as one labeled pair table,
+    completing the grammar with PATH_ALGEBRA (pred ^ | / +)."""
+    from .queries import kg_webtext_edges
+
+    edges = kg_webtext_edges(spark, sf_dir)
+    parts = [
+        path_rel(edges, expr).select(F.lit(label).alias("path"), "src", "dst")
+        for label, expr in PATH_ALGEBRA2
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("path", "src", "dst")
+
+
+def _path_nps_sql() -> str:
+    from .queries import _GOLDEN_EDGES
+
+    # NOTE: the transitive closure is scoped as a NESTED WITH RECURSIVE
+    # (the _path_algebra_sql pattern) — under a top-level WITH RECURSIVE,
+    # DuckDB 1.0 stops deduplicating UNION in the non-recursive sibling
+    # CTEs (observed: `nodes` and `p5` returned bag semantics), which
+    # silently breaks the set algebra the oracle must mirror.
+    return f"""
+WITH
+e AS (SELECT * FROM read_csv('{_GOLDEN_EDGES}', header=true, all_varchar=true)),
+nodes AS (SELECT DISTINCT subj AS x FROM e UNION SELECT DISTINCT obj FROM e),
+nps AS (SELECT DISTINCT subj AS src, obj AS dst FROM e
+        WHERE pred NOT IN ('{TERMS}worksFor', '{TERMS}residence',
+                           '{TERMS}birthPlace')),
+acq AS (SELECT DISTINCT subj AS src, obj AS dst FROM e
+        WHERE pred = '{TERMS}acquired'),
+tc AS (
+  WITH RECURSIVE r(src, dst) AS (
+    SELECT src, dst FROM acq
+    UNION
+    SELECT r.src, a.dst FROM r JOIN acq a ON r.dst = a.src
+  ) SELECT * FROM r
+),
+star AS (SELECT x AS src, x AS dst FROM nodes UNION SELECT src, dst FROM tc),
+hq AS (SELECT DISTINCT subj AS src, obj AS dst FROM e
+       WHERE pred = '{TERMS}headquarters'),
+p4 AS (SELECT DISTINCT s.src, hq.dst FROM star s JOIN hq ON s.dst = hq.src),
+par AS (SELECT DISTINCT subj AS src, obj AS dst FROM e
+        WHERE pred = '{TERMS}partner'),
+p5 AS (SELECT x AS src, x AS dst FROM nodes UNION SELECT src, dst FROM par)
+SELECT '!(worksFor|residence|birthPlace)' AS path, src, dst FROM nps
+UNION ALL
+SELECT 'acquired*/headquarters', src, dst FROM p4
+UNION ALL
+SELECT 'partner?', src, dst FROM p5
 ORDER BY path, src, dst
 """
 
@@ -1338,4 +1446,5 @@ KG_BGP_QUERIES: dict[str, tuple] = {
     "kg_sparql_agg": (kg_sparql_agg, _agg_sql()),
     "kg_sparql_path": (kg_sparql_path, _path_sql()),
     "kg_sparql_path_closure": (kg_sparql_path_closure, _path_closure_sql()),
+    "kg_sparql_path_nps": (kg_sparql_path_nps, _path_nps_sql()),
 }

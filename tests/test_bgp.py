@@ -555,3 +555,41 @@ def test_path_algebra_forms(quads):
     assert ("a", "a") in plus and ("a", "c") in plus and ("c", "a") not in plus
     with pytest.raises(ValueError, match="unknown path form"):
         path_rel(g, ("star", ("pred", "n")))
+
+
+def test_path_rel_nps_star_opt(spark, edges):
+    """The remaining SPARQL 1.1 path forms against hand-computed sets
+    on the toy graph: negated property set is a single negated hop;
+    star/opt include the zero-length identity over EVERY graph node."""
+    from csv_to_jsonld_processor_spark.kg.bgp import path_rel
+
+    nodes = sorted({s for s, _p, _o in EDGES} | {o for _s, _p, o in EDGES})
+    ident = {(x, x) for x in nodes}
+
+    got = {tuple(r) for r in path_rel(
+        edges, ("nps", ["knows"])).collect()}
+    assert got == {(s, o) for s, p, o in EDGES if p != "knows"}
+
+    got = {tuple(r) for r in path_rel(
+        edges, ("opt", ("pred", "worksFor"))).collect()}
+    assert got == ident | {(s, o) for s, p, o in EDGES if p == "worksFor"}
+
+    # knows* = identity ∪ knows+ ; a can reach itself, b, c
+    got = {tuple(r) for r in path_rel(
+        edges, ("star", ("pred", "knows"))).collect()}
+    assert got == ident | {("a", "b"), ("a", "c"), ("b", "c")}
+
+    # star's identity matters downstream: worksFor?/locatedIn includes
+    # plain locatedIn pairs (zero-length prefix) alongside the 2-hop
+    got = {tuple(r) for r in path_rel(
+        edges,
+        ("seq", ("opt", ("pred", "worksFor")), ("pred", "locatedIn")),
+    ).collect()}
+    assert ("acme", "berlin") in got      # zero-length worksFor
+    assert ("c", "berlin") in got         # one-hop worksFor then locatedIn
+    assert ("a", "paris") in got
+
+    # self-loop node: star over 'self' keeps (loop, loop) exactly once
+    got = [tuple(r) for r in path_rel(
+        edges, ("star", ("pred", "self"))).collect()]
+    assert got.count(("loop", "loop")) == 1
