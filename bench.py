@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "events_sequence_motifs",
     "kg_sssp_weighted",
     "kg_sparql_path_nps",
+    "kg_ktruss",
 ]
 
 

@@ -326,3 +326,54 @@ def test_sssp_weighted_matches_python_bellman_ford(spark, edges):
     # distinct finite distances than BFS rounds
     finite = {d for (_s, d) in got if d >= 0}
     assert len(finite) > SSSP_ROUNDS + 1
+
+
+def test_ktruss_matches_python_peel(spark, edges):
+    """Python replay of the capped projection + fixed-round peel, plus
+    the truss property itself when the trajectory has converged."""
+    from itertools import combinations
+
+    from csv_to_jsonld_processor_spark.kg.graphalgs import (
+        KTRUSS_DEG_CAP,
+        KTRUSS_K,
+        KTRUSS_ROUNDS,
+        kg_ktruss,
+    )
+
+    by_cust = defaultdict(set)
+    for a, b in edges:
+        by_cust[a].add(b)
+    und = set()
+    for _c, parts in by_cust.items():
+        if len(parts) > KTRUSS_DEG_CAP:
+            continue
+        for p1, p2 in combinations(sorted(parts), 2):
+            und.add((p1, p2))
+
+    def stats(es):
+        nbr = defaultdict(set)
+        for a, b in es:
+            nbr[a].add(b)
+            nbr[b].add(a)
+        sup = defaultdict(int)
+        for a, b in es:
+            for w in nbr[a] & nbr[b]:
+                sup[(a, b)] += 1
+        n_tri = sum(sup.values()) // 3
+        return sup, n_tri, len({v for e in es for v in e})
+
+    expected = []
+    for r in range(KTRUSS_ROUNDS + 1):
+        sup, n_tri, n_v = stats(und)
+        expected.append((r, len(und), n_v, n_tri))
+        if r < KTRUSS_ROUNDS:
+            und = {e for e in und if sup.get(e, 0) >= KTRUSS_K - 2}
+    got = [(r.round, r.n_edges, r.n_vertices, r.n_triangles)
+           for r in kg_ktruss(spark, SF).collect()]
+    assert got == expected
+    # truss property at the fixpoint: every surviving edge keeps >= K-2
+    # support (holds whenever the last two rounds agree)
+    if expected[-1] == expected[-2]:
+        sup, _, _ = stats(und)
+        assert all(sup.get(e, 0) >= KTRUSS_K - 2 for e in und)
+    assert expected[0][1] > expected[-1][1], "no edge ever peeled — vacuous"
