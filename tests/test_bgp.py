@@ -554,7 +554,7 @@ def test_path_algebra_forms(quads):
     plus = rel(("plus", ("alt", ("pred", "n"), ("pred", "m"))))
     assert ("a", "a") in plus and ("a", "c") in plus and ("c", "a") not in plus
     with pytest.raises(ValueError, match="unknown path form"):
-        path_rel(g, ("star", ("pred", "n")))
+        path_rel(g, ("bogus", ("pred", "n")))
 
 
 def test_path_rel_nps_star_opt(spark, edges):
