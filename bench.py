@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "kg_sssp_weighted",
     "kg_sparql_path_nps",
     "kg_ktruss",
+    "parts_skyline",
 ]
 
 

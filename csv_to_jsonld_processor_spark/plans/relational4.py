@@ -341,7 +341,63 @@ ORDER BY event_id
 """
 
 
+def parts_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): parts not dominated on (minimize
+    p_retailprice, maximize p_size) — dominated means another part is
+    better-or-equal in both dimensions and strictly better in one.
+    Ties on BOTH dimensions are mutually non-dominating, so all tied
+    rows stay.
+
+    Lowering (Börzsönyi et al.'s sort-filter skyline as pure relational
+    algebra): ONE partial-aggregated groupBy collapses the data to the
+    (price → max size, and the max-size tie count) domain table, a
+    strict-predecessor running max over that domain marks the frontier
+    prices, and one equi-join pulls the surviving rows back out.  The
+    global window sorts the aggregated DOMAIN (|distinct prices|, not
+    |rows|) — at 100 TB the window input is already bounded by the
+    attribute domain, which is the entire scalability trick."""
+    from pyspark.sql import Window
+
+    parts = load_tables(spark, sf_dir)["part"].select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    dom = parts.groupBy("p_retailprice").agg(F.max("p_size").alias("gmax"))
+    w = Window.orderBy("p_retailprice").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    frontier = (
+        dom.withColumn("pmax", F.max("gmax").over(w))
+        .where(F.col("pmax").isNull() | (F.col("gmax") > F.col("pmax")))
+        .select("p_retailprice", "gmax")
+    )
+    return (
+        parts.join(frontier, "p_retailprice")
+        .where(F.col("p_size") == F.col("gmax"))
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_retailprice", "p_partkey")
+    )
+
+
+SKYLINE_SQL = """
+WITH dom AS (
+  SELECT p_retailprice, MAX(p_size) AS gmax
+  FROM part GROUP BY p_retailprice
+), frontier AS (
+  SELECT p_retailprice, gmax,
+         MAX(gmax) OVER (ORDER BY p_retailprice
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS pmax
+  FROM dom
+)
+SELECT p.p_partkey, p.p_retailprice, p.p_size
+FROM part p JOIN frontier f ON p.p_retailprice = f.p_retailprice
+WHERE p.p_size = f.gmax AND (f.pmax IS NULL OR f.gmax > f.pmax)
+ORDER BY p.p_retailprice, p.p_partkey
+"""
+
+
 RELATIONAL4_QUERIES: dict[str, tuple] = {
+    "parts_skyline": (parts_skyline, SKYLINE_SQL),
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
     "q11_important_stock": (q11_important_stock, Q11_SQL),
     "q12_late_shipments": (q12_late_shipments, Q12_SQL),
