@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "kg_sparql_path_nps",
     "kg_ktruss",
     "parts_skyline",
+    "events_exact_median",
 ]
 
 

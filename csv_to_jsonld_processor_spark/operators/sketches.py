@@ -434,7 +434,76 @@ FROM stats
 """
 
 
+def events_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distributed rank selection — the exact twin the
+    approx-quantile sketch above is measured against, as its own
+    scalable operator: per event_type, the lower median (and p90) of
+    value, computed WITHOUT sorting the data.
+
+    Plan: quantize to integer cents, ONE partial-aggregated groupBy
+    collapses the scan to the (type, cents) DOMAIN histogram, a
+    cumulative window over that bounded domain finds the smallest value
+    whose running count reaches the rank.  The global sort touches
+    |distinct cents| rows per group — bounded by the value domain, not
+    the event count — the same domain-compression trick as
+    parts_skyline.  Rank definition (smallest v with cum ≥ ⌈n/2⌉, no
+    interpolation) is engine-neutral; quantization makes the groupBy
+    key exact cross-engine (both engines round the same IEEE double)."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
+    hist = (
+        t["events"]
+        .groupBy(F.col("event_type"), cents.alias("vc"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("event_type").orderBy("vc") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy("event_type")
+    ranked = hist.select(
+        "event_type", "vc",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(tot).alias("n"),
+    )
+    med_rank = F.ceil(F.col("n") / 2)
+    p90_rank = F.ceil(F.col("n") * 9 / 10)
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.min(F.when(F.col("cum") >= med_rank, F.col("vc")))
+            .cast("long").alias("median_cents"),
+            F.min(F.when(F.col("cum") >= p90_rank, F.col("vc")))
+            .cast("long").alias("p90_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_EXACT_MEDIAN_SQL = """
+WITH hist AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS vc, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT event_type, vc,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY vc
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM hist
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n,
+       CAST(MIN(CASE WHEN cum >= CEIL(n / 2.0) THEN vc END) AS BIGINT)
+         AS median_cents,
+       CAST(MIN(CASE WHEN cum >= CEIL(n * 9 / 10.0) THEN vc END) AS BIGINT)
+         AS p90_cents
+FROM ranked GROUP BY event_type ORDER BY event_type
+"""
+
+
 SKETCH_QUERIES: dict[str, tuple] = {
+    "events_exact_median": (events_exact_median, EVENTS_EXACT_MEDIAN_SQL),
     "orders_bloom_semijoin": (orders_bloom_semijoin, ORDERS_BLOOM_SQL),
     "events_daily_users_sketch": (events_daily_users_sketch, EVENTS_SKETCH_SQL),
     "events_value_quantile_sketch": (events_value_quantile_sketch, EVENTS_QUANTILE_SKETCH_SQL),

@@ -127,3 +127,29 @@ def test_bloom_semijoin_matches_python_and_theory(spark):
     realized = got.n_false_pos_keys / (got.n_probe_keys - got.n_true_keys)
     assert realized <= 2 * theory + 0.01, (realized, theory)
     assert got.n_pass_rows * 5 < got.n_probe_rows, "reduction must be real"
+
+
+def test_exact_median_matches_sorted_selection(spark):
+    """Brute-force: sort each type's quantized values and index the
+    rank directly — the domain-compressed window selection must agree."""
+    import math
+
+    from csv_to_jsonld_processor_spark.operators.sketches import (
+        events_exact_median,
+    )
+    from csv_to_jsonld_processor_spark.session import load_tables
+
+    sf = "/root/testdata/sf0.001"
+    rows = load_tables(spark, sf)["events"].select("event_type", "value").collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(round(r.value * 100))
+    expected = {}
+    for t, vs in by_type.items():
+        vs.sort()
+        n = len(vs)
+        expected[t] = (n, vs[math.ceil(n / 2) - 1],
+                       vs[math.ceil(n * 9 / 10) - 1])
+    got = {r.event_type: (r.n, r.median_cents, r.p90_cents)
+           for r in events_exact_median(spark, sf).collect()}
+    assert got == expected

@@ -44,6 +44,16 @@ DEFAULT_QUERIES = [
     "kg_rule_closure_incremental",
     "kg_sparql_graph",
     "fixture_jsonld_reload",
+    # round-5 session-6 additions
+    "kg_turtle_roundtrip",
+    "kg_hyperball_nf",
+    "kg_transe_epoch",
+    "kg_mis",
+    "kg_sssp_weighted",
+    "kg_ktruss",
+    "events_sequence_motifs",
+    "parts_skyline",
+    "events_exact_median",
 ]
 
 
