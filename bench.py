@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "kg_ktruss",
     "parts_skyline",
     "events_exact_median",
+    "kg_temporal_reachability",
 ]
 
 

@@ -501,7 +501,112 @@ GROUP BY pred, t ORDER BY pred, t
 """
 
 
+TEMPORAL_ROUNDS = 4  # earliest-arrival supersteps
+TEMPORAL_SEED_MOD = 3  # md5 gate selecting ~1/3 of entities as sources
+
+
+def kg_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-respecting (temporal) reachability over the recrawl
+    observation stream: each observation is a temporal edge
+    (subj → obj, t = crawl_ts) usable only at a time ≥ your arrival at
+    its source — the earliest-arrival-path kernel of temporal graph
+    analysis (information/contagion propagation: a fact observed
+    BEFORE you reached its subject cannot carry you forward).
+
+    arr(v) starts 0 on the md5-sampled seed entities and relaxes
+    {TEMPORAL_ROUNDS} supersteps of
+    ``arr'(v) = min(arr(v), min{{t : (u,v,t) ∈ E, t ≥ arr(u)}})`` —
+    integer epoch seconds, order-free min-merge, both engines unroll
+    identically.  Output: every entity with its earliest arrival epoch
+    (-1 = temporally unreachable even if statically connected — the
+    distinction this operator exists to draw).
+
+    Scale shape: per superstep ONE equi-join of the arrival table
+    against the temporal edge list (the t ≥ arr(u) bound rides the join
+    condition) + ONE min-groupBy; identical cost model to the static
+    BFS, state is one row per vertex.
+
+    Oracle: golden CSV = the RAW observation stream; DuckDB re-derives
+    edges, seeds, and all rounds independently."""
+    from ..sources.pages import generate_recrawls
+
+    obs = generate_recrawls(spark, N_RECRAWL_URLS, seed=42, partitions=8)
+    edges = (
+        obs.select(
+            F.col("subj").alias("u"), F.col("obj").alias("v"),
+            F.col("crawl_ts_epoch").cast("long").alias("t"),
+        )
+        .dropDuplicates()
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .dropDuplicates()
+        .localCheckpoint()
+    )
+    gate = F.conv(F.substring(F.md5("node"), 1, 4), 16, 10).cast("long")
+    arr = nodes.where(gate % TEMPORAL_SEED_MOD == 0).select(
+        "node", F.lit(0).cast("long").alias("d")
+    )
+    for _ in range(TEMPORAL_ROUNDS):
+        relax = (
+            edges.join(arr, (edges.u == arr.node) & (edges.t >= arr.d))
+            .select(F.col("v").alias("node"), F.col("t").alias("d"))
+        )
+        arr = (
+            arr.unionByName(relax).groupBy("node").agg(F.min("d").alias("d"))
+            .localCheckpoint()
+        )
+    return (
+        nodes.join(arr, "node", "left")
+        .select("node", F.coalesce(F.col("d"), F.lit(-1)).alias("arrival_epoch"))
+        .orderBy("node")
+    )
+
+
+def _temporal_reach_sql() -> str:
+    parts = [f"""
+WITH obs AS MATERIALIZED (
+  SELECT * FROM read_csv('{_GOLDEN_RECRAWLS}', header=true, all_varchar=true)
+),
+edges AS MATERIALIZED (
+  SELECT DISTINCT subj AS u, obj AS v, CAST(crawl_ts_epoch AS BIGINT) AS t
+  FROM obs
+),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT u AS node FROM edges UNION SELECT DISTINCT v FROM edges
+),
+a0 AS MATERIALIZED (
+  SELECT node, CAST(0 AS BIGINT) AS d FROM nodes
+  WHERE CAST(('0x' || substr(md5(node), 1, 4)) AS BIGINT)
+        % {TEMPORAL_SEED_MOD} = 0
+)"""]
+    for r in range(1, TEMPORAL_ROUNDS + 1):
+        p = r - 1
+        parts.append(f""",
+a{r} AS MATERIALIZED (
+  SELECT node, MIN(d) AS d FROM (
+    SELECT node, d FROM a{p}
+    UNION ALL
+    SELECT e.v AS node, e.t AS d
+    FROM edges e JOIN a{p} aa ON e.u = aa.node AND e.t >= aa.d
+  ) GROUP BY node
+)""")
+    parts.append(f"""
+SELECT n.node, COALESCE(a.d, -1) AS arrival_epoch
+FROM nodes n LEFT JOIN a{TEMPORAL_ROUNDS} a ON n.node = a.node
+ORDER BY n.node""")
+    return "".join(parts)
+
+
+KG_TEMPORAL_REACH_SQL = _temporal_reach_sql()
+
+
 KG_REASONING_QUERIES: dict[str, tuple] = {
+    "kg_temporal_reachability": (
+        kg_temporal_reachability, KG_TEMPORAL_REACH_SQL,
+    ),
     "kg_facts_asof": (kg_facts_asof, KG_ASOF_SQL),
     "kg_type_inference": (kg_type_inference, KG_TYPE_INFERENCE_SQL),
     "kg_functional_conflicts": (kg_functional_conflicts, KG_FUNCTIONAL_CONFLICTS_SQL),

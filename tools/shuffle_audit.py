@@ -54,6 +54,7 @@ DEFAULT_QUERIES = [
     "events_sequence_motifs",
     "parts_skyline",
     "events_exact_median",
+    "kg_temporal_reachability",
 ]
 
 
