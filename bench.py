@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "parts_skyline",
     "events_exact_median",
     "kg_temporal_reachability",
+    "customer_kanonymity",
 ]
 
 

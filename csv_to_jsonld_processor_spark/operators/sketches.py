@@ -502,7 +502,69 @@ FROM ranked GROUP BY event_type ORDER BY event_type
 """
 
 
+KANON_BUCKET = 2000  # acctbal bucket width forming the numeric QI
+
+
+def customer_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit — the privacy gate a training-
+    data pipeline runs before releasing quasi-identified records
+    (complements the per-document PII scan): with quasi-identifiers
+    (nation, account-balance bucket) and market segment as the
+    sensitive attribute, report the equivalence-class-size histogram
+    with, per size, how many classes, how many rows, and the WORST
+    (minimum) sensitive-value diversity.  The dataset's k is the
+    smallest class_size row; rows in small classes are the
+    re-identification surface a release would have to suppress or
+    generalize.
+
+    Scale shape: ONE partial-aggregated groupBy on the QI key (carrying
+    a countDistinct of the sensitive attribute), then a bounded
+    second aggregation over the class-size domain — no row-level data
+    ever shuffles twice."""
+    t = load_tables(spark, sf_dir)
+    qi = t["customer"].select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / KANON_BUCKET).cast("long").alias("bal_bucket"),
+        "c_mktsegment",
+    )
+    classes = qi.groupBy("c_nationkey", "bal_bucket").agg(
+        F.count(F.lit(1)).alias("class_size"),
+        F.countDistinct("c_mktsegment").alias("l_div"),
+    )
+    return (
+        classes.groupBy("class_size")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.min("l_div").cast("long").alias("min_l_diversity"),
+        )
+        .select(
+            F.col("class_size").cast("long").alias("class_size"),
+            "n_classes",
+            (F.col("n_classes") * F.col("class_size")).cast("long").alias("n_rows"),
+            "min_l_diversity",
+        )
+        .orderBy("class_size")
+    )
+
+
+CUSTOMER_KANON_SQL = f"""
+WITH classes AS (
+  SELECT c_nationkey, CAST(FLOOR(c_acctbal / {KANON_BUCKET}) AS BIGINT)
+           AS bal_bucket,
+         COUNT(*) AS class_size,
+         COUNT(DISTINCT c_mktsegment) AS l_div
+  FROM customer GROUP BY 1, 2
+)
+SELECT CAST(class_size AS BIGINT) AS class_size,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(COUNT(*) * class_size AS BIGINT) AS n_rows,
+       CAST(MIN(l_div) AS BIGINT) AS min_l_diversity
+FROM classes GROUP BY class_size ORDER BY class_size
+"""
+
+
 SKETCH_QUERIES: dict[str, tuple] = {
+    "customer_kanonymity": (customer_kanonymity, CUSTOMER_KANON_SQL),
     "events_exact_median": (events_exact_median, EVENTS_EXACT_MEDIAN_SQL),
     "orders_bloom_semijoin": (orders_bloom_semijoin, ORDERS_BLOOM_SQL),
     "events_daily_users_sketch": (events_daily_users_sketch, EVENTS_SKETCH_SQL),

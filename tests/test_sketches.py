@@ -153,3 +153,37 @@ def test_exact_median_matches_sorted_selection(spark):
     got = {r.event_type: (r.n, r.median_cents, r.p90_cents)
            for r in events_exact_median(spark, sf).collect()}
     assert got == expected
+
+
+def test_kanonymity_matches_python_replay(spark):
+    from collections import Counter, defaultdict
+
+    from csv_to_jsonld_processor_spark.operators.sketches import (
+        KANON_BUCKET,
+        customer_kanonymity,
+    )
+    from csv_to_jsonld_processor_spark.session import load_tables
+
+    sf = "/root/testdata/sf0.001"
+    import math
+
+    rows = load_tables(spark, sf)["customer"].select(
+        "c_nationkey", "c_acctbal", "c_mktsegment"
+    ).collect()
+    seg = defaultdict(set)
+    size = Counter()
+    for r in rows:
+        k = (r.c_nationkey, math.floor(r.c_acctbal / KANON_BUCKET))
+        size[k] += 1
+        seg[k].add(r.c_mktsegment)
+    by_sz = defaultdict(lambda: [0, 99])
+    for k, n in size.items():
+        by_sz[n][0] += 1
+        by_sz[n][1] = min(by_sz[n][1], len(seg[k]))
+    expected = {n: (c, n * c, l) for n, (c, l) in by_sz.items()}
+    got = {r.class_size: (r.n_classes, r.n_rows, r.min_l_diversity)
+           for r in customer_kanonymity(spark, sf).collect()}
+    assert got == expected
+    # the audit must expose a re-identification surface at this scale
+    assert min(got) <= 2, "no small equivalence classes — audit vacuous"
+    assert any(v[2] == 1 for v in got.values()) or min(got) == 1
