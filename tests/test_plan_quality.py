@@ -526,3 +526,43 @@ def test_bpe_train_corpus_scanned_once(spark):
     census_plan = plan_of(_word_census(spark, SF))
     assert census_plan.count("FileScan parquet") == 1
     assert df.count() > 0
+
+
+def test_dynamic_partition_pruning_on_hive_layout(spark, tmp_path):
+    """A hive-partitioned fact joined on its partition column against a
+    selective dim must get a DynamicPruning subquery on the scan — the
+    Spark-native runtime partition-skip that makes partitioned layouts
+    pay off on star joins (at 100 TB this is the difference between
+    scanning 3 day-partitions and 700)."""
+    from pyspark.sql import functions as F
+
+    from csv_to_jsonld_processor_spark.session import load_tables
+
+    fact_dir = str(tmp_path / "events_by_day")
+    load_tables(spark, SF)["events"].withColumn(
+        "day", F.to_date("ts")
+    ).write.partitionBy("day").parquet(fact_dir)
+
+    fact = spark.read.parquet(fact_dir)
+    # DPP's planner requires a SELECTIVE PREDICATE on the build side —
+    # a bare 3-row relation does not qualify (verified: no DPP without
+    # the filter), which is itself worth pinning: the pruning subquery
+    # is driven by the dim's filter, not the dim's size
+    days = fact.select("day").distinct().localCheckpoint()
+    dim = days.where(
+        F.col("day") <= F.lit("2024-01-03").cast("date")
+    ).withColumn("weight", F.lit(1))
+    q = (
+        fact.join(dim, "day")
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = plan_of(q)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    # and the join stays broadcast (DPP's cheap reuse case)
+    assert "BroadcastHashJoin" in plan
+
+    no_filter = fact.join(days.limit(3), "day").groupBy("day").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    assert "dynamicpruning" not in plan_of(no_filter).lower()
