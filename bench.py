@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "events_exact_median",
     "kg_temporal_reachability",
     "customer_kanonymity",
+    "kg_bipartiteness",
 ]
 
 

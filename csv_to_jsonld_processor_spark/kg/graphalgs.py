@@ -827,7 +827,144 @@ e{r + 1} AS MATERIALIZED (
 KG_KTRUSS_SQL = _ktruss_sql()
 
 
+BIPARTITE_ROUNDS = 6
+
+
+def kg_bipartiteness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartiteness audit by BFS 2-coloring over BOTH standing graphs:
+    the customer–part purchase graph (bipartite by construction — the
+    audit must find ZERO conflicts) and its part–part co-purchase
+    projection (odd triangles everywhere — conflicts must be plenty).
+    Color = BFS parity from the md5-min root of each component region
+    reached within {BIPARTITE_ROUNDS} supersteps; a conflict is an edge
+    whose endpoints took equal parity.  Running the same operator over
+    a known-bipartite and a known-odd-cycle graph makes the audit
+    self-validating: a parity bug flips one of two opposite expected
+    outcomes.
+
+    Output per graph: reached vertex count, edges with both endpoints
+    reached, conflict count, and a conflict checksum.
+
+    Scale shape: the BFS superstep cost model (ONE equi-join + ONE
+    min-groupBy per round); the conflict check is a single equi-join of
+    the edge list against the final parity table."""
+    results = []
+    for gname, und in (
+        ("purchase_bipartite", _purchase_edges(spark, sf_dir)),
+        ("copurchase_projection", _copurchase_projection(spark, sf_dir)),
+    ):
+        adj = (
+            und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+            .unionAll(und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+            .localCheckpoint()
+        )
+        verts = adj.select(F.col("src").alias("v")).distinct()
+        # SINGLE seed (global md5-min vertex): two seeds at odd distance
+        # inside one component would 2-color a bipartite graph with
+        # false conflicts — the audit colors one component from one root
+        seeds = verts.join(
+            F.broadcast(verts.agg(F.min(F.md5("v")).alias("mh"))),
+            F.md5("v") == F.col("mh"),
+        ).select("v")
+        dist = seeds.withColumn("d", F.lit(0).cast("long"))
+        for _ in range(BIPARTITE_ROUNDS):
+            hop = (
+                adj.join(dist, adj.src == dist.v)
+                .select(F.col("dst").alias("v"), (F.col("d") + 1).alias("d"))
+            )
+            dist = (
+                dist.unionByName(hop).groupBy("v").agg(F.min("d").alias("d"))
+                .localCheckpoint()
+            )
+        pa = dist.select(F.col("v").alias("a"), (F.col("d") % 2).alias("pa"))
+        pb = dist.select(F.col("v").alias("b"), (F.col("d") % 2).alias("pb"))
+        checked = und.join(pa, "a").join(pb, "b")
+        results.append(
+            checked.agg(
+                F.count(F.lit(1)).cast("long").alias("n_edges_checked"),
+                F.sum((F.col("pa") == F.col("pb")).cast("int"))
+                .cast("long").alias("n_conflicts"),
+                F.sum(
+                    F.when(
+                        F.col("pa") == F.col("pb"),
+                        F.conv(F.substring(F.md5(F.concat_ws("|", "a", "b")), 1, 8),
+                               16, 10).cast("long"),
+                    ).otherwise(F.lit(0))
+                ).cast("long").alias("conflict_checksum"),
+            )
+            .crossJoin(
+                F.broadcast(
+                    dist.agg(F.count(F.lit(1)).cast("long").alias("n_reached"))
+                )
+            )
+            .select(F.lit(gname).alias("graph"), "n_reached",
+                    "n_edges_checked", "n_conflicts", "conflict_checksum")
+        )
+    return results[0].unionByName(results[1]).orderBy("graph")
+
+
+def _bipartite_sql() -> str:
+    def rounds_sql(edges_cte: str, tag: str) -> str:
+        parts = [f"""
+adj_{tag} AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM {edges_cte}
+  UNION ALL SELECT b, a FROM {edges_cte}
+),
+v_{tag} AS MATERIALIZED (SELECT DISTINCT src AS v FROM adj_{tag}),
+d0_{tag} AS MATERIALIZED (
+  SELECT v, CAST(0 AS BIGINT) AS d FROM v_{tag}
+  WHERE md5(v) = (SELECT MIN(md5(v)) FROM v_{tag})
+)"""]
+        for r in range(1, BIPARTITE_ROUNDS + 1):
+            p = r - 1
+            parts.append(f""",
+d{r}_{tag} AS MATERIALIZED (
+  SELECT v, MIN(d) AS d FROM (
+    SELECT v, d FROM d{p}_{tag}
+    UNION ALL
+    SELECT a.dst, dd.d + 1 FROM adj_{tag} a JOIN d{p}_{tag} dd ON a.src = dd.v
+  ) GROUP BY v
+)""")
+        return "".join(parts)
+
+    R = BIPARTITE_ROUNDS
+
+    def stat_sql(edges_cte: str, tag: str, gname: str) -> str:
+        return f"""
+SELECT '{gname}' AS graph,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM d{R}_{tag}) AS n_reached,
+       CAST(COUNT(*) AS BIGINT) AS n_edges_checked,
+       CAST(SUM(CASE WHEN pa.d % 2 = pb.d % 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_conflicts,
+       CAST(SUM(CASE WHEN pa.d % 2 = pb.d % 2
+                THEN CAST(('0x' || substr(md5(e.a || '|' || e.b), 1, 8)) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS conflict_checksum
+FROM {edges_cte} e
+JOIN d{R}_{tag} pa ON e.a = pa.v
+JOIN d{R}_{tag} pb ON e.b = pb.v"""
+
+    return f"""
+WITH e_bi AS MATERIALIZED ({_EDGE_SQL}),
+keep2 AS (SELECT a FROM (SELECT a, COUNT(*) AS d FROM e_bi GROUP BY a)
+          WHERE d <= {KTRUSS_DEG_CAP}),
+cap2 AS MATERIALIZED (SELECT e_bi.a AS c, e_bi.b AS p
+                      FROM e_bi JOIN keep2 USING (a)),
+e_pr AS MATERIALIZED (
+  SELECT DISTINCT l.p AS a, r.p AS b
+  FROM cap2 l JOIN cap2 r ON l.c = r.c WHERE l.p < r.p
+),{rounds_sql('e_bi', 'bi')},{rounds_sql('e_pr', 'pr')}
+{stat_sql('e_bi', 'bi', 'purchase_bipartite')}
+UNION ALL
+{stat_sql('e_pr', 'pr', 'copurchase_projection')}
+ORDER BY graph
+"""
+
+
+KG_BIPARTITE_SQL = _bipartite_sql()
+
+
 KG_GRAPHALG_QUERIES: dict[str, tuple] = {
+    "kg_bipartiteness": (kg_bipartiteness, KG_BIPARTITE_SQL),
     "kg_bfs_distance": (kg_bfs_distance, KG_BFS_SQL),
     "kg_hits": (kg_hits, KG_HITS_SQL),
     "kg_scc": (kg_scc, KG_SCC_SQL),

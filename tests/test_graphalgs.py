@@ -377,3 +377,17 @@ def test_ktruss_matches_python_peel(spark, edges):
         sup, _, _ = stats(und)
         assert all(sup.get(e, 0) >= KTRUSS_K - 2 for e in und)
     assert expected[0][1] > expected[-1][1], "no edge ever peeled — vacuous"
+
+
+def test_bipartiteness_opposite_verdicts(spark):
+    """Self-validating audit: the bipartite purchase graph must show
+    ZERO parity conflicts; the co-purchase projection (odd triangles
+    everywhere) must show many."""
+    from csv_to_jsonld_processor_spark.kg.graphalgs import kg_bipartiteness
+
+    got = {r.graph: r for r in kg_bipartiteness(spark, SF).collect()}
+    bi = got["purchase_bipartite"]
+    pr = got["copurchase_projection"]
+    assert bi.n_conflicts == 0 and bi.conflict_checksum == 0
+    assert bi.n_edges_checked > 0 and bi.n_reached > 0
+    assert pr.n_conflicts > 0 and pr.conflict_checksum > 0
