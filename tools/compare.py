@@ -63,9 +63,19 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     failures = 0
+    n_run = 0
     for name, fn in qs.items():
         if name not in only:
             continue
+        n_run += 1
+        if n_run % 25 == 0:
+            # long full-registry runs accumulate localCheckpoint RDD
+            # blocks and plan caches; without this the driver JVM dies
+            # around query ~180 (observed). Queries are independent, so
+            # dropping persisted state between them is free.
+            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                rdd.unpersist()
+            spark.catalog.clearCache()
         sdf = fn(spark, sf_dir)
         srows = [tuple(r) for r in sdf.collect()]
         scols = sdf.columns
