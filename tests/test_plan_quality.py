@@ -566,3 +566,48 @@ def test_dynamic_partition_pruning_on_hive_layout(spark, tmp_path):
         F.count(F.lit(1)).alias("n")
     )
     assert "dynamicpruning" not in plan_of(no_filter).lower()
+
+
+def test_session6_operators_are_deterministic_across_runs(spark):
+    """Two in-session executions must hash identically — catches
+    collect_list/array-order nondeterminism the single-run oracle
+    compare can miss (all grouped folds must sort before emitting)."""
+    import hashlib
+
+    from csv_to_jsonld_processor_spark.kg.graphalgs import (
+        kg_hyperball_nf, kg_mis)
+    from csv_to_jsonld_processor_spark.kg.turtle import kg_turtle_roundtrip
+    from csv_to_jsonld_processor_spark.operators.eventops import (
+        events_sequence_motifs)
+
+    def h(df):
+        rows = sorted(map(str, df.collect()))
+        return hashlib.sha256("\n".join(rows).encode()).hexdigest()
+
+    for fn in (kg_turtle_roundtrip, kg_hyperball_nf, kg_mis,
+               events_sequence_motifs):
+        assert h(fn(spark, SF)) == h(fn(spark, SF)), fn.__name__
+
+
+def test_transe_epoch_model_joins_broadcast(spark):
+    """The after-loss pass joins the O(model) update table back in —
+    those four joins must be broadcast (no data-sized shuffle for
+    model state), and the only nested-loop is the single-row pool
+    count."""
+    from csv_to_jsonld_processor_spark.kg.mlprep import kg_transe_epoch
+
+    plan = plan_of(kg_transe_epoch(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_skyline_window_runs_on_domain_not_data(spark):
+    """The global-order window must consume the aggregated price domain
+    (a HashAggregate feeds the Window), never the raw scan."""
+    from csv_to_jsonld_processor_spark.plans.relational4 import parts_skyline
+
+    plan = plan_of(parts_skyline(spark, SF))
+    w = plan.find("Window")
+    assert w != -1
+    # an aggregate appears below the window in the tree dump
+    assert "HashAggregate" in plan[w:], plan[:1500]
