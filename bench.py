@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "kg_temporal_reachability",
     "customer_kanonymity",
     "kg_bipartiteness",
+    "kg_maximal_matching",
 ]
 
 

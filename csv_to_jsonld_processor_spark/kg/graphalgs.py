@@ -963,7 +963,107 @@ ORDER BY graph
 KG_BIPARTITE_SQL = _bipartite_sql()
 
 
+MATCH_ROUNDS = 6
+
+
+def kg_maximal_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal matching by deterministic handshaking (the Israeli–Itai
+    pattern with md5 edge priorities): each round, every unmatched
+    vertex points at its MINIMUM-priority incident edge among surviving
+    edges; an edge whose BOTH endpoints point at it joins the matching,
+    its endpoints retire, and incident edges drop.  Fixed {MATCH_ROUNDS}
+    rounds, residue reported.  With MIS and 2-coloring this completes
+    the classic local symmetry-breaking trio — matching is the
+    primitive behind distributed coarsening/clustering (e.g. METIS-style
+    multilevel partitioning).
+
+    Scale shape (per round): TWO min-groupBys (each endpoint's favorite
+    edge), ONE self-join of the favorites on the edge key (the
+    handshake), and anti-joins to retire matched vertices — all
+    partial-aggregated on vertex/edge keys, state one row per live
+    vertex/edge.
+
+    Output: matched-pair count, per-side matched vertices, surviving
+    (unmatched-but-live) edge count, and an order-free matching
+    checksum."""
+    e = _purchase_edges(spark, sf_dir)
+    prio = F.md5(F.concat_ws("|", "a", "b"))
+    live = e.select("a", "b", prio.alias("pr")).localCheckpoint()
+    matched = live.limit(0).select("a", "b")
+    for _ in range(MATCH_ROUNDS):
+        fav_a = live.groupBy("a").agg(F.min("pr").alias("pa"))
+        fav_b = live.groupBy("b").agg(F.min("pr").alias("pb"))
+        hand = (
+            live.join(fav_a, "a").join(fav_b, "b")
+            .where((F.col("pr") == F.col("pa")) & (F.col("pr") == F.col("pb")))
+            .select("a", "b")
+            .localCheckpoint()
+        )
+        matched = matched.unionByName(hand).localCheckpoint()
+        gone = (
+            hand.select(F.col("a").alias("v"))
+            .unionByName(hand.select(F.col("b").alias("v")))
+        )
+        live = (
+            live.join(gone.select(F.col("v").alias("a")), "a", "left_anti")
+            .join(gone.select(F.col("v").alias("b")), "b", "left_anti")
+            .select("a", "b", "pr")
+            .localCheckpoint()
+        )
+    u32a = F.conv(F.substring(F.md5(F.concat_ws("|", "a", "b")), 1, 8), 16, 10)
+    return (
+        matched.agg(
+            F.count(F.lit(1)).cast("long").alias("n_matched_pairs"),
+            F.coalesce(F.sum(u32a.cast("long")), F.lit(0)).cast("long")
+            .alias("matching_checksum"),
+        )
+        .crossJoin(
+            F.broadcast(
+                live.agg(F.count(F.lit(1)).cast("long").alias("n_live_edges"))
+            )
+        )
+    )
+
+
+def _matching_sql() -> str:
+    parts = [f"""
+WITH e0m AS MATERIALIZED (
+  SELECT a, b, md5(a || '|' || b) AS pr FROM ({_EDGE_SQL})
+)"""]
+    prev = "e0m"
+    match_ctes = []
+    for r in range(1, MATCH_ROUNDS + 1):
+        parts.append(f""",
+fa{r} AS (SELECT a, MIN(pr) AS pa FROM {prev} GROUP BY a),
+fb{r} AS (SELECT b, MIN(pr) AS pb FROM {prev} GROUP BY b),
+h{r} AS MATERIALIZED (
+  SELECT l.a, l.b FROM {prev} l
+  JOIN fa{r} USING (a) JOIN fb{r} USING (b)
+  WHERE l.pr = fa{r}.pa AND l.pr = fb{r}.pb
+),
+g{r} AS (SELECT a AS v FROM h{r} UNION ALL SELECT b FROM h{r}),
+e{r}m AS MATERIALIZED (
+  SELECT l.a, l.b, l.pr FROM {prev} l
+  WHERE l.a NOT IN (SELECT v FROM g{r}) AND l.b NOT IN (SELECT v FROM g{r})
+)""")
+        match_ctes.append(f"SELECT a, b FROM h{r}")
+        prev = f"e{r}m"
+    union = " UNION ALL ".join(match_ctes)
+    parts.append(f""",
+m AS ({union})
+SELECT CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_matched_pairs,
+       CAST(COALESCE((SELECT SUM(CAST(('0x' || substr(md5(a || '|' || b), 1, 8))
+                                 AS BIGINT)) FROM m), 0) AS BIGINT)
+         AS matching_checksum,
+       CAST((SELECT COUNT(*) FROM {prev}) AS BIGINT) AS n_live_edges""")
+    return "".join(parts)
+
+
+KG_MATCHING_SQL = _matching_sql()
+
+
 KG_GRAPHALG_QUERIES: dict[str, tuple] = {
+    "kg_maximal_matching": (kg_maximal_matching, KG_MATCHING_SQL),
     "kg_bipartiteness": (kg_bipartiteness, KG_BIPARTITE_SQL),
     "kg_bfs_distance": (kg_bfs_distance, KG_BFS_SQL),
     "kg_hits": (kg_hits, KG_HITS_SQL),

@@ -391,3 +391,44 @@ def test_bipartiteness_opposite_verdicts(spark):
     assert bi.n_conflicts == 0 and bi.conflict_checksum == 0
     assert bi.n_edges_checked > 0 and bi.n_reached > 0
     assert pr.n_conflicts > 0 and pr.conflict_checksum > 0
+
+
+def test_maximal_matching_properties_and_replay(spark, edges):
+    """Python handshake replay + the matching properties: no vertex in
+    two pairs; when the rounds converge (no live edges), maximality
+    holds by construction (a live edge would have produced a
+    handshake eventually — pinned via the replay equality)."""
+    import hashlib
+
+    from csv_to_jsonld_processor_spark.kg.graphalgs import (
+        MATCH_ROUNDS,
+        kg_maximal_matching,
+    )
+
+    def pr(a, b):
+        return hashlib.md5(f"{a}|{b}".encode()).hexdigest()
+
+    live = {(a, b) for a, b in edges}
+    matched = set()
+    for _ in range(MATCH_ROUNDS):
+        fav_a, fav_b = {}, {}
+        for a, b in live:
+            p = pr(a, b)
+            if a not in fav_a or p < fav_a[a]:
+                fav_a[a] = p
+            if b not in fav_b or p < fav_b[b]:
+                fav_b[b] = p
+        hand = {(a, b) for a, b in live
+                if pr(a, b) == fav_a[a] and pr(a, b) == fav_b[b]}
+        matched |= hand
+        gone = {v for e in hand for v in e}
+        live = {(a, b) for a, b in live if a not in gone and b not in gone}
+    cks = sum(int(pr(a, b)[:8], 16) for a, b in matched)
+
+    row = kg_maximal_matching(spark, SF).collect()[0]
+    assert (row.n_matched_pairs, row.matching_checksum, row.n_live_edges) \
+        == (len(matched), cks, len(live))
+    # matching property: each vertex appears at most once
+    seen = [v for e in matched for v in e]
+    assert len(seen) == len(set(seen))
+    assert matched, "empty matching — vacuous"
