@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "customer_kanonymity",
     "kg_bipartiteness",
     "kg_maximal_matching",
+    "embedding_hard_negatives",
 ]
 
 

@@ -402,6 +402,81 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HN_FALSE_NEG_TAU = 0.35  # top-band candidates are probable unlabeled positives
+HN_K = 3
+
+
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training, with false-
+    negative DENOISING (the RocketQA-style rule): per anchor, the
+    top-{HN_K} most-similar candidates AFTER dropping the top band
+    (score >= {HN_FALSE_NEG_TAU}) — candidates that similar are
+    probable unlabeled positives, and training on them as negatives
+    poisons the objective.  The miner reuses the IVF candidate
+    structure verbatim — same shuffle-free cell assignment, same probe
+    equi-join — so the hard band comes from the cells where hard
+    negatives actually live, not from random sampling.
+
+    Output: (query_id, neighbor_id, score, rank ≤ {HN_K}).  Oracle
+    re-derives the IVF candidates and the band in SQL."""
+    # identical candidate machinery to ann_ivf_topk, different selection
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"].select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cents = [
+        (int(r.vec_id), [float(x) for x in r.v])
+        for r in emb.where(F.col("vec_id") < N_CENTROIDS).collect()
+    ]
+
+    def norm2(vec: list[float]) -> float:
+        acc = 0.0
+        for x in vec:
+            acc += x * x
+        return acc
+
+    parts = [
+        f"struct(round({_dot_sql(vec)} / sqrt(_n2v * {norm2(vec)!r}D), 6) as s, "
+        f"{-cid} as ncid)"
+        for cid, vec in cents
+    ]
+    scores_arr = F.expr("array(" + ",".join(parts) + ")")
+    withscores = (
+        emb.withColumn(
+            "_n2v",
+            F.expr("aggregate(transform(v, x -> x * x), cast(0 as double), (acc, x) -> acc + x)"),
+        )
+        .withColumn("scores", scores_arr)
+        .drop("_n2v")
+    )
+    assigned = withscores.withColumn(
+        "cell", (-F.array_max(F.col("scores")).ncid).cast("int")
+    ).drop("scores")
+    queries = withscores.where(F.col("vec_id") < N_QUERIES)
+    probes = (
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.explode(F.slice(F.sort_array("scores", asc=False), 1, IVF_PROBES)).alias("p"),
+        )
+        .select("query_id", "qv", (-F.col("p.ncid")).cast("int").alias("cell"))
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine("v", "qv"), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.where(F.col("score") < HN_FALSE_NEG_TAU)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= HN_K)
+        .orderBy("query_id", "rank")
+    )
+
+
 ANN_IVF_SQL = f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -1062,7 +1137,44 @@ GROUP BY c.cell ORDER BY c.cell
 EMBEDDING_SEMDEDUP_SQL = _semdedup_sql()
 
 
+EMBEDDING_HARD_NEG_SQL = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), cent AS (
+  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {N_CENTROIDS}
+), assign AS (
+  SELECT vec_id, v, cid AS cell FROM (
+    SELECT e.vec_id, e.v, cent.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY ROUND({_ordered_cos_sql("e.v", "cent.cv")}, 6) DESC,
+                                       cent.cid ASC) AS rn
+    FROM e CROSS JOIN cent
+  ) WHERE rn = 1
+), probes AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.vec_id AS query_id, q.v AS qv, cent.cid AS cell,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY ROUND({_ordered_cos_sql("q.v", "cent.cv")}, 6) DESC,
+                                       cent.cid ASC) AS rn
+    FROM e q CROSS JOIN cent WHERE q.vec_id < {N_QUERIES}
+  ) WHERE rn <= {IVF_PROBES}
+), scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         ROUND({_ordered_cos_sql("a.v", "p.qv")}, 6) AS score
+  FROM assign a JOIN probes p ON a.cell = p.cell
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored WHERE score < {HN_FALSE_NEG_TAU}
+) WHERE rank <= {HN_K}
+ORDER BY query_id, rank
+"""
+
+
 SIMILARITY_QUERIES: dict[str, tuple] = {
+    "embedding_hard_negatives": (embedding_hard_negatives, EMBEDDING_HARD_NEG_SQL),
     "embedding_semdedup": (embedding_semdedup, EMBEDDING_SEMDEDUP_SQL),
     "ann_kmeans_train": (ann_kmeans_train, ANN_KMEANS_SQL),
     "ann_topk_bruteforce": (ann_topk_bruteforce, ANN_TOPK_SQL),

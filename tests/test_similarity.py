@@ -177,3 +177,31 @@ def test_semdedup_prunes_planted_duplicates(spark):
     for r in rows:
         assert r.n_kept == r.n_members - r.n_dropped
         assert r.n_kept >= 1, "each non-empty cell keeps a representative"
+
+
+def test_hard_negatives_band_excludes_positives(spark):
+    """Every mined hard negative scores BELOW the false-negative
+    threshold, ranks are dense per anchor, and at least one anchor had
+    a top-band candidate denoised away (otherwise the band is vacuous
+    at this scale) — checked against the unbanded IVF top-k."""
+    from csv_to_jsonld_processor_spark.operators.similarity import (
+        HN_FALSE_NEG_TAU as HN_DUP_TAU,
+        HN_K,
+        ann_ivf_topk,
+        embedding_hard_negatives,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    hn = embedding_hard_negatives(spark, sf).collect()
+    assert hn and all(r.score < HN_DUP_TAU for r in hn)
+    by_q = {}
+    for r in hn:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= HN_K
+               for v in by_q.values())
+    top = ann_ivf_topk(spark, sf).collect()
+    assert any(r.score >= HN_DUP_TAU for r in top), \
+        "no near-dup positives in IVF top-k — the exclusion is untested"
+    # the banded set never contains an excluded positive pair
+    pos = {(r.query_id, r.neighbor_id) for r in top if r.score >= HN_DUP_TAU}
+    assert not (pos & {(r.query_id, r.neighbor_id) for r in hn})
