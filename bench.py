@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "kg_bipartiteness",
     "kg_maximal_matching",
     "embedding_hard_negatives",
+    "events_cusum_changepoint",
 ]
 
 

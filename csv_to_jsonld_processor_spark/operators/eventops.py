@@ -585,7 +585,95 @@ FROM cnt GROUP BY motif ORDER BY motif
 """
 
 
+# --- CUSUM change-point detection --------------------------------------------
+
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact CUSUM change-point estimate per event type over the
+    daily count series — the other half of the monitoring pair with
+    events_drift_tv (TV answers "did the mix shift between two halves";
+    CUSUM answers "WHEN did the level shift").  Classic scaled trick:
+    with daily counts x_t, total T over N days, S_t = Σ_{{i≤t}}
+    (N·x_i − T) is N× the usual mean-centered cumulative sum — pure
+    BIGINT, no division — and the change-point estimate is the day
+    maximizing |S_t| (ties → earliest day).
+
+    Output per type: n_days, total, the argmax day, max |S_t| (scaled
+    by N), and the signed S at the argmax (direction of the shift).
+
+    Scale shape: ONE partial-aggregated groupBy to the (type, day)
+    domain, one cumulative window per type over that bounded domain,
+    one final per-type argmax aggregation — the domain-compression
+    pattern again; the event stream itself is never shuffled twice."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    tot = Window.partitionBy("event_type")
+    cum = Window.partitionBy("event_type").orderBy("day") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    s = daily.select(
+        "event_type", "day", "x",
+        F.count(F.lit(1)).over(tot).alias("n_days"),
+        F.sum("x").over(tot).alias("total"),
+    ).select(
+        "event_type", "day", "n_days", "total",
+        F.sum(F.col("n_days") * F.col("x") - F.col("total")).over(cum).alias("s"),
+    )
+    best = Window.partitionBy("event_type").orderBy(
+        F.desc(F.abs("s")), F.asc("day")
+    )
+    return (
+        s.withColumn("rn", F.row_number().over(best))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("total").cast("long").alias("total"),
+            F.col("day").alias("change_day"),
+            F.abs("s").cast("long").alias("max_abs_s"),
+            F.col("s").cast("long").alias("s_at_change"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_CUSUM_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type, day, x,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_days,
+         SUM(x) OVER (PARTITION BY event_type) AS total
+  FROM daily
+), s AS (
+  SELECT event_type, day, n_days, total,
+         SUM(n_days * x - total)
+           OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+  FROM stats
+)
+SELECT event_type,
+       CAST(n_days AS BIGINT) AS n_days,
+       CAST(total AS BIGINT) AS total,
+       day AS change_day,
+       CAST(ABS(s) AS BIGINT) AS max_abs_s,
+       CAST(s AS BIGINT) AS s_at_change
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY ABS(s) DESC, day ASC) AS rn
+  FROM s
+) WHERE rn = 1
+ORDER BY event_type
+"""
+
+
 EVENTOPS_QUERIES: dict[str, tuple] = {
+    "events_cusum_changepoint": (events_cusum_changepoint, EVENTS_CUSUM_SQL),
     "events_sequence_motifs": (events_sequence_motifs, _seq_motifs_sql()),
     "events_drift_tv": (events_drift_tv, EVENTS_DRIFT_SQL),
     "events_type_transitions": (events_type_transitions, EVENTS_TRANSITIONS_SQL),

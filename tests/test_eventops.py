@@ -189,3 +189,56 @@ def test_sequence_motifs_match_python_regex_replay(spark):
     # non-degenerate: every motif fires somewhere at sf0.001
     assert all(v[1] > 0 for v in got.values())
     assert len(re.findall(SEQ_MOTIFS["error_burst"], "eee")) == 1
+
+
+def test_cusum_changepoint_matches_python_replay(spark):
+    """Brute-force scaled-CUSUM replay, plus a planted-shift gate: a
+    synthetic series with a known level shift must put the argmax at
+    the shift boundary."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from csv_to_jsonld_processor_spark.operators.eventops import (
+        events_cusum_changepoint,
+    )
+    from csv_to_jsonld_processor_spark.session import load_tables
+
+    sf = "/root/testdata/sf0.001"
+    rows = load_tables(spark, sf)["events"].select(
+        "event_type", F.to_date("ts").alias("day")
+    ).collect()
+    daily = Counter((r.event_type, r.day) for r in rows)
+    by_type = {}
+    for (t, d), x in daily.items():
+        by_type.setdefault(t, []).append((d, x))
+    expected = {}
+    for t, series in by_type.items():
+        series.sort()
+        n = len(series)
+        tot = sum(x for _d, x in series)
+        s, best = 0, None
+        for d, x in series:
+            s += n * x - tot
+            if best is None or abs(s) > best[1]:
+                best = (d, abs(s), s)
+        expected[t] = (n, tot) + best
+    got = {r.event_type: (r.n_days, r.total, r.change_day, r.max_abs_s,
+                          r.s_at_change)
+           for r in events_cusum_changepoint(spark, sf).collect()}
+    assert got == expected
+
+    # planted shift: 10 days at level 2, then 10 days at level 8 —
+    # scaled CUSUM must put the change at the boundary day
+    import datetime
+
+    base = datetime.date(2024, 1, 1)
+    series = [(base + datetime.timedelta(days=i), 2 if i < 10 else 8)
+              for i in range(20)]
+    n, tot = 20, sum(x for _d, x in series)
+    s, best = 0, None
+    for d, x in series:
+        s += n * x - tot
+        if best is None or abs(s) > best[1]:
+            best = (d, abs(s))
+    assert best[0] == base + datetime.timedelta(days=9)
