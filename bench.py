@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "kg_maximal_matching",
     "embedding_hard_negatives",
     "events_cusum_changepoint",
+    "doc_classifier_agreement",
 ]
 
 

@@ -124,6 +124,103 @@ FROM scored GROUP BY 1, 2 ORDER BY lang, keep
 """
 
 
+HEUR_MIN_TOKENS = 20
+HEUR_STOP_TAU = 0.12
+KAPPA_SCALE = 10_000  # kappa reported in exact basis points (integer)
+
+
+def doc_classifier_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-rater agreement between the two quality gates the pipeline
+    ships — the linear model (keep := score > 0) and the heuristic rule
+    (n_tokens ≥ {HEUR_MIN_TOKENS} AND stop_ratio ≥ {HEUR_STOP_TAU}) —
+    as an exact per-language confusion matrix plus Cohen's kappa in
+    integer basis points.  This is the eval artifact a curation team
+    reads before swapping filters: raw agreement over-credits the
+    majority class; kappa corrects for chance agreement, and the
+    integer form  κ_bp = {KAPPA_SCALE}·(n·(a+d) − E) // (n² − E)  with
+    E = (a+b)(a+c) + (c+d)(b+d)  keeps the whole statistic in BIGINT —
+    no float ever enters.
+
+    Scale shape: the features ride the scan (same expressions as the
+    model pass), ONE partial-aggregated groupBy(lang) produces the four
+    confusion cells, and kappa is per-group scalar arithmetic."""
+    t = load_tables(spark, sf_dir)
+    f = _features(t["documents"]).withColumn("score", _score())
+    mk = F.col("score") > 0
+    hk = (F.col("n_tokens") >= HEUR_MIN_TOKENS) & (
+        F.col("stop_ratio") >= HEUR_STOP_TAU
+    )
+    cells = f.groupBy("lang").agg(
+        F.sum((mk & hk).cast("int")).cast("long").alias("a"),
+        F.sum((mk & ~hk).cast("int")).cast("long").alias("b"),
+        F.sum((~mk & hk).cast("int")).cast("long").alias("c"),
+        F.sum((~mk & ~hk).cast("int")).cast("long").alias("d"),
+    )
+    n = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    den_expr = ("(CAST((a+b+c+d) AS BIGINT) * (a+b+c+d)"
+                " - ((a+b)*(a+c) + (c+d)*(b+d)))")
+    # both engines truncate integer division toward zero (Spark DIV,
+    # DuckDB //: -7/2 → -3 on each) so negative kappa is safe
+    kappa = F.when(F.expr(den_expr) == 0, F.lit(KAPPA_SCALE).cast("long")) \
+        .otherwise(
+            F.expr(f"CAST({KAPPA_SCALE} AS BIGINT)"
+                   f" * (CAST((a+b+c+d) AS BIGINT) * (a+d)"
+                   f" - ((a+b)*(a+c) + (c+d)*(b+d))) DIV {den_expr}")
+        )
+    return (
+        cells.select(
+            "lang", "a", "b", "c", "d",
+            n.cast("long").alias("n_docs"),
+            kappa.cast("long").alias("kappa_bp"),
+        )
+        .orderBy("lang")
+    )
+
+
+DOC_AGREEMENT_SQL = rf"""
+WITH feat AS (
+  SELECT lang, text,
+         string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+  FROM documents
+), f2 AS (
+  SELECT lang,
+         len(toks) AS n_tokens,
+         CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / len(toks) AS mean_len,
+         CAST(len(list_filter(toks, t -> list_contains({STOPWORDS!r}, t))) AS DOUBLE)
+           / len(toks) AS stop_ratio,
+         CAST(len(list_filter(toks, t -> len(t) <= 2)) AS DOUBLE) / len(toks) AS short_ratio,
+         CAST(len(text) - len(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')) AS DOUBLE)
+           / len(text) AS punct_ratio,
+         CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+           / len(text) AS digit_ratio
+  FROM feat
+), flags AS (
+  SELECT lang,
+         (n_tokens * {W_NTOK} + mean_len * {W_MEANLEN} + stop_ratio * {W_STOP}
+           + punct_ratio * {W_PUNCT} + digit_ratio * {W_DIGIT}
+           + short_ratio * {W_SHORT} + {BIAS}) > 0 AS mk,
+         (n_tokens >= {HEUR_MIN_TOKENS} AND stop_ratio >= {HEUR_STOP_TAU}) AS hk
+  FROM f2
+), cells AS (
+  SELECT lang,
+         CAST(SUM(CASE WHEN mk AND hk THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN mk AND NOT hk THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         CAST(SUM(CASE WHEN NOT mk AND hk THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN NOT mk AND NOT hk THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM flags GROUP BY lang
+)
+SELECT lang, a, b, c, d,
+       CAST(a + b + c + d AS BIGINT) AS n_docs,
+       CAST(CASE WHEN (a+b+c+d)*(a+b+c+d) - ((a+b)*(a+c) + (c+d)*(b+d)) = 0
+            THEN {KAPPA_SCALE}
+            ELSE {KAPPA_SCALE} * ((a+b+c+d)*(a+d) - ((a+b)*(a+c) + (c+d)*(b+d)))
+                 // ((a+b+c+d)*(a+b+c+d) - ((a+b)*(a+c) + (c+d)*(b+d)))
+            END AS BIGINT) AS kappa_bp
+FROM cells ORDER BY lang
+"""
+
+
 INFERENCE_QUERIES: dict[str, tuple] = {
     "doc_quality_model": (doc_quality_model, DOC_QUALITY_MODEL_SQL),
+    "doc_classifier_agreement": (doc_classifier_agreement, DOC_AGREEMENT_SQL),
 }

@@ -58,3 +58,52 @@ def test_temperature_mixture_upweights_low_resource(spark):
         assert r["quota"] <= r["available"]
         assert r["sampled"] == r["quota"]
     assert sum(r["sampled"] for r in rows.values()) <= int(total_avail * TEMP_BUDGET_FRAC)
+
+
+def test_classifier_agreement_kappa_exact(spark):
+    """Confusion cells recomputed from the two gates independently +
+    exact integer kappa; the corpus must exercise a NEGATIVE kappa
+    (worse-than-chance agreement) so the signed truncating division is
+    genuinely tested cross-engine."""
+    from csv_to_jsonld_processor_spark.operators.inference import (
+        HEUR_MIN_TOKENS,
+        HEUR_STOP_TAU,
+        KAPPA_SCALE,
+        _features,
+        _score,
+        doc_classifier_agreement,
+    )
+    from csv_to_jsonld_processor_spark.session import load_tables
+
+    sf = "/root/testdata/sf0.001"
+    f = _features(load_tables(spark, sf)["documents"]).withColumn(
+        "score", _score()
+    ).select("lang", "score", "n_tokens", "stop_ratio").collect()
+    cells = {}
+    for r in f:
+        mk = r.score > 0
+        hk = r.n_tokens >= HEUR_MIN_TOKENS and r.stop_ratio >= HEUR_STOP_TAU
+        key = "a" if (mk and hk) else "b" if mk else "c" if hk else "d"
+        cells.setdefault(r.lang, {"a": 0, "b": 0, "c": 0, "d": 0})
+        cells[r.lang][key] += 1
+
+    def kappa(a, b, c, d):
+        n = a + b + c + d
+        e = (a + b) * (a + c) + (c + d) * (b + d)
+        den = n * n - e
+        if den == 0:
+            return KAPPA_SCALE
+        num = KAPPA_SCALE * (n * (a + d) - e)
+        q = abs(num) // abs(den)
+        return q if (num >= 0) == (den >= 0) else -q  # truncate toward 0
+
+    got = {r.lang: (r.a, r.b, r.c, r.d, r.n_docs, r.kappa_bp)
+           for r in doc_classifier_agreement(spark, sf).collect()}
+    expected = {
+        lang: (v["a"], v["b"], v["c"], v["d"], sum(v.values()),
+               kappa(v["a"], v["b"], v["c"], v["d"]))
+        for lang, v in cells.items()
+    }
+    assert got == expected
+    assert any(v[5] < 0 for v in got.values()), \
+        "no negative kappa — signed division untested"
