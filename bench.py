@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "embedding_hard_negatives",
     "events_cusum_changepoint",
     "doc_classifier_agreement",
+    "table_mor_deletes",
 ]
 
 

@@ -207,6 +207,182 @@ def expire_snapshots(table_dir: str, keep_last: int = 2) -> list[int]:
     return victims
 
 
+# --- merge-on-read row-level deletes (deletion vectors) ---------------------
+
+def _read_data_with_pos(spark: SparkSession, data_dir: str) -> DataFrame:
+    """The snapshot's data files with their physical row coordinates
+    (Spark's _metadata hidden columns) — the address space deletion
+    vectors tombstone."""
+    df = spark.read.parquet(data_dir)
+    return df.select(
+        "*",
+        F.col("_metadata.file_name").alias("_dv_file"),
+        F.col("_metadata.row_index").alias("_dv_pos"),
+    )
+
+
+def _overlay_info(table_dir: str, snap_id: int) -> tuple[int, str] | None:
+    """(base_snapshot_id, dv_path) if ``snap_id`` is a DV overlay."""
+    d = _snap_dir(table_dir, snap_id)
+    base_file = os.path.join(d, "BASE")
+    if not os.path.exists(base_file):
+        return None
+    with open(base_file) as f:
+        return int(f.read().strip()), os.path.join(d, "dv")
+
+
+def delete_rows_mor(spark: SparkSession, table_dir: str, predicate: str) -> int:
+    """Row-level DELETE WHERE without rewriting a single data file —
+    the deletion-vector merge-on-read path (Delta DVs / Iceberg
+    positional deletes): tombstones are (file_name, row_index)
+    coordinates of the matching rows, written as a tiny ``dv`` parquet
+    in a NEW snapshot directory holding only the DV and a ``BASE``
+    pointer to the (immutable, shared) data snapshot.  Stacked deletes
+    union their tombstones against the SAME base, so N deletes cost N
+    tiny DV files, never N table rewrites; time travel keeps working
+    because the base data files are never touched.  Commit protocol is
+    the standing write-then-flip."""
+    cur = current_snapshot_id(table_dir)
+    if cur is None:
+        raise ValueError("empty table")
+    ov = _overlay_info(table_dir, cur)
+    if ov is None:
+        base_id, old_dv = cur, None
+    else:
+        base_id, old_dv = ov
+    data_dir = _snap_dir(table_dir, base_id)
+    with_pos = _read_data_with_pos(spark, data_dir)
+    if old_dv is not None:
+        live = with_pos.join(
+            spark.read.parquet(old_dv), ["_dv_file", "_dv_pos"], "left_anti"
+        )
+    else:
+        live = with_pos
+    new_tombs = live.where(predicate).select("_dv_file", "_dv_pos")
+    all_tombs = (
+        new_tombs if old_dv is None
+        else spark.read.parquet(old_dv).unionByName(new_tombs)
+    )
+
+    new_id = cur + 1
+    d = _snap_dir(table_dir, new_id)
+    all_tombs.write.mode("overwrite").parquet(os.path.join(d, "dv"))
+    tmpb = os.path.join(d, "BASE.tmp")
+    with open(tmpb, "w") as f:
+        f.write(str(base_id))
+    os.replace(tmpb, os.path.join(d, "BASE"))
+    tmp = os.path.join(table_dir, "CURRENT.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(new_id))
+    os.replace(tmp, os.path.join(table_dir, "CURRENT"))
+    return new_id
+
+
+def read_snapshot_mor(
+    spark: SparkSession, table_dir: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """read_snapshot that understands DV overlays: a plain snapshot
+    reads directly; an overlay reads its base's data files and
+    anti-joins the deletion vector on (file, row_index) — the
+    merge-on-read."""
+    cur = current_snapshot_id(table_dir)
+    if snapshot_id is None:
+        snapshot_id = cur
+    ov = _overlay_info(table_dir, snapshot_id)
+    if ov is None:
+        return read_snapshot(spark, table_dir, snapshot_id)
+    base_id, dv_path = ov
+    with_pos = _read_data_with_pos(spark, _snap_dir(table_dir, base_id))
+    dv = spark.read.parquet(dv_path)
+    return with_pos.join(dv, ["_dv_file", "_dv_pos"], "left_anti").drop(
+        "_dv_file", "_dv_pos"
+    )
+
+
+def compact_mor(spark: SparkSession, table_dir: str) -> int:
+    """Purge the overlay: materialize the merge-on-read view into a
+    plain data snapshot (the copy-on-write rewrite deferred until it is
+    worth paying) and commit it; the DV chain stays time-travelable
+    until expiry."""
+    return commit_snapshot(spark, read_snapshot_mor(spark, table_dir), table_dir)
+
+
+def table_mor_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector lifecycle end-to-end through the real protocol:
+    base snapshot (all customers) → MoR delete custkey%7=0 → STACKED
+    MoR delete acctbal<0 (tombstones union against the same base, no
+    rewrite) → compaction.  Output per segment: base rows, rows after
+    each delete read merge-on-read, rows after compaction (must equal
+    the stacked MoR read — a lost or doubled tombstone breaks it), and
+    the surviving balance.  The DuckDB oracle recomputes every state
+    relationally; the Spark side earns its answer through DV files."""
+    import tempfile
+
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"].select(*_CUST_COLS)
+    table_dir = tempfile.mkdtemp(prefix="mor_table_")
+    commit_snapshot(spark, cust, table_dir)
+    d1 = delete_rows_mor(spark, table_dir, "c_custkey % 7 = 0")
+    d2 = delete_rows_mor(spark, table_dir, "c_acctbal < 0")
+    compact_mor(spark, table_dir)
+
+    def seg(df: DataFrame, suffix: str) -> DataFrame:
+        return df.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).cast("long").alias(f"n_{suffix}")
+        )
+
+    base = seg(read_snapshot_mor(spark, table_dir, 0), "base")
+    after1 = seg(read_snapshot_mor(spark, table_dir, d1), "del1")
+    after2 = read_snapshot_mor(spark, table_dir, d2)
+    compacted = read_snapshot_mor(spark, table_dir)
+    a2 = after2.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_del2"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double")
+        .alias("bal_live"),
+    )
+    ac = seg(compacted, "compacted")
+    return (
+        base.join(after1, "c_mktsegment")
+        .join(a2, "c_mktsegment")
+        .join(ac, "c_mktsegment")
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            "n_base", "n_del1", "n_del2", "n_compacted",
+            (F.col("n_del2") == F.col("n_compacted")).alias("mor_equals_cow"),
+            "bal_live",
+        )
+        .orderBy("segment")
+    )
+
+
+TABLE_MOR_SQL = """
+WITH base AS (
+  SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+), d1 AS (
+  SELECT * FROM base WHERE c_custkey % 7 <> 0
+), d2 AS (
+  SELECT * FROM d1 WHERE NOT (c_acctbal < 0)
+), s_base AS (
+  SELECT c_mktsegment, COUNT(*) AS n_base FROM base GROUP BY 1
+), s1 AS (
+  SELECT c_mktsegment, COUNT(*) AS n_del1 FROM d1 GROUP BY 1
+), s2 AS (
+  SELECT c_mktsegment, COUNT(*) AS n_del2,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal_live
+  FROM d2 GROUP BY 1
+)
+SELECT c_mktsegment AS segment,
+       CAST(n_base AS BIGINT) AS n_base,
+       CAST(n_del1 AS BIGINT) AS n_del1,
+       CAST(n_del2 AS BIGINT) AS n_del2,
+       CAST(n_del2 AS BIGINT) AS n_compacted,
+       TRUE AS mor_equals_cow,
+       bal_live
+FROM s_base JOIN s1 USING (c_mktsegment) JOIN s2 USING (c_mktsegment)
+ORDER BY segment
+"""
+
+
 # --- driver-visible query ---------------------------------------------------
 
 _CUST_COLS = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
@@ -289,4 +465,5 @@ ORDER BY segment
 
 SNAPSHOT_QUERIES: dict[str, tuple] = {
     "table_time_travel": (table_time_travel, TIME_TRAVEL_SQL),
+    "table_mor_deletes": (table_mor_deletes, TABLE_MOR_SQL),
 }

@@ -144,3 +144,53 @@ def test_manifest_pruning_skips_files(spark, tmp_path):
     # a column with no stats usable for the range → nothing pruned, never lossy
     _all, n_read2, n_total2 = read_snapshot_pruned(spark, d, "c_acctbal", -1e9, 1e9)
     assert n_read2 == n_total2
+
+
+def test_mor_deletes_never_rewrite_base(spark, tmp_path):
+    """Deletion vectors must leave the base data files byte-identical
+    (mtime+size fingerprint), stack across deletes against the same
+    base, keep time travel intact, and compaction must equal the MoR
+    read exactly."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from csv_to_jsonld_processor_spark.operators.snapshots import (
+        commit_snapshot,
+        compact_mor,
+        delete_rows_mor,
+        read_snapshot_mor,
+    )
+
+    table = str(tmp_path / "t")
+    df = spark.range(0, 1000).withColumn("v", (F.col("id") % 10).cast("int"))
+    commit_snapshot(spark, df, table)
+
+    def fingerprint():
+        d = os.path.join(table, "snap-000000")
+        return sorted(
+            (f, os.path.getsize(os.path.join(d, f)),
+             os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d) if f.endswith(".parquet")
+        )
+
+    before = fingerprint()
+    d1 = delete_rows_mor(spark, table, "v = 3")
+    d2 = delete_rows_mor(spark, table, "id < 100")
+    assert fingerprint() == before, "a MoR delete rewrote base data files"
+    # overlay snapshots hold only a DV + BASE pointer, no data files
+    for sid in (d1, d2):
+        d = os.path.join(table, f"snap-{sid:06d}")
+        assert os.path.exists(os.path.join(d, "BASE"))
+        assert os.path.isdir(os.path.join(d, "dv"))
+        assert not any(f.endswith(".parquet") for f in os.listdir(d))
+
+    live1 = {r.id for r in read_snapshot_mor(spark, table, d1).collect()}
+    live2 = {r.id for r in read_snapshot_mor(spark, table, d2).collect()}
+    assert live1 == {i for i in range(1000) if i % 10 != 3}
+    assert live2 == {i for i in range(1000) if i % 10 != 3 and i >= 100}
+    # time travel to the pre-delete base still sees everything
+    assert read_snapshot_mor(spark, table, 0).count() == 1000
+
+    cid = compact_mor(spark, table)
+    assert {r.id for r in read_snapshot_mor(spark, table, cid).collect()} == live2
