@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "events_cusum_changepoint",
     "doc_classifier_agreement",
     "table_mor_deletes",
+    "table_mor_updates",
 ]
 
 

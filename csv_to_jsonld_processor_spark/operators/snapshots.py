@@ -263,10 +263,17 @@ def delete_rows_mor(spark: SparkSession, table_dir: str, predicate: str) -> int:
         new_tombs if old_dv is None
         else spark.read.parquet(old_dv).unionByName(new_tombs)
     )
+    # an update's insert-delta has no base coordinates — deleting from
+    # it means carrying forward only its surviving rows
+    old_ins = _overlay_ins(spark, table_dir, cur)
 
     new_id = cur + 1
     d = _snap_dir(table_dir, new_id)
     all_tombs.write.mode("overwrite").parquet(os.path.join(d, "dv"))
+    if old_ins is not None:
+        old_ins.where(f"NOT ({predicate})").write.mode("overwrite").parquet(
+            os.path.join(d, "ins")
+        )
     tmpb = os.path.join(d, "BASE.tmp")
     with open(tmpb, "w") as f:
         f.write(str(base_id))
@@ -294,9 +301,74 @@ def read_snapshot_mor(
     base_id, dv_path = ov
     with_pos = _read_data_with_pos(spark, _snap_dir(table_dir, base_id))
     dv = spark.read.parquet(dv_path)
-    return with_pos.join(dv, ["_dv_file", "_dv_pos"], "left_anti").drop(
+    live = with_pos.join(dv, ["_dv_file", "_dv_pos"], "left_anti").drop(
         "_dv_file", "_dv_pos"
     )
+    ins = _overlay_ins(spark, table_dir, snapshot_id)
+    return live if ins is None else live.unionByName(ins)
+
+
+def update_rows_mor(
+    spark: SparkSession, table_dir: str, predicate: str,
+    set_exprs: dict[str, str],
+) -> int:
+    """Row-level UPDATE WHERE as merge-on-read: the matching rows'
+    coordinates join the deletion vector (their old images vanish) and
+    their NEW images land in an ``ins`` delta file inside the same
+    overlay snapshot — UPDATE = DV ∪ insert-delta, the Iceberg v2
+    equality/positional-delete + data-file pattern.  Readers union the
+    delta after the anti-join; the base data files still never change."""
+    cur = current_snapshot_id(table_dir)
+    if cur is None:
+        raise ValueError("empty table")
+    ov = _overlay_info(table_dir, cur)
+    base_id = cur if ov is None else ov[0]
+    data_dir = _snap_dir(table_dir, base_id)
+    with_pos = _read_data_with_pos(spark, data_dir)
+    old_dv = spark.read.parquet(ov[1]) if ov else None
+    old_ins = _overlay_ins(spark, table_dir, cur)
+    live_base = (
+        with_pos if old_dv is None
+        else with_pos.join(old_dv, ["_dv_file", "_dv_pos"], "left_anti")
+    )
+    hit_base = live_base.where(predicate)
+    new_tombs = hit_base.select("_dv_file", "_dv_pos")
+    all_tombs = new_tombs if old_dv is None else old_dv.unionByName(new_tombs)
+
+    def apply_set(df: DataFrame) -> DataFrame:
+        for col, expr in set_exprs.items():
+            df = df.withColumn(col, F.expr(expr))
+        return df
+
+    data_cols = [c for c in with_pos.columns if not c.startswith("_dv_")]
+    updated = apply_set(hit_base.select(*data_cols))
+    if old_ins is not None:
+        # delta rows matching the predicate update in place; the rest
+        # carry forward
+        updated = updated.unionByName(
+            apply_set(old_ins.where(predicate))
+        ).unionByName(old_ins.where(f"NOT ({predicate})"))
+    new_id = cur + 1
+    d = _snap_dir(table_dir, new_id)
+    all_tombs.write.mode("overwrite").parquet(os.path.join(d, "dv"))
+    updated.write.mode("overwrite").parquet(os.path.join(d, "ins"))
+    tmpb = os.path.join(d, "BASE.tmp")
+    with open(tmpb, "w") as f:
+        f.write(str(base_id))
+    os.replace(tmpb, os.path.join(d, "BASE"))
+    tmp = os.path.join(table_dir, "CURRENT.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(new_id))
+    os.replace(tmp, os.path.join(table_dir, "CURRENT"))
+    return new_id
+
+
+def _overlay_ins(spark: SparkSession, table_dir: str, snap_id: int):
+    """The overlay's insert-delta DataFrame, if any."""
+    d = os.path.join(_snap_dir(table_dir, snap_id), "ins")
+    if not os.path.isdir(d):
+        return None
+    return spark.read.parquet(d)
 
 
 def compact_mor(spark: SparkSession, table_dir: str) -> int:
@@ -463,7 +535,82 @@ ORDER BY segment
 """
 
 
+def table_mor_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MoR UPDATE → stacked MoR DELETE → compaction, end-to-end: update
+    custkey%5=0 (acctbal += 1000 — old images tombstoned, new images in
+    the insert-delta), then delete acctbal < 0 (hits base rows AND must
+    filter the delta), then compact.  Per segment: rows and decimal
+    balance after each step read merge-on-read, plus the MoR==CoW
+    equality after compaction.  A reader that loses the delta, applies
+    the update twice, or lets a deleted delta row resurface
+    hash-mismatches the relational oracle."""
+    import tempfile
+
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"].select(*_CUST_COLS)
+    table_dir = tempfile.mkdtemp(prefix="mor_upd_")
+    commit_snapshot(spark, cust, table_dir)
+    u1 = update_rows_mor(
+        spark, table_dir, "c_custkey % 5 = 0",
+        {"c_acctbal": "c_acctbal + 1000.0"},
+    )
+    d1 = delete_rows_mor(spark, table_dir, "c_acctbal < 0")
+    cid = compact_mor(spark, table_dir)
+
+    def seg(df: DataFrame, suffix: str) -> DataFrame:
+        return df.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).cast("long").alias(f"n_{suffix}"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double")
+            .alias(f"bal_{suffix}"),
+        )
+
+    s_u = seg(read_snapshot_mor(spark, table_dir, u1), "upd")
+    s_d = seg(read_snapshot_mor(spark, table_dir, d1), "del")
+    s_c = read_snapshot_mor(spark, table_dir, cid).groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_compacted")
+    )
+    return (
+        s_u.join(s_d, "c_mktsegment").join(s_c, "c_mktsegment")
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            "n_upd", "bal_upd", "n_del", "bal_del",
+            (F.col("n_del") == F.col("n_compacted")).alias("mor_equals_cow"),
+        )
+        .orderBy("segment")
+    )
+
+
+TABLE_MOR_UPDATES_SQL = """
+WITH base AS (
+  SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+), upd AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 1000.0
+              ELSE c_acctbal END AS c_acctbal,
+         c_mktsegment
+  FROM base
+), del AS (
+  SELECT * FROM upd WHERE NOT (c_acctbal < 0)
+), s_u AS (
+  SELECT c_mktsegment, COUNT(*) AS n_upd,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal_upd
+  FROM upd GROUP BY 1
+), s_d AS (
+  SELECT c_mktsegment, COUNT(*) AS n_del,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal_del
+  FROM del GROUP BY 1
+)
+SELECT c_mktsegment AS segment,
+       CAST(n_upd AS BIGINT) AS n_upd, bal_upd,
+       CAST(n_del AS BIGINT) AS n_del, bal_del,
+       TRUE AS mor_equals_cow
+FROM s_u JOIN s_d USING (c_mktsegment)
+ORDER BY segment
+"""
+
+
 SNAPSHOT_QUERIES: dict[str, tuple] = {
     "table_time_travel": (table_time_travel, TIME_TRAVEL_SQL),
     "table_mor_deletes": (table_mor_deletes, TABLE_MOR_SQL),
+    "table_mor_updates": (table_mor_updates, TABLE_MOR_UPDATES_SQL),
 }

@@ -194,3 +194,41 @@ def test_mor_deletes_never_rewrite_base(spark, tmp_path):
 
     cid = compact_mor(spark, table)
     assert {r.id for r in read_snapshot_mor(spark, table, cid).collect()} == live2
+
+
+def test_mor_update_then_delete_stacks_correctly(spark, tmp_path):
+    """UPDATE moves rows to the insert-delta; a later DELETE must both
+    tombstone base rows and filter the delta — and a deleted delta row
+    must never resurface in any later read or the compaction."""
+    from pyspark.sql import functions as F
+
+    from csv_to_jsonld_processor_spark.operators.snapshots import (
+        commit_snapshot,
+        compact_mor,
+        delete_rows_mor,
+        read_snapshot_mor,
+        update_rows_mor,
+    )
+
+    table = str(tmp_path / "t")
+    df = spark.range(0, 200).withColumn("v", (F.col("id") % 10).cast("long"))
+    commit_snapshot(spark, df, table)
+    # update: v -> v + 100 where id % 4 == 0 (50 rows to the delta)
+    u = update_rows_mor(spark, table, "id % 4 = 0", {"v": "v + 100"})
+    got = {(r.id, r.v) for r in read_snapshot_mor(spark, table, u).collect()}
+    expected = {(i, (i % 10) + (100 if i % 4 == 0 else 0)) for i in range(200)}
+    assert got == expected
+    # delete: v >= 100 — exactly the delta rows, plus nothing from base
+    d = delete_rows_mor(spark, table, "v >= 100")
+    got = {(r.id, r.v) for r in read_snapshot_mor(spark, table, d).collect()}
+    expected = {(i, i % 10) for i in range(200) if i % 4 != 0}
+    assert got == expected
+    # a second update touching former-delta ids must not resurrect them
+    u2 = update_rows_mor(spark, table, "id % 2 = 0", {"v": "v + 1000"})
+    got = {(r.id, r.v) for r in read_snapshot_mor(spark, table, u2).collect()}
+    expected = {(i, (i % 10) + (1000 if i % 2 == 0 else 0))
+                for i in range(200) if i % 4 != 0}
+    assert got == expected
+    cid = compact_mor(spark, table)
+    assert {(r.id, r.v) for r in
+            read_snapshot_mor(spark, table, cid).collect()} == expected
