@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "doc_classifier_agreement",
     "table_mor_deletes",
     "table_mor_updates",
+    "table_wap_publish",
 ]
 
 

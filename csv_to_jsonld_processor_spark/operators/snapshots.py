@@ -83,13 +83,43 @@ def read_snapshot(
     return spark.read.parquet(d)
 
 
+def _all_ref_ids(table_dir: str) -> set[int]:
+    out = set()
+    for f in os.listdir(table_dir) if os.path.isdir(table_dir) else []:
+        if f == "CURRENT" or f.startswith("REF-"):
+            try:
+                with open(os.path.join(table_dir, f)) as fh:
+                    out.add(int(fh.read().strip()))
+            except ValueError:
+                pass
+    return out
+
+
+def _next_snapshot_id(table_dir: str) -> int:
+    """Global id allocation across ALL refs: max committed generation
+    + 1 — except the highest generation is REUSED when no ref points at
+    it (the crash-between-write-and-flip orphan, pinned by
+    tests/test_snapshots.py).  Branch generations are referenced, so a
+    main commit after a branch commit can never collide with it."""
+    # RAW directory scan — snapshot_ids() hides ids above CURRENT,
+    # which is exactly where branch generations live
+    ids = [
+        int(m.group(1))
+        for name in (os.listdir(table_dir) if os.path.isdir(table_dir) else [])
+        if (m := _SNAP_RE.match(name))
+    ]
+    if not ids:
+        return 0
+    top = max(ids)
+    return top if top not in _all_ref_ids(table_dir) else top + 1
+
+
 def commit_snapshot(spark: SparkSession, df: DataFrame, table_dir: str) -> int:
     """Write-then-flip commit; returns the new snapshot id. Restartable:
     a crash before the flip leaves an orphan dir that the retry
     overwrites under the SAME id."""
     os.makedirs(table_dir, exist_ok=True)
-    cur = current_snapshot_id(table_dir)
-    new_id = 0 if cur is None else cur + 1
+    new_id = _next_snapshot_id(table_dir)
     df.write.mode("overwrite").parquet(_snap_dir(table_dir, new_id))
     # manifest belongs to the generation: written before the flip, so a
     # crash leaves it orphaned along with the data it describes
@@ -267,7 +297,7 @@ def delete_rows_mor(spark: SparkSession, table_dir: str, predicate: str) -> int:
     # it means carrying forward only its surviving rows
     old_ins = _overlay_ins(spark, table_dir, cur)
 
-    new_id = cur + 1
+    new_id = _next_snapshot_id(table_dir)
     d = _snap_dir(table_dir, new_id)
     all_tombs.write.mode("overwrite").parquet(os.path.join(d, "dv"))
     if old_ins is not None:
@@ -348,7 +378,7 @@ def update_rows_mor(
         updated = updated.unionByName(
             apply_set(old_ins.where(predicate))
         ).unionByName(old_ins.where(f"NOT ({predicate})"))
-    new_id = cur + 1
+    new_id = _next_snapshot_id(table_dir)
     d = _snap_dir(table_dir, new_id)
     all_tombs.write.mode("overwrite").parquet(os.path.join(d, "dv"))
     updated.write.mode("overwrite").parquet(os.path.join(d, "ins"))
@@ -535,6 +565,160 @@ ORDER BY segment
 """
 
 
+# --- branch refs + write-audit-publish ---------------------------------------
+
+def _ref_path(table_dir: str, ref: str) -> str:
+    if ref == "CURRENT":
+        return os.path.join(table_dir, "CURRENT")
+    if not re.match(r"^[A-Za-z0-9_-]+$", ref):
+        raise ValueError(f"bad ref name {ref!r}")
+    return os.path.join(table_dir, f"REF-{ref}")
+
+
+def ref_snapshot_id(table_dir: str, ref: str) -> int | None:
+    p = _ref_path(table_dir, ref)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return int(f.read().strip())
+
+
+def commit_to_ref(spark: SparkSession, df: DataFrame, table_dir: str,
+                  ref: str) -> int:
+    """Commit a new snapshot and flip a NAMED ref instead of CURRENT —
+    the branch write of write-audit-publish: main's readers are
+    untouched while the branch accumulates and gets audited.  Snapshot
+    ids are global (max over all generations + 1), so branch and main
+    histories interleave in one ordered id space like Iceberg's."""
+    os.makedirs(table_dir, exist_ok=True)
+    new_id = _next_snapshot_id(table_dir)
+    df.write.mode("overwrite").parquet(_snap_dir(table_dir, new_id))
+    _write_manifest(_snap_dir(table_dir, new_id))
+    p = _ref_path(table_dir, ref)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(new_id))
+    os.replace(tmp, p)
+    return new_id
+
+
+def read_ref(spark: SparkSession, table_dir: str, ref: str) -> DataFrame | None:
+    """The table as of a named ref (branch/tag read)."""
+    sid = ref_snapshot_id(table_dir, ref)
+    if sid is None:
+        return None
+    d = _snap_dir(table_dir, sid)
+    if _overlay_info(table_dir, sid) is not None:
+        return read_snapshot_mor(spark, table_dir, sid)
+    return spark.read.parquet(d)
+
+
+def fast_forward(table_dir: str, from_ref: str, to_ref: str = "CURRENT") -> int:
+    """Publish: atomically point ``to_ref`` at ``from_ref``'s snapshot
+    (the publish step of write-audit-publish — readers of ``to_ref``
+    switch in one rename, and every pre-publish snapshot stays
+    time-travelable)."""
+    sid = ref_snapshot_id(table_dir, from_ref)
+    if sid is None:
+        raise ValueError(f"unknown ref {from_ref!r}")
+    p = _ref_path(table_dir, to_ref)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(sid))
+    os.replace(tmp, p)
+    return sid
+
+
+def table_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish end-to-end: main holds the base customers;
+    an ingest batch (custkey%4=0, acctbal+500) commits to the ``audit``
+    branch — main is PROVABLY unchanged while the branch exists — the
+    audit gate checks the branch (row conservation + no NULL keys),
+    and only then does main fast-forward to the audited snapshot.
+    Output per segment: main rows before publish, branch rows, main
+    rows after publish, the main-frozen-during-audit boolean, and the
+    audited balance.  Oracle recomputes both states relationally."""
+    import tempfile
+
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"].select(*_CUST_COLS)
+    table_dir = tempfile.mkdtemp(prefix="wap_table_")
+    commit_snapshot(spark, cust, table_dir)
+
+    batch = cust.where(F.col("c_custkey") % 4 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + F.lit(500.0)
+    )
+    base = read_snapshot(spark, table_dir)
+    staged = base.join(batch.select("c_custkey"), "c_custkey", "left_anti") \
+                 .unionByName(batch)
+    commit_to_ref(spark, staged, table_dir, "audit")
+
+    main_during = read_snapshot(spark, table_dir)
+    branch = read_ref(spark, table_dir, "audit")
+    main_frozen = main_during.count() == base.count() and ref_snapshot_id(
+        table_dir, "CURRENT") == 0
+    # audit gate: row conservation and key integrity on the branch
+    assert branch.count() == base.count()
+    assert branch.where(F.col("c_custkey").isNull()).count() == 0
+    fast_forward(table_dir, "audit")
+
+    def seg(df: DataFrame, suffix: str) -> DataFrame:
+        return df.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).cast("long").alias(f"n_{suffix}")
+        )
+
+    published = read_snapshot(spark, table_dir)
+    return (
+        seg(main_during, "main_before").join(seg(branch, "branch"), "c_mktsegment")
+        .join(
+            published.groupBy("c_mktsegment").agg(
+                F.count(F.lit(1)).cast("long").alias("n_published"),
+                F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double")
+                .alias("bal_published"),
+            ),
+            "c_mktsegment",
+        )
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            "n_main_before", "n_branch", "n_published",
+            F.lit(bool(main_frozen)).alias("main_frozen_during_audit"),
+            "bal_published",
+        )
+        .orderBy("segment")
+    )
+
+
+TABLE_WAP_SQL = """
+WITH base AS (
+  SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+), batch AS (
+  SELECT c_custkey, c_acctbal + 500.0 AS c_acctbal, c_mktsegment
+  FROM base WHERE c_custkey % 4 = 0
+), staged AS (
+  SELECT * FROM batch
+  UNION ALL
+  SELECT b.* FROM base b LEFT JOIN batch d USING (c_custkey)
+  WHERE d.c_custkey IS NULL
+), s_main AS (
+  SELECT c_mktsegment, COUNT(*) AS n_main_before FROM base GROUP BY 1
+), s_branch AS (
+  SELECT c_mktsegment, COUNT(*) AS n_branch FROM staged GROUP BY 1
+), s_pub AS (
+  SELECT c_mktsegment, COUNT(*) AS n_published,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal_published
+  FROM staged GROUP BY 1
+)
+SELECT c_mktsegment AS segment,
+       CAST(n_main_before AS BIGINT) AS n_main_before,
+       CAST(n_branch AS BIGINT) AS n_branch,
+       CAST(n_published AS BIGINT) AS n_published,
+       TRUE AS main_frozen_during_audit,
+       bal_published
+FROM s_main JOIN s_branch USING (c_mktsegment) JOIN s_pub USING (c_mktsegment)
+ORDER BY segment
+"""
+
+
 def table_mor_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MoR UPDATE → stacked MoR DELETE → compaction, end-to-end: update
     custkey%5=0 (acctbal += 1000 — old images tombstoned, new images in
@@ -613,4 +797,5 @@ SNAPSHOT_QUERIES: dict[str, tuple] = {
     "table_time_travel": (table_time_travel, TIME_TRAVEL_SQL),
     "table_mor_deletes": (table_mor_deletes, TABLE_MOR_SQL),
     "table_mor_updates": (table_mor_updates, TABLE_MOR_UPDATES_SQL),
+    "table_wap_publish": (table_wap_publish, TABLE_WAP_SQL),
 }

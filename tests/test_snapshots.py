@@ -232,3 +232,45 @@ def test_mor_update_then_delete_stacks_correctly(spark, tmp_path):
     cid = compact_mor(spark, table)
     assert {(r.id, r.v) for r in
             read_snapshot_mor(spark, table, cid).collect()} == expected
+
+
+def test_branch_refs_isolate_and_publish(spark, tmp_path):
+    """Branch commits never move CURRENT; the global id allocator never
+    collides a main commit with a branch generation; fast-forward is
+    the only publish; the crash-orphan id REUSE rule still holds with
+    refs present."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from csv_to_jsonld_processor_spark.operators.snapshots import (
+        _snap_dir,
+        commit_snapshot,
+        commit_to_ref,
+        current_snapshot_id,
+        fast_forward,
+        read_ref,
+        read_snapshot,
+        ref_snapshot_id,
+    )
+
+    table = str(tmp_path / "t")
+    commit_snapshot(spark, spark.range(10), table)              # snap 0, main
+    bid = commit_to_ref(spark, spark.range(20), table, "audit")  # snap 1, branch
+    assert bid == 1 and current_snapshot_id(table) == 0
+    assert read_snapshot(spark, table).count() == 10
+    assert read_ref(spark, table, "audit").count() == 20
+
+    # a main commit while the branch exists must NOT collide with snap 1
+    mid = commit_snapshot(spark, spark.range(30), table)
+    assert mid == 2 and read_ref(spark, table, "audit").count() == 20
+
+    fast_forward(table, "audit")
+    assert current_snapshot_id(table) == 1
+    assert read_snapshot(spark, table).count() == 20
+
+    # crash-orphan reuse still works: fake an unreferenced top dir
+    spark.range(5).write.parquet(_snap_dir(table, 3))
+    nid = commit_snapshot(spark, spark.range(7), table)
+    assert nid == 3 and read_snapshot(spark, table).count() == 7
+    assert ref_snapshot_id(table, "audit") == 1
