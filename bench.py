@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "table_mor_deletes",
     "table_mor_updates",
     "table_wap_publish",
+    "table_changelog",
 ]
 
 

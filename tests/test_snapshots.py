@@ -274,3 +274,76 @@ def test_branch_refs_isolate_and_publish(spark, tmp_path):
     nid = commit_snapshot(spark, spark.range(7), table)
     assert nid == 3 and read_snapshot(spark, table).count() == 7
     assert ref_snapshot_id(table, "audit") == 1
+
+
+def test_changelog_fast_path_equals_full_diff(spark, tmp_path):
+    """read_changes over a MoR overlay chain (the O(delta) path) must
+    produce the same multiset of (change_type, row) as the O(table)
+    exceptAll fallback computed from the two materialized snapshots —
+    and an update interval must pair its deletes/inserts exactly."""
+    from pyspark.sql import functions as F
+
+    from csv_to_jsonld_processor_spark.operators.snapshots import (
+        commit_snapshot,
+        delete_rows_mor,
+        read_changes,
+        read_snapshot_mor,
+        update_rows_mor,
+    )
+
+    table = str(tmp_path / "t")
+    base = spark.range(100).select(
+        F.col("id").cast("long").alias("k"),
+        (F.col("id") % 7).cast("double").alias("v"),
+    )
+    commit_snapshot(spark, base, table)
+    u = update_rows_mor(spark, table, "k % 3 = 0", {"v": "v + 100.0"})
+    d = delete_rows_mor(spark, table, "v < 2")
+
+    for lo, hi in [(0, u), (u, d), (0, d)]:
+        ch = read_changes(spark, table, lo, hi)
+        f_lo = read_snapshot_mor(spark, table, lo)
+        f_hi = read_snapshot_mor(spark, table, hi)
+        want_del = [tuple(r) for r in sorted(f_lo.exceptAll(f_hi).collect())]
+        want_ins = [tuple(r) for r in sorted(f_hi.exceptAll(f_lo).collect())]
+        got_del = [
+            tuple(r)[:-1]
+            for r in sorted(ch.where("_change_type = 'delete'").collect())
+        ]
+        got_ins = [
+            tuple(r)[:-1]
+            for r in sorted(ch.where("_change_type = 'insert'").collect())
+        ]
+        assert got_del == want_del, (lo, hi)
+        assert got_ins == want_ins, (lo, hi)
+
+    # update interval: deletes and inserts pair on key, values 100 apart
+    ch_u = read_changes(spark, table, 0, u)
+    dels = {r["k"]: r["v"] for r in ch_u.where("_change_type='delete'").collect()}
+    inss = {r["k"]: r["v"] for r in ch_u.where("_change_type='insert'").collect()}
+    assert set(dels) == set(inss) == {k for k in range(100) if k % 3 == 0}
+    assert all(inss[k] == dels[k] + 100.0 for k in dels)
+
+
+def test_changelog_delete_interval_reads_only_named_base_files(spark, tmp_path):
+    """The O(delta) claim: the delete-interval changelog touches only
+    the base files the new tombstones name.  With the base written as
+    many files and a delete hitting one key, the fast path must return
+    exactly that row without materializing either snapshot."""
+    from pyspark.sql import functions as F
+
+    from csv_to_jsonld_processor_spark.operators.snapshots import (
+        commit_snapshot,
+        delete_rows_mor,
+        read_changes,
+    )
+
+    table = str(tmp_path / "t")
+    base = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).repartition(16)
+    commit_snapshot(spark, base, table)
+    d = delete_rows_mor(spark, table, "k = 777")
+    ch = read_changes(spark, table, 0, d).collect()
+    assert len(ch) == 1
+    assert ch[0]["k"] == 777 and ch[0]["_change_type"] == "delete"
