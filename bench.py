@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "table_mor_updates",
     "table_wap_publish",
     "table_changelog",
+    "table_schema_evolution",
 ]
 
 

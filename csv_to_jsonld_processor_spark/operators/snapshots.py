@@ -968,10 +968,271 @@ ORDER BY step, change_type, segment
 """
 
 
+# --- schema evolution (field-id resolution, metadata-only commits) -----------
+#
+# Iceberg's schema-evolution contract re-expressed on the same
+# write-then-flip protocol: every column owns a stable FIELD ID; each
+# data segment records the physical-name -> field-id binding it was
+# written under (``_fields.json``); each snapshot carries the logical
+# schema as of that snapshot (``_schema.json``: ordered [id, name,
+# type]).  Readers resolve columns BY ID, never by name — so a rename
+# is a pure metadata commit (O(1) regardless of table size: no data
+# file is rewritten or even opened), an added column back-fills as a
+# typed NULL on pre-evolution segments, and time travel to an old
+# snapshot surfaces the OLD names over the SAME bytes.  Appends chain
+# via a ``_parent`` pointer to the previous snapshot, so a read walks the
+# chain and unions segments after per-segment id-resolution.
+
+import json
+
+
+def _write_json_atomic(path: str, obj) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)
+
+
+def _read_json(path: str):
+    with open(path) as f:
+        return json.load(f)
+
+
+def commit_snapshot_evolved(
+    spark: SparkSession, df: DataFrame, table_dir: str
+) -> int:
+    """First commit of a schema-tracked table: field ids 1..n are
+    assigned in column order and recorded both table-level (_schema)
+    and segment-level (_fields)."""
+    os.makedirs(table_dir, exist_ok=True)
+    new_id = _next_snapshot_id(table_dir)
+    d = _snap_dir(table_dir, new_id)
+    df.write.mode("overwrite").parquet(d)
+    fields = {c: i + 1 for i, c in enumerate(df.columns)}
+    schema = [
+        {"id": i + 1, "name": c, "type": df.schema[c].dataType.simpleString()}
+        for i, c in enumerate(df.columns)
+    ]
+    _write_json_atomic(os.path.join(d, "_fields.json"), fields)
+    _write_json_atomic(os.path.join(d, "_schema.json"), schema)
+    tmp = os.path.join(table_dir, "CURRENT.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(new_id))
+    os.replace(tmp, os.path.join(table_dir, "CURRENT"))
+    return new_id
+
+
+def _snapshot_schema(table_dir: str, snap_id: int) -> list[dict]:
+    return _read_json(os.path.join(_snap_dir(table_dir, snap_id), "_schema.json"))
+
+
+def evolve_schema(
+    table_dir: str,
+    *,
+    add: list[tuple[str, str]] | None = None,
+    rename: dict[str, str] | None = None,
+    drop: list[str] | None = None,
+) -> int:
+    """Metadata-ONLY schema commit: rename/add/drop columns without
+    touching a single data file.  The new snapshot directory holds just
+    the updated ``_schema.json`` and a ``_parent`` pointer to the previous
+    snapshot — at 100 TB this commit is the same few hundred bytes it
+    is here, which is the whole point of id-based resolution."""
+    cur = current_snapshot_id(table_dir)
+    if cur is None:
+        raise ValueError("empty table")
+    schema = [dict(f) for f in _snapshot_schema(table_dir, cur)]
+    if rename:
+        names = {f["name"] for f in schema}
+        for old, new in rename.items():
+            if old not in names:
+                raise ValueError(f"unknown column {old!r}")
+        for f in schema:
+            if f["name"] in rename:
+                f["name"] = rename[f["name"]]
+    if drop:
+        schema = [f for f in schema if f["name"] not in drop]
+    if add:
+        next_id = max((f["id"] for f in schema), default=0) + 1
+        have = {f["name"] for f in schema}
+        for name, typ in add:
+            if name in have:
+                raise ValueError(f"column {name!r} already exists")
+            schema.append({"id": next_id, "name": name, "type": typ})
+            next_id += 1
+    new_id = _next_snapshot_id(table_dir)
+    d = _snap_dir(table_dir, new_id)
+    os.makedirs(d, exist_ok=True)
+    _write_json_atomic(os.path.join(d, "_schema.json"), schema)
+    _write_json_atomic(os.path.join(d, "_parent"), cur)
+    tmp = os.path.join(table_dir, "CURRENT.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(new_id))
+    os.replace(tmp, os.path.join(table_dir, "CURRENT"))
+    return new_id
+
+
+def append_evolved(spark: SparkSession, df: DataFrame, table_dir: str) -> int:
+    """Append a segment written under the CURRENT logical schema: the
+    segment's physical names bind to the schema's field ids, and a
+    _parent pointer chains to the previous snapshot — an O(batch) commit,
+    never an O(table) rewrite."""
+    cur = current_snapshot_id(table_dir)
+    if cur is None:
+        raise ValueError("empty table; use commit_snapshot_evolved")
+    schema = _snapshot_schema(table_dir, cur)
+    by_name = {f["name"]: f["id"] for f in schema}
+    unknown = [c for c in df.columns if c not in by_name]
+    if unknown:
+        raise ValueError(f"columns not in schema: {unknown}")
+    new_id = _next_snapshot_id(table_dir)
+    d = _snap_dir(table_dir, new_id)
+    df.write.mode("overwrite").parquet(d)
+    _write_json_atomic(
+        os.path.join(d, "_fields.json"), {c: by_name[c] for c in df.columns}
+    )
+    _write_json_atomic(os.path.join(d, "_schema.json"), schema)
+    _write_json_atomic(os.path.join(d, "_parent"), cur)
+    tmp = os.path.join(table_dir, "CURRENT.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(new_id))
+    os.replace(tmp, os.path.join(table_dir, "CURRENT"))
+    return new_id
+
+
+def read_snapshot_evolved(
+    spark: SparkSession, table_dir: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """The table as of a snapshot, under THAT snapshot's logical
+    schema.  Walks the _parent chain collecting data segments; each
+    segment's physical columns map to logical names via field ids
+    (rename-safe), ids absent from a segment surface as typed NULLs
+    (add-column back-fill), ids dropped from the schema are pruned at
+    the projection (never read thanks to parquet column pruning)."""
+    cur = current_snapshot_id(table_dir)
+    if cur is None:
+        raise ValueError("empty table")
+    if snapshot_id is None:
+        snapshot_id = cur
+    if snapshot_id > cur:
+        raise ValueError(f"snapshot {snapshot_id} not committed")
+    schema = _snapshot_schema(table_dir, snapshot_id)
+    parts: list[DataFrame] = []
+    sid: int | None = snapshot_id
+    while sid is not None:
+        d = _snap_dir(table_dir, sid)
+        fields_p = os.path.join(d, "_fields.json")
+        if os.path.exists(fields_p):
+            fields = _read_json(fields_p)  # physical name -> field id
+            by_id = {v: k for k, v in fields.items()}
+            seg = spark.read.parquet(d)
+            cols = [
+                F.col(by_id[f["id"]]).alias(f["name"]) if f["id"] in by_id
+                else F.lit(None).cast(f["type"]).alias(f["name"])
+                for f in schema
+            ]
+            parts.append(seg.select(*cols))
+        data_p = os.path.join(d, "_parent")
+        sid = _read_json(data_p) if os.path.exists(data_p) else None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def table_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution end-to-end through the real protocol: commit
+    customers with odd keys (v1 names) → metadata-only evolution
+    (RENAME c_acctbal→balance, ADD loyalty_tier string; zero data files
+    touched — asserted) → append even-key rows under the NEW schema
+    with tiers assigned → read CURRENT (old segment surfaces renamed +
+    NULL-tier via field-id resolution) and time-travel snapshot 0
+    (old names intact over the same bytes).  Output per segment:
+    totals, per-generation counts, NULL-backfill count, gold count,
+    decimal balance (proving the rename re-binds the same physical
+    column), and the metadata-only-commit boolean."""
+    import tempfile
+
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"].select(*_CUST_COLS)
+    table_dir = tempfile.mkdtemp(prefix="evo_table_")
+    commit_snapshot_evolved(
+        spark, cust.where(F.col("c_custkey") % 2 == 1), table_dir
+    )
+    ev = evolve_schema(
+        table_dir,
+        rename={"c_acctbal": "balance"},
+        add=[("loyalty_tier", "string")],
+    )
+    # the evolution snapshot must hold NO data files — metadata only
+    ev_files = os.listdir(_snap_dir(table_dir, ev))
+    metadata_only = sorted(ev_files) == ["_parent", "_schema.json"]
+    v2 = (
+        cust.where(F.col("c_custkey") % 2 == 0)
+        .withColumnRenamed("c_acctbal", "balance")
+        .withColumn(
+            "loyalty_tier",
+            F.when(F.col("balance") > 5000, F.lit("gold")).otherwise(F.lit("std")),
+        )
+    )
+    append_evolved(spark, v2, table_dir)
+
+    current = read_snapshot_evolved(spark, table_dir)
+    old = read_snapshot_evolved(spark, table_dir, 0)
+    old_names_preserved = old.columns == _CUST_COLS
+    return (
+        current.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+            F.sum(F.col("loyalty_tier").isNull().cast("long")).alias("n_v1_backfilled"),
+            F.sum((F.col("loyalty_tier") == "gold").cast("long")).alias("n_gold"),
+            F.sum(F.col("balance").cast("decimal(18,4)")).cast("double")
+            .alias("bal_total"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            "n_total", "n_v1_backfilled", "n_gold", "bal_total",
+            F.lit(bool(metadata_only)).alias("evolution_metadata_only"),
+            F.lit(bool(old_names_preserved)).alias("time_travel_keeps_old_names"),
+        )
+        .orderBy("segment")
+    )
+
+
+TABLE_SCHEMA_EVOLUTION_SQL = """
+WITH base AS (
+  SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+), v1 AS (
+  SELECT c_custkey, c_acctbal AS balance, c_mktsegment,
+         CAST(NULL AS VARCHAR) AS loyalty_tier
+  FROM base WHERE c_custkey % 2 = 1
+), v2 AS (
+  SELECT c_custkey, c_acctbal AS balance, c_mktsegment,
+         CASE WHEN c_acctbal > 5000 THEN 'gold' ELSE 'std' END AS loyalty_tier
+  FROM base WHERE c_custkey % 2 = 0
+), unioned AS (
+  SELECT * FROM v1 UNION ALL SELECT * FROM v2
+)
+SELECT c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN loyalty_tier IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_v1_backfilled,
+       CAST(SUM(CASE WHEN loyalty_tier = 'gold' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_gold,
+       CAST(SUM(CAST(balance AS DECIMAL(18,4))) AS DOUBLE) AS bal_total,
+       TRUE AS evolution_metadata_only,
+       TRUE AS time_travel_keeps_old_names
+FROM unioned
+GROUP BY c_mktsegment
+ORDER BY segment
+"""
+
+
 SNAPSHOT_QUERIES: dict[str, tuple] = {
     "table_time_travel": (table_time_travel, TIME_TRAVEL_SQL),
     "table_mor_deletes": (table_mor_deletes, TABLE_MOR_SQL),
     "table_mor_updates": (table_mor_updates, TABLE_MOR_UPDATES_SQL),
     "table_wap_publish": (table_wap_publish, TABLE_WAP_SQL),
     "table_changelog": (table_changelog, TABLE_CHANGELOG_SQL),
+    "table_schema_evolution": (table_schema_evolution, TABLE_SCHEMA_EVOLUTION_SQL),
 }

@@ -347,3 +347,86 @@ def test_changelog_delete_interval_reads_only_named_base_files(spark, tmp_path):
     ch = read_changes(spark, table, 0, d).collect()
     assert len(ch) == 1
     assert ch[0]["k"] == 777 and ch[0]["_change_type"] == "delete"
+
+
+def test_schema_evolution_rename_add_drop_by_field_id(spark, tmp_path):
+    """Rename is a metadata-only commit (no data files in the evolution
+    snapshot dir); old segments surface the renamed column over the
+    same bytes; added columns back-fill as typed NULLs; dropped columns
+    vanish from the projection; time travel to snapshot 0 restores the
+    ORIGINAL names."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from csv_to_jsonld_processor_spark.operators.snapshots import (
+        _snap_dir,
+        append_evolved,
+        commit_snapshot_evolved,
+        evolve_schema,
+        read_snapshot_evolved,
+    )
+
+    table = str(tmp_path / "t")
+    v1 = spark.range(50).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 1.5).alias("amount"),
+        (F.col("id") % 3).cast("string").alias("grp"),
+    )
+    commit_snapshot_evolved(spark, v1, table)
+    ev = evolve_schema(
+        table, rename={"amount": "total"}, add=[("note", "string")]
+    )
+    assert sorted(os.listdir(_snap_dir(table, ev))) == ["_parent", "_schema.json"]
+
+    v2 = spark.range(50, 60).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2.0).alias("total"),
+        (F.col("id") % 3).cast("string").alias("grp"),
+        F.lit("new").alias("note"),
+    )
+    append_evolved(spark, v2, table)
+
+    cur = read_snapshot_evolved(spark, table)
+    assert cur.columns == ["k", "total", "grp", "note"]
+    assert cur.count() == 60
+    # rename re-binds the same physical column: v1 rows keep their values
+    row = {r["k"]: r for r in cur.collect()}
+    assert row[10]["total"] == 15.0 and row[10]["note"] is None
+    assert row[55]["total"] == 110.0 and row[55]["note"] == "new"
+
+    # time travel: snapshot 0 keeps the ORIGINAL schema over the data
+    old = read_snapshot_evolved(spark, table, 0)
+    assert old.columns == ["k", "amount", "grp"]
+    assert old.count() == 50
+
+    # drop: the column disappears from the projection for ALL segments
+    evolve_schema(table, drop=["grp"])
+    dropped = read_snapshot_evolved(spark, table)
+    assert dropped.columns == ["k", "total", "note"]
+    assert dropped.count() == 60
+
+
+def test_schema_evolution_rejects_bad_ops(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from csv_to_jsonld_processor_spark.operators.snapshots import (
+        append_evolved,
+        commit_snapshot_evolved,
+        evolve_schema,
+    )
+
+    table = str(tmp_path / "t")
+    commit_snapshot_evolved(
+        spark, spark.range(5).select(F.col("id").alias("k")), table
+    )
+    with pytest.raises(ValueError):
+        evolve_schema(table, rename={"nope": "x"})
+    with pytest.raises(ValueError):
+        evolve_schema(table, add=[("k", "string")])
+    with pytest.raises(ValueError):
+        append_evolved(
+            spark,
+            spark.range(3).select(F.col("id").alias("unknown_col")),
+            table,
+        )
