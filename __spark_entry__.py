@@ -106,6 +106,12 @@ def _registry() -> dict[str, tuple]:
     except ImportError:
         pass
     try:
+        from csv_to_jsonld_processor_spark.kg.incremental import KG_INCREMENTAL_QUERIES
+
+        reg.update(KG_INCREMENTAL_QUERIES)
+    except ImportError:
+        pass
+    try:
         from csv_to_jsonld_processor_spark.operators.urlops import URL_QUERIES
 
         reg.update(URL_QUERIES)

@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "table_wap_publish",
     "table_changelog",
     "table_schema_evolution",
+    "kg_incremental_recrawl",
 ]
 
 

@@ -1,0 +1,95 @@
+"""Incremental KG maintenance over a recrawl batch.
+
+The north-rule pipeline at steady state: the edges table is already
+materialized from crawl N; crawl N+1 delivers a CHANGED-PAGE batch
+(same urls, new html).  Rebuilding the whole graph would re-extract
+every page — O(corpus); incremental view maintenance re-extracts ONLY
+the changed batch and splices it in:
+
+    edges' = (edges ANTI-JOIN changed_urls) UNION extract(changed_pages)
+
+which is O(changed) extraction plus one anti-join.  Because every edge
+carries its source ``url``, page-granular maintenance is exact — a
+page's edges are a pure function of that page, so replacing them
+wholesale per changed url reproduces the full rebuild bit-for-bit
+(pytest pins incremental == rebuild on the updated corpus).
+
+Scale shape (100 TB): the changed-url set of one recrawl batch is
+dimension-sized relative to the corpus → broadcast anti-join, no
+shuffle of the edge table; extraction is the same shuffle-free fused
+scan as the flagship pipeline but over the batch only.  With the edges
+table hive-partitioned/bucketed by url prefix, the anti-join prunes to
+co-located partitions.  The changed-url list rides in as a broadcast
+either way.
+
+Reference semantics anchor: the reference reprocesses whole CSV files
+per manifest run (csv-to-jsonld-lib/src/instance/processor_impl.rs) —
+file-level re-ingest; this generalizes that unit of reprocessing to
+the page level for the webtext graft.
+"""
+
+from __future__ import annotations
+
+import os as _os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_GOLDEN_RECRAWL = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    "tests", "golden", "kg_incremental_recrawl.csv",
+)
+
+N_PAGES = 1000
+MOD, RESIDUE = 10, 3
+CONTENT_SEED = 43
+
+
+def maintain_edges_incremental(
+    spark: SparkSession, edges_base: DataFrame, changed_pages: DataFrame
+) -> DataFrame:
+    """Splice the re-extraction of ``changed_pages`` into an existing
+    edge table: old edges of changed urls retire via a broadcast
+    anti-join, the batch's fresh edges union in. Only the batch is
+    extracted."""
+    from .pipeline import build_kg
+
+    delta = build_kg(spark, changed_pages)["edges"].select(
+        "url", "sent_idx", "subj", "pred", "obj"
+    )
+    changed_urls = changed_pages.select("url").distinct()
+    kept = edges_base.join(F.broadcast(changed_urls), "url", "left_anti")
+    return kept.unionByName(delta)
+
+
+def kg_incremental_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance end-to-end on the flagship corpus: the
+    memoized 1,000-page seed-42 edge table is the steady state; pages
+    idx%10==3 arrive re-crawled (content seed 43, same urls); only that
+    batch is extracted and spliced in.  Output: the full maintained
+    edge table, hash-checked against a truth-anchored golden derived
+    from the generator's OWN fact lists for the post-recrawl corpus
+    (tools/regen_kg_recrawl_golden.py) — the same anchoring discipline
+    as kg_webtext_edges, so a stale edge surviving the splice or a
+    dropped unchanged page turns the row red."""
+    from ..sources.pages import generate_recrawled_pages
+    from .queries import kg_webtext_edges
+
+    edges_base = kg_webtext_edges(spark, sf_dir)
+    changed = generate_recrawled_pages(
+        spark, N_PAGES, mod=MOD, residue=RESIDUE, content_seed=CONTENT_SEED
+    )
+    out = maintain_edges_incremental(spark, edges_base, changed)
+    return out.orderBy("url", "sent_idx", "subj", "pred", "obj")
+
+
+KG_INCR_RECRAWL_SQL = f"""
+SELECT url, CAST(sent_idx AS INT) AS sent_idx, subj, pred, obj
+FROM read_csv('{_GOLDEN_RECRAWL}', header=true, all_varchar=true)
+ORDER BY url, sent_idx, subj, pred, obj
+"""
+
+
+KG_INCREMENTAL_QUERIES: dict[str, tuple] = {
+    "kg_incremental_recrawl": (kg_incremental_recrawl, KG_INCR_RECRAWL_SQL),
+}

@@ -17,9 +17,10 @@ expressions / mapInPandas — the driver never materializes the corpus.
 from __future__ import annotations
 
 import hashlib
-from datetime import datetime, timezone
+from datetime import datetime, timedelta, timezone
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 # --- tiny deterministic knowledge base -------------------------------------
 
@@ -292,3 +293,47 @@ def generate_recrawls(spark: SparkSession, n_urls: int, seed: int = 42,
             yield pd.DataFrame.from_records(rows, columns=cols)
 
     return rng.mapInPandas(gen, schema=RECRAWL_SCHEMA)
+
+
+# --- recrawled page batches (incremental KG maintenance input) ---------------
+
+def recrawled_page_record(idx: int, base_seed: int = 42,
+                          content_seed: int = 43) -> dict:
+    """A re-crawl of page ``idx``: IDENTITY fields (url, lang) keep the
+    base-seed values — the same page, revisited — while html/text are
+    regenerated under ``content_seed`` (the page changed between
+    crawls) and warc_ts advances one day. Deterministic on both seeds,
+    so truth-anchored goldens can derive the post-recrawl corpus
+    without running the pipeline."""
+    ident = page_record(idx, base_seed)
+    content = page_record(idx, content_seed)
+    ident["html"] = content["html"]
+    ident["text"] = content["text"]
+    ident["warc_ts"] = ident["warc_ts"] + timedelta(days=1)
+    return ident
+
+
+def generate_recrawled_pages(
+    spark: SparkSession, n: int, mod: int = 10, residue: int = 3,
+    base_seed: int = 42, content_seed: int = 43,
+    partitions: int | None = None,
+) -> DataFrame:
+    """The changed-page batch of a recrawl: pages with idx % mod ==
+    residue out of the n-page corpus, with regenerated content. Same
+    distributed mapInPandas contract as generate_pages."""
+    import pandas as pd
+
+    rng = spark.range(0, n, 1, partitions or spark.sparkContext.defaultParallelism)
+    rng = rng.where((F.col("id") % mod) == residue)
+
+    def gen(batches):
+        for pdf in batches:
+            recs = [
+                recrawled_page_record(int(i), base_seed, content_seed)
+                for i in pdf["id"]
+            ]
+            yield pd.DataFrame.from_records(
+                recs, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+
+    return rng.mapInPandas(gen, schema=PAGES_SCHEMA)

@@ -632,3 +632,38 @@ def test_blocking_quality_matches_python_recompute(spark):
     pfx = got[f"prefix{BLOCKING_PREFIX_LEN}"]
     assert pfx[4] < 7000, "prefix blocking must lose in-prefix deletions"
     assert pfx[3] > got["qgram"][3], "prefix reduction must be higher"
+
+
+def test_incremental_maintenance_equals_full_rebuild(spark):
+    """IVM exactness: splicing the re-extraction of the changed batch
+    into the old edge table must reproduce the full rebuild of the
+    post-recrawl corpus as a multiset — page-granular replacement is
+    exact because a page's edges are a function of that page alone."""
+    from pyspark.sql import functions as F
+
+    from csv_to_jsonld_processor_spark.kg.incremental import (
+        maintain_edges_incremental,
+    )
+    from csv_to_jsonld_processor_spark.kg.pipeline import build_kg
+    from csv_to_jsonld_processor_spark.sources.pages import (
+        generate_pages,
+        generate_recrawled_pages,
+    )
+
+    n = 200
+    cols = ["url", "sent_idx", "subj", "pred", "obj"]
+    base_pages = generate_pages(spark, n, seed=42, partitions=4)
+    edges_base = build_kg(spark, base_pages)["edges"].select(*cols)
+    changed = generate_recrawled_pages(spark, n, mod=10, residue=3, partitions=4)
+    incr = maintain_edges_incremental(spark, edges_base, changed)
+
+    updated_pages = base_pages.where((
+        F.regexp_extract("url", r"/page/(\d+)$", 1).cast("long") % 10) != 3
+    ).unionByName(changed)
+    rebuilt = build_kg(spark, updated_pages)["edges"].select(*cols)
+
+    assert incr.count() == rebuilt.count()
+    assert incr.exceptAll(rebuilt).count() == 0
+    assert rebuilt.exceptAll(incr).count() == 0
+    # the batch really changed something: some url's edges differ
+    assert incr.exceptAll(edges_base).count() > 0

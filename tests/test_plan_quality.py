@@ -611,3 +611,17 @@ def test_skyline_window_runs_on_domain_not_data(spark):
     assert w != -1
     # an aggregate appears below the window in the tree dump
     assert "HashAggregate" in plan[w:], plan[:1500]
+
+
+def test_incremental_recrawl_antijoin_broadcasts_changed_urls(spark):
+    """Incremental maintenance must not shuffle the edge table: the
+    changed-url retirement is a broadcast LEFT ANTI join, and the plan
+    has no cartesian product anywhere."""
+    from csv_to_jsonld_processor_spark.kg.incremental import (
+        kg_incremental_recrawl,
+    )
+
+    plan = plan_of(kg_incremental_recrawl(spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin LeftAnti" not in plan
