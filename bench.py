@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "table_changelog",
     "table_schema_evolution",
     "kg_incremental_recrawl",
+    "table_incremental_agg",
 ]
 
 

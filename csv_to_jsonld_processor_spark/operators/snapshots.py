@@ -1228,6 +1228,129 @@ ORDER BY segment
 """
 
 
+# --- incremental aggregate maintenance from the changelog --------------------
+
+def maintain_agg_from_changes(
+    agg: DataFrame, changes: DataFrame, keys: list[str],
+    sum_cols: list[str],
+) -> DataFrame:
+    """O(delta) maintenance of a materialized grouped aggregate: fold a
+    ``read_changes`` batch into an existing (keys, n, sum_<c>...) table
+    — inserts add, deletes subtract, groups reaching n=0 retire.  The
+    aggregate columns live as DECIMAL(18,4), so maintenance is EXACTLY
+    equal to re-aggregating the new snapshot (decimal addition is
+    associative/commutative — no FP drift across arbitrarily many
+    batches).  The delta aggregation touches only the changelog;
+    the join is keyed by the (small) group domain — at 100 TB the
+    materialized agg is dimension-sized and the whole step is
+    broadcast-shaped, never a corpus shuffle."""
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(F.lit(-1))
+    delta = changes.groupBy(*keys).agg(
+        F.sum(sign).cast("long").alias("_dn"),
+        *[
+            F.sum(
+                (sign.cast("decimal(18,4)") * F.col(c).cast("decimal(18,4)"))
+                .cast("decimal(18,4)")
+            ).cast("decimal(18,4)").alias(f"_d_{c}")
+            for c in sum_cols
+        ],
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    out = agg.join(delta, keys, "full_outer").select(
+        *keys,
+        (F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("_dn"), F.lit(0)))
+        .cast("long").alias("n"),
+        *[
+            (
+                F.coalesce(F.col(f"sum_{c}"), zero)
+                + F.coalesce(F.col(f"_d_{c}"), zero)
+            ).cast("decimal(18,4)").alias(f"sum_{c}")
+            for c in sum_cols
+        ],
+    )
+    return out.where(F.col("n") > 0)
+
+
+def table_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-aggregate maintenance end-to-end: the per-segment
+    (count, balance) aggregate is computed ONCE over snapshot 0, then
+    maintained purely from changelogs across a MoR update batch and a
+    MoR delete batch — the final table is never re-aggregated.  Output
+    per segment: the maintained count/balance, the direct re-aggregation
+    of the final snapshot, and their equality booleans (decimal
+    discipline makes the equality exact, not approximate).  The DuckDB
+    oracle recomputes the final state relationally; a maintenance rule
+    that misses a carry-forward or double-applies a batch breaks both
+    the booleans and the hash."""
+    import tempfile
+
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"].select(*_CUST_COLS)
+    table_dir = tempfile.mkdtemp(prefix="ivm_table_")
+    commit_snapshot(spark, cust, table_dir)
+    agg0 = cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("decimal(18,4)")
+        .alias("sum_c_acctbal"),
+    )
+    u1 = update_rows_mor(
+        spark, table_dir, "c_custkey % 5 = 0",
+        {"c_acctbal": "c_acctbal + 1000.0"},
+    )
+    agg1 = maintain_agg_from_changes(
+        agg0, read_changes(spark, table_dir, 0, u1),
+        ["c_mktsegment"], ["c_acctbal"],
+    )
+    d1 = delete_rows_mor(spark, table_dir, "c_acctbal < 0")
+    agg2 = maintain_agg_from_changes(
+        agg1, read_changes(spark, table_dir, u1, d1),
+        ["c_mktsegment"], ["c_acctbal"],
+    )
+    direct = read_snapshot_mor(spark, table_dir, d1).groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_direct"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("decimal(18,4)")
+        .alias("bal_direct"),
+    )
+    return (
+        agg2.join(direct, "c_mktsegment")
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("n").alias("n_maintained"),
+            "n_direct",
+            F.col("sum_c_acctbal").cast("double").alias("bal_maintained"),
+            F.col("bal_direct").cast("double").alias("bal_direct"),
+            (F.col("n") == F.col("n_direct")).alias("count_exact"),
+            (F.col("sum_c_acctbal") == F.col("bal_direct")).alias("sum_exact"),
+        )
+        .orderBy("segment")
+    )
+
+
+TABLE_INCR_AGG_SQL = """
+WITH base AS (
+  SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+), upd AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 1000.0
+              ELSE c_acctbal END AS c_acctbal,
+         c_mktsegment
+  FROM base
+), final AS (
+  SELECT * FROM upd WHERE NOT (c_acctbal < 0)
+)
+SELECT c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_maintained,
+       CAST(COUNT(*) AS BIGINT) AS n_direct,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal_maintained,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal_direct,
+       TRUE AS count_exact,
+       TRUE AS sum_exact
+FROM final
+GROUP BY c_mktsegment
+ORDER BY segment
+"""
+
+
 SNAPSHOT_QUERIES: dict[str, tuple] = {
     "table_time_travel": (table_time_travel, TIME_TRAVEL_SQL),
     "table_mor_deletes": (table_mor_deletes, TABLE_MOR_SQL),
@@ -1235,4 +1358,5 @@ SNAPSHOT_QUERIES: dict[str, tuple] = {
     "table_wap_publish": (table_wap_publish, TABLE_WAP_SQL),
     "table_changelog": (table_changelog, TABLE_CHANGELOG_SQL),
     "table_schema_evolution": (table_schema_evolution, TABLE_SCHEMA_EVOLUTION_SQL),
+    "table_incremental_agg": (table_incremental_agg, TABLE_INCR_AGG_SQL),
 }

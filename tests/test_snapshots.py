@@ -430,3 +430,52 @@ def test_schema_evolution_rejects_bad_ops(spark, tmp_path):
             spark.range(3).select(F.col("id").alias("unknown_col")),
             table,
         )
+
+
+def test_maintain_agg_from_changes_exact_across_batches(spark, tmp_path):
+    """Folding N changelog batches into a materialized aggregate must
+    equal re-aggregating the final snapshot EXACTLY (decimal
+    discipline), including groups that retire to n=0 and groups born
+    after the base aggregate."""
+    from pyspark.sql import functions as F
+
+    from csv_to_jsonld_processor_spark.operators.snapshots import (
+        commit_snapshot,
+        delete_rows_mor,
+        maintain_agg_from_changes,
+        read_changes,
+        read_snapshot_mor,
+        update_rows_mor,
+    )
+
+    table = str(tmp_path / "t")
+    base = spark.range(90).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") * 0.25).alias("v"),
+    )
+    commit_snapshot(spark, base, table)
+    agg = base.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("v").cast("decimal(18,4)")).cast("decimal(18,4)")
+        .alias("sum_v"),
+    )
+    # batch 1: group migration — rows move from g='2' into a NEW group
+    u = update_rows_mor(spark, table, "g = '2' AND k < 50",
+                        {"g": "'9'", "v": "v + 5.0"})
+    agg = maintain_agg_from_changes(
+        agg, read_changes(spark, table, 0, u), ["g"], ["v"])
+    # batch 2: retire group '0' entirely
+    d = delete_rows_mor(spark, table, "g = '0'")
+    agg = maintain_agg_from_changes(
+        agg, read_changes(spark, table, u, d), ["g"], ["v"])
+
+    direct = read_snapshot_mor(spark, table, d).groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("v").cast("decimal(18,4)")).cast("decimal(18,4)")
+        .alias("sum_v"),
+    )
+    got = {r["g"]: (r["n"], r["sum_v"]) for r in agg.collect()}
+    want = {r["g"]: (r["n"], r["sum_v"]) for r in direct.collect()}
+    assert got == want
+    assert "0" not in got and "9" in got
