@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "table_schema_evolution",
     "kg_incremental_recrawl",
     "table_incremental_agg",
+    "table_mor_merge",
 ]
 
 

@@ -1228,6 +1228,155 @@ ORDER BY segment
 """
 
 
+# --- MERGE INTO as merge-on-read ---------------------------------------------
+
+def merge_rows_mor(
+    spark: SparkSession, table_dir: str, source: DataFrame, key: str
+) -> int:
+    """MERGE INTO with delta-wins upsert semantics (the same contract
+    as operators/upsert.py), executed merge-on-read: matched target
+    rows' coordinates join the deletion vector and the WHOLE source
+    batch lands in the insert-delta — matched rows replaced wholesale,
+    unmatched rows inserted, base data files untouched.  Cost is
+    O(batch) writes + one keyed semi-join against the live base; with
+    a dimension-sized batch the semi-join broadcasts, so nothing
+    O(table) shuffles.  Replaying the same batch is idempotent: the
+    second pass tombstones nothing new in the base (rows already left
+    it) and rewrites the identical delta."""
+    cur = current_snapshot_id(table_dir)
+    if cur is None:
+        raise ValueError("empty table")
+    ov = _overlay_info(table_dir, cur)
+    base_id = cur if ov is None else ov[0]
+    with_pos = _read_data_with_pos(spark, _snap_dir(table_dir, base_id))
+    old_dv = spark.read.parquet(ov[1]) if ov else None
+    old_ins = _overlay_ins(spark, table_dir, cur)
+    live_base = (
+        with_pos if old_dv is None
+        else with_pos.join(old_dv, ["_dv_file", "_dv_pos"], "left_anti")
+    )
+    src_keys = F.broadcast(source.select(key).distinct())
+    new_tombs = live_base.join(src_keys, key, "semi").select("_dv_file", "_dv_pos")
+    all_tombs = new_tombs if old_dv is None else old_dv.unionByName(new_tombs)
+    ins = (
+        source if old_ins is None
+        else old_ins.join(src_keys, key, "left_anti").unionByName(source)
+    )
+    new_id = _next_snapshot_id(table_dir)
+    d = _snap_dir(table_dir, new_id)
+    all_tombs.write.mode("overwrite").parquet(os.path.join(d, "dv"))
+    ins.write.mode("overwrite").parquet(os.path.join(d, "ins"))
+    tmpb = os.path.join(d, "BASE.tmp")
+    with open(tmpb, "w") as f:
+        f.write(str(base_id))
+    os.replace(tmpb, os.path.join(d, "BASE"))
+    tmp = os.path.join(table_dir, "CURRENT.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(new_id))
+    os.replace(tmp, os.path.join(table_dir, "CURRENT"))
+    return new_id
+
+
+def table_mor_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO lifecycle merge-on-read: base customers → merge a
+    batch that UPDATES custkey%4==0 (acctbal+500) and INSERTS brand-new
+    keys (custkey+10_000_000, one per segment-leading row custkey%100==1)
+    → REPLAY the identical batch (must be a no-op) → merge a second
+    batch on top of the first overlay (stacking).  Per segment: rows &
+    decimal balance after the first merge, the replay-idempotence
+    boolean, and rows after the stacked second merge.  The oracle
+    recomputes every state relationally."""
+    import tempfile
+
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"].select(*_CUST_COLS)
+    table_dir = tempfile.mkdtemp(prefix="mor_merge_")
+    commit_snapshot(spark, cust, table_dir)
+
+    updates = cust.where(F.col("c_custkey") % 4 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + F.lit(500.0)
+    )
+    inserts = cust.where(F.col("c_custkey") % 100 == 1).withColumn(
+        "c_custkey", F.col("c_custkey") + F.lit(10_000_000)
+    )
+    batch = updates.unionByName(inserts)
+    m1 = merge_rows_mor(spark, table_dir, batch, "c_custkey")
+    s1 = read_snapshot_mor(spark, table_dir, m1)
+    m2 = merge_rows_mor(spark, table_dir, batch, "c_custkey")  # replay
+    s2 = read_snapshot_mor(spark, table_dir, m2)
+    idempotent = (
+        s1.count() == s2.count() and s1.exceptAll(s2).count() == 0
+    )
+    batch2 = cust.where(F.col("c_custkey") % 10 == 7).withColumn(
+        "c_acctbal", F.lit(0.0)
+    )
+    m3 = merge_rows_mor(spark, table_dir, batch2, "c_custkey")
+    s3 = read_snapshot_mor(spark, table_dir, m3)
+
+    agg1 = s1.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_merge1"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double")
+        .alias("bal_merge1"),
+    )
+    agg3 = s3.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_merge2"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double")
+        .alias("bal_merge2"),
+    )
+    return (
+        agg1.join(agg3, "c_mktsegment")
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            "n_merge1", "bal_merge1",
+            F.lit(bool(idempotent)).alias("replay_idempotent"),
+            "n_merge2", "bal_merge2",
+        )
+        .orderBy("segment")
+    )
+
+
+TABLE_MOR_MERGE_SQL = """
+WITH base AS (
+  SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+), updates AS (
+  SELECT c_custkey, c_acctbal + 500.0 AS c_acctbal, c_mktsegment
+  FROM base WHERE c_custkey % 4 = 0
+), inserts AS (
+  SELECT c_custkey + 10000000 AS c_custkey, c_acctbal, c_mktsegment
+  FROM base WHERE c_custkey % 100 = 1
+), batch AS (
+  SELECT * FROM updates UNION ALL SELECT * FROM inserts
+), merged1 AS (
+  SELECT * FROM batch
+  UNION ALL
+  SELECT b.* FROM base b LEFT JOIN batch s USING (c_custkey)
+  WHERE s.c_custkey IS NULL
+), batch2 AS (
+  SELECT c_custkey, 0.0 AS c_acctbal, c_mktsegment
+  FROM base WHERE c_custkey % 10 = 7
+), merged2 AS (
+  SELECT * FROM batch2
+  UNION ALL
+  SELECT m.* FROM merged1 m LEFT JOIN batch2 s USING (c_custkey)
+  WHERE s.c_custkey IS NULL
+), a1 AS (
+  SELECT c_mktsegment, COUNT(*) AS n_merge1,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal_merge1
+  FROM merged1 GROUP BY 1
+), a2 AS (
+  SELECT c_mktsegment, COUNT(*) AS n_merge2,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal_merge2
+  FROM merged2 GROUP BY 1
+)
+SELECT c_mktsegment AS segment,
+       CAST(n_merge1 AS BIGINT) AS n_merge1, bal_merge1,
+       TRUE AS replay_idempotent,
+       CAST(n_merge2 AS BIGINT) AS n_merge2, bal_merge2
+FROM a1 JOIN a2 USING (c_mktsegment)
+ORDER BY segment
+"""
+
+
 # --- incremental aggregate maintenance from the changelog --------------------
 
 def maintain_agg_from_changes(
@@ -1359,4 +1508,5 @@ SNAPSHOT_QUERIES: dict[str, tuple] = {
     "table_changelog": (table_changelog, TABLE_CHANGELOG_SQL),
     "table_schema_evolution": (table_schema_evolution, TABLE_SCHEMA_EVOLUTION_SQL),
     "table_incremental_agg": (table_incremental_agg, TABLE_INCR_AGG_SQL),
+    "table_mor_merge": (table_mor_merge, TABLE_MOR_MERGE_SQL),
 }

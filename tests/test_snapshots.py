@@ -479,3 +479,48 @@ def test_maintain_agg_from_changes_exact_across_batches(spark, tmp_path):
     want = {r["g"]: (r["n"], r["sum_v"]) for r in direct.collect()}
     assert got == want
     assert "0" not in got and "9" in got
+
+
+def test_merge_rows_mor_upsert_replay_and_stack(spark, tmp_path):
+    """MERGE-on-read: matched rows replaced wholesale, unmatched
+    inserted, base files untouched; replaying the identical batch is a
+    no-op; a second merge stacks on the overlay; time travel to the
+    pre-merge snapshot still works."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from csv_to_jsonld_processor_spark.operators.snapshots import (
+        _snap_dir,
+        commit_snapshot,
+        merge_rows_mor,
+        read_snapshot_mor,
+    )
+
+    table = str(tmp_path / "t")
+    base = spark.range(20).select(
+        F.col("id").alias("k"), (F.col("id") * 10.0).alias("v")
+    )
+    commit_snapshot(spark, base, table)
+    files_before = sorted(os.listdir(_snap_dir(table, 0)))
+
+    batch = spark.createDataFrame(
+        [(5, 999.0), (7, 888.0), (100, 1.0)], "k long, v double"
+    )
+    m1 = merge_rows_mor(spark, table, batch, "k")
+    got = {r["k"]: r["v"] for r in read_snapshot_mor(spark, table, m1).collect()}
+    assert got[5] == 999.0 and got[7] == 888.0 and got[100] == 1.0
+    assert got[3] == 30.0 and len(got) == 21
+    assert sorted(os.listdir(_snap_dir(table, 0))) == files_before
+
+    m2 = merge_rows_mor(spark, table, batch, "k")  # replay
+    s1 = read_snapshot_mor(spark, table, m1)
+    s2 = read_snapshot_mor(spark, table, m2)
+    assert s2.count() == 21 and s1.exceptAll(s2).count() == 0
+
+    batch2 = spark.createDataFrame([(100, 2.0), (200, 3.0)], "k long, v double")
+    m3 = merge_rows_mor(spark, table, batch2, "k")
+    got3 = {r["k"]: r["v"] for r in read_snapshot_mor(spark, table, m3).collect()}
+    assert got3[100] == 2.0 and got3[200] == 3.0 and len(got3) == 22
+    # pre-merge time travel intact
+    assert read_snapshot_mor(spark, table, 0).count() == 20
