@@ -225,16 +225,71 @@ def upsert_snapshot(
     return commit_snapshot(spark, merged, table_dir)
 
 
+def _ancestor_ids(table_dir: str, snap_id: int) -> set[int]:
+    """Snapshots ``snap_id`` depends on: the transitive BASE (MoR
+    overlay) and _parent (evolution/append chain) targets."""
+    out: set[int] = set()
+    frontier = [snap_id]
+    while frontier:
+        sid = frontier.pop()
+        d = _snap_dir(table_dir, sid)
+        for ptr in ("BASE", "_parent"):
+            p = os.path.join(d, ptr)
+            if os.path.exists(p):
+                with open(p) as f:
+                    tgt = int(f.read().strip().strip('"'))
+                if tgt not in out:
+                    out.add(tgt)
+                    frontier.append(tgt)
+    return out
+
+
 def expire_snapshots(table_dir: str, keep_last: int = 2) -> list[int]:
-    """Drop all but the newest ``keep_last`` committed snapshots
-    (never CURRENT). Returns the expired ids."""
+    """Drop all but the newest ``keep_last`` committed snapshots —
+    never CURRENT, and never a snapshot a SURVIVOR still depends on
+    (the BASE of a live MoR overlay or a _parent in a live evolution
+    chain stays until its dependents expire too). Returns the expired
+    ids."""
     import shutil
 
     ids = snapshot_ids(table_dir)
-    victims = ids[:-keep_last] if keep_last > 0 else ids[:-1]
+    kept = set(ids[-keep_last:] if keep_last > 0 else ids[-1:])
+    for ref in list(_all_ref_ids(table_dir)):
+        kept.add(ref)
+    protected = set(kept)
+    for sid in kept:
+        protected |= _ancestor_ids(table_dir, sid)
+    victims = [sid for sid in ids if sid not in protected]
     for sid in victims:
         shutil.rmtree(_snap_dir(table_dir, sid))
     return victims
+
+
+def vacuum_orphans(table_dir: str) -> list[int]:
+    """Garbage-collect UNCOMMITTED generations: directories whose id is
+    above CURRENT and not reachable from any ref (crash leftovers past
+    the single-orphan reuse window, e.g. an abandoned branch write
+    after its ref was deleted). Committed history is never touched —
+    that is ``expire_snapshots``' job."""
+    import shutil
+
+    cur = current_snapshot_id(table_dir)
+    if cur is None:
+        return []
+    reachable: set[int] = set()
+    for ref in _all_ref_ids(table_dir):
+        reachable.add(ref)
+        reachable |= _ancestor_ids(table_dir, ref)
+    victims = []
+    for name in os.listdir(table_dir):
+        m = _SNAP_RE.match(name)
+        if m:
+            sid = int(m.group(1))
+            if sid > cur and sid not in reachable:
+                victims.append(sid)
+    for sid in victims:
+        shutil.rmtree(_snap_dir(table_dir, sid))
+    return sorted(victims)
 
 
 # --- merge-on-read row-level deletes (deletion vectors) ---------------------

@@ -524,3 +524,46 @@ def test_merge_rows_mor_upsert_replay_and_stack(spark, tmp_path):
     assert got3[100] == 2.0 and got3[200] == 3.0 and len(got3) == 22
     # pre-merge time travel intact
     assert read_snapshot_mor(spark, table, 0).count() == 20
+
+
+def test_expire_protects_live_overlay_base_and_vacuum_gc(spark, tmp_path):
+    """expire_snapshots must never delete the BASE a surviving MoR
+    overlay reads through; vacuum_orphans removes only uncommitted
+    unreferenced generations above CURRENT; a changelog across a
+    compaction (full rewrite of identical rows) is empty."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from csv_to_jsonld_processor_spark.operators.snapshots import (
+        _snap_dir,
+        commit_snapshot,
+        compact_mor,
+        delete_rows_mor,
+        expire_snapshots,
+        read_changes,
+        read_snapshot_mor,
+        vacuum_orphans,
+    )
+
+    table = str(tmp_path / "t")
+    base = spark.range(50).select(F.col("id").alias("k"))
+    commit_snapshot(spark, base, table)          # snap 0 (data)
+    d1 = delete_rows_mor(spark, table, "k % 5 = 0")   # snap 1 (overlay on 0)
+    d2 = delete_rows_mor(spark, table, "k % 7 = 0")   # snap 2 (overlay on 0)
+
+    victims = expire_snapshots(table, keep_last=1)
+    assert victims == [1]                         # 0 is snap 2's BASE — kept
+    assert os.path.isdir(_snap_dir(table, 0))
+    assert read_snapshot_mor(spark, table, d2).count() == 50 - 10 - 7 + 1
+
+    # compaction produces NO changes (same rows, new files)
+    cid = compact_mor(spark, table)
+    assert read_changes(spark, table, d2, cid).count() == 0
+
+    # an abandoned uncommitted generation above CURRENT gets vacuumed
+    spark.range(5).write.parquet(_snap_dir(table, 90))
+    spark.range(6).write.parquet(_snap_dir(table, 91))
+    assert vacuum_orphans(table) == [90, 91]
+    assert not os.path.isdir(_snap_dir(table, 90))
+    assert read_snapshot_mor(spark, table, cid).count() == 34
