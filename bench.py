@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "kg_incremental_recrawl",
     "table_incremental_agg",
     "table_mor_merge",
+    "table_bloom_lookup",
 ]
 
 

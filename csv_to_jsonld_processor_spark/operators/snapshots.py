@@ -211,6 +211,103 @@ def read_snapshot_pruned(
     return df.where(F.col(col).between(lo, hi)), len(keep), total
 
 
+# --- file-level Bloom index for point lookups --------------------------------
+#
+# min/max manifests (above) prune RANGE predicates; point lookups on a
+# high-cardinality key (url, custkey) need a membership structure —
+# the Iceberg/Delta file-level bloom. Built DISTRIBUTED: each row
+# explodes to its k bloom-bit positions, one groupBy(file) collects
+# each file's set-bit list (a sparse bloom — exact for the bits it
+# sets, tiny because k·rows_per_file ≪ m at reasonable file sizes).
+# The shuffle carries (file, position) pairs deduplicated map-side,
+# bounded by m per file regardless of row count.
+
+_BLOOM_M = 1 << 16  # bits per file
+_BLOOM_K = 4        # hash functions
+
+
+def _bloom_positions(col: F.Column) -> F.Column:
+    """The k bit positions of a value: independent md5-slice hashes
+    mod m — expressible identically in any engine with md5()."""
+    h = F.md5(col.cast("string"))
+    return F.array(*[
+        (F.conv(F.substring(h, 1 + 7 * i, 7), 16, 10).cast("long") % _BLOOM_M)
+        for i in range(_BLOOM_K)
+    ])
+
+
+def build_bloom_index(spark: SparkSession, table_dir: str, col: str,
+                      snapshot_id: int | None = None) -> int:
+    """Build the file-level bloom sidecar ``_bloom_<col>.json`` for a
+    committed snapshot: {file: sorted set-bit positions}. One
+    distributed pass — rows never leave executors; only the per-file
+    deduplicated bit positions shuffle. Returns the number of files
+    indexed."""
+    import json
+
+    cur = current_snapshot_id(table_dir)
+    sid = cur if snapshot_id is None else snapshot_id
+    d = _snap_dir(table_dir, sid)
+    bits = (
+        spark.read.parquet(d)
+        .select(
+            F.col("_metadata.file_name").alias("_f"),
+            F.explode(_bloom_positions(F.col(col))).alias("_pos"),
+        )
+        .groupBy("_f")
+        .agg(F.sort_array(F.collect_set("_pos")).alias("_bits"))
+        .collect()
+    )
+    index = {r["_f"]: r["_bits"] for r in bits}
+    tmp = os.path.join(d, f"_bloom_{col}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(index, f)
+    os.replace(tmp, os.path.join(d, f"_bloom_{col}.json"))
+    return len(index)
+
+
+def read_point_lookup(
+    spark: SparkSession, table_dir: str, col: str, value,
+    snapshot_id: int | None = None,
+) -> tuple[DataFrame, int, int]:
+    """Point lookup through the bloom sidecar: a file is read only if
+    ALL k bit positions of the probe value are set in its bloom
+    (no-false-negative guarantee: every position of a present value
+    was set by the build pass). Returns (df, files_read, files_total).
+    Files the sidecar doesn't know are always read — pruning must
+    never be lossy."""
+    import json
+
+    cur = current_snapshot_id(table_dir)
+    sid = cur if snapshot_id is None else snapshot_id
+    d = _snap_dir(table_dir, sid)
+    bloom_p = os.path.join(d, f"_bloom_{col}.json")
+    data_files = [
+        f for f in os.listdir(d)
+        if f.startswith("part-") and f.endswith(".parquet")
+    ]
+    if not os.path.exists(bloom_p):
+        df = spark.read.parquet(d)
+        return df.where(F.col(col) == value), len(data_files), len(data_files)
+    with open(bloom_p) as f:
+        index = json.load(f)
+    probe = [
+        r[0] for r in spark.range(1)
+        .select(F.explode(_bloom_positions(F.lit(value))))
+        .collect()
+    ]
+    keep = []
+    for fname in data_files:
+        bits = index.get(fname)
+        if bits is None or all(p in set(bits) for p in probe):
+            keep.append(os.path.join(d, fname))
+    if not keep:
+        df = spark.read.parquet(d).limit(0)
+    else:
+        df = spark.read.parquet(*keep)
+    return df.where(F.col(col) == value), len(keep), len(data_files)
+
+
 def upsert_snapshot(
     spark: SparkSession, table_dir: str, delta: DataFrame, key: str
 ) -> int:
@@ -1432,6 +1529,58 @@ ORDER BY segment
 """
 
 
+_LOOKUP_KEYS = [7, 42, 99, 123, 145]  # exist at every test SF
+
+
+def table_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level bloom index end-to-end: commit customers as a
+    16-file snapshot, build the distributed bloom sidecar on
+    c_custkey, then point-look-up five keys through it.  Output per
+    key: the row's segment + balance (proving the lookup is lossless)
+    and the bloom_pruned boolean (files_read < files_total — the
+    index must actually skip files, not just pass everything).  The
+    DuckDB oracle recomputes the rows relationally with pruned=TRUE,
+    so a lossy bloom (missed row) or a useless one (no pruning)
+    hash-mismatches."""
+    import tempfile
+
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"].select(*_CUST_COLS).repartition(16)
+    table_dir = tempfile.mkdtemp(prefix="bloom_table_")
+    commit_snapshot(spark, cust, table_dir)
+    build_bloom_index(spark, table_dir, "c_custkey")
+
+    parts = []
+    for k in _LOOKUP_KEYS:
+        df, files_read, files_total = read_point_lookup(
+            spark, table_dir, "c_custkey", k
+        )
+        parts.append(
+            df.select(
+                "c_custkey", "c_mktsegment", "c_acctbal",
+                F.lit(files_read < files_total).alias("bloom_pruned"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("acctbal"),
+        "bloom_pruned",
+    ).orderBy("custkey")
+
+
+TABLE_BLOOM_LOOKUP_SQL = """
+SELECT c_custkey AS custkey, c_mktsegment AS segment,
+       c_acctbal AS acctbal, TRUE AS bloom_pruned
+FROM customer
+WHERE c_custkey IN (7, 42, 99, 123, 145)
+ORDER BY custkey
+"""
+
+
 # --- incremental aggregate maintenance from the changelog --------------------
 
 def maintain_agg_from_changes(
@@ -1564,4 +1713,5 @@ SNAPSHOT_QUERIES: dict[str, tuple] = {
     "table_schema_evolution": (table_schema_evolution, TABLE_SCHEMA_EVOLUTION_SQL),
     "table_incremental_agg": (table_incremental_agg, TABLE_INCR_AGG_SQL),
     "table_mor_merge": (table_mor_merge, TABLE_MOR_MERGE_SQL),
+    "table_bloom_lookup": (table_bloom_lookup, TABLE_BLOOM_LOOKUP_SQL),
 }

@@ -567,3 +567,39 @@ def test_expire_protects_live_overlay_base_and_vacuum_gc(spark, tmp_path):
     assert vacuum_orphans(table) == [90, 91]
     assert not os.path.isdir(_snap_dir(table, 90))
     assert read_snapshot_mor(spark, table, cid).count() == 34
+
+
+def test_bloom_index_no_false_negatives_and_prunes(spark, tmp_path):
+    """Every present key must be found through the bloom (no false
+    negatives — the lossless contract); an absent key should read
+    far fewer files than the total; a column without a sidecar reads
+    everything but still answers correctly."""
+    from pyspark.sql import functions as F
+
+    from csv_to_jsonld_processor_spark.operators.snapshots import (
+        build_bloom_index,
+        commit_snapshot,
+        read_point_lookup,
+    )
+
+    table = str(tmp_path / "t")
+    df = spark.range(2000).select(
+        F.col("id").alias("k"), (F.col("id") % 13).alias("v")
+    ).repartition(20)
+    commit_snapshot(spark, df, table)
+    n_files = build_bloom_index(spark, table, "k")
+    assert n_files == 20
+
+    for probe in [0, 777, 1999]:
+        got, files_read, files_total = read_point_lookup(spark, table, "k", probe)
+        rows = got.collect()
+        assert len(rows) == 1 and rows[0]["k"] == probe
+        assert files_read < files_total  # pruning actually happened
+
+    # absent key: usually zero files survive the bloom
+    got, files_read, files_total = read_point_lookup(spark, table, "k", 10**9)
+    assert got.count() == 0 and files_read <= 2
+
+    # no sidecar for this column → full read, correct result
+    got, files_read, files_total = read_point_lookup(spark, table, "v", 5)
+    assert files_read == files_total and got.count() > 0
