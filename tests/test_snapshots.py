@@ -603,3 +603,93 @@ def test_bloom_index_no_false_negatives_and_prunes(spark, tmp_path):
     # no sidecar for this column → full read, correct result
     got, files_read, files_total = read_point_lookup(spark, table, "v", 5)
     assert files_read == files_total and got.count() > 0
+
+
+def test_table_layer_model_fuzz(spark, tmp_path):
+    """Model-based fuzz of the MoR lifecycle: a seeded random sequence
+    of update/delete/merge/compact against both the real table and an
+    in-memory dict model — after EVERY op the merge-on-read view must
+    equal the model exactly, and the changelog of the op must equal
+    the model diff (old images as deletes, new as inserts). Values are
+    exact binary fractions so float equality is sound."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from csv_to_jsonld_processor_spark.operators.snapshots import (
+        commit_snapshot,
+        compact_mor,
+        delete_rows_mor,
+        merge_rows_mor,
+        read_changes,
+        read_snapshot_mor,
+        update_rows_mor,
+    )
+
+    for seed in (11, 23):
+        rng = random.Random(seed)
+        table = str(tmp_path / f"t{seed}")
+        model = {k: float(k % 8) * 0.5 for k in range(120)}
+        base = spark.createDataFrame(
+            [(k, v) for k, v in model.items()], "k long, v double"
+        ).repartition(6)
+        prev = commit_snapshot(spark, base, table)
+
+        for _step in range(8):
+            op = rng.choice(["upd", "del", "merge", "compact"])
+            before = dict(model)
+            if op == "upd":
+                a, b = rng.randint(2, 7), rng.randint(0, 3)
+                c = float(rng.randint(1, 20))
+                cur = update_rows_mor(
+                    spark, table, f"k % {a} = {b}", {"v": f"v + {c}"}
+                )
+                for k in model:
+                    if k % a == b:
+                        model[k] = model[k] + c
+            elif op == "del":
+                if rng.random() < 0.5:
+                    thr = float(rng.randint(1, 10)) * 0.5
+                    cur = delete_rows_mor(spark, table, f"v < {thr}")
+                    model = {k: v for k, v in model.items() if not v < thr}
+                else:
+                    a, b = rng.randint(3, 9), rng.randint(0, 2)
+                    cur = delete_rows_mor(spark, table, f"k % {a} = {b}")
+                    model = {k: v for k, v in model.items() if k % a != b}
+            elif op == "merge":
+                keys = rng.sample(range(200), rng.randint(1, 10))
+                batch = [(k, float(rng.randint(0, 40)) * 0.25) for k in keys]
+                cur = merge_rows_mor(
+                    spark,
+                    table,
+                    spark.createDataFrame(batch, "k long, v double"),
+                    "k",
+                )
+                model.update(dict(batch))
+            else:
+                cur = compact_mor(spark, table)
+
+            got = {
+                (r["k"], r["v"])
+                for r in read_snapshot_mor(spark, table, cur).collect()
+            }
+            assert got == set(model.items()), (seed, _step, op)
+
+            ch = read_changes(spark, table, prev, cur).collect()
+            want_del = {
+                (k, before[k]) for k in before
+                if k not in model or model[k] != before[k]
+            }
+            want_ins = {
+                (k, model[k]) for k in model
+                if k not in before or model[k] != before[k]
+            }
+            got_del = {(r["k"], r["v"]) for r in ch if r["_change_type"] == "delete"}
+            got_ins = {(r["k"], r["v"]) for r in ch if r["_change_type"] == "insert"}
+            # a MERGE that rewrites a row with the identical value is a
+            # PHYSICAL delete+insert pair but a logical no-op — compare
+            # after cancelling such pairs (Delta CDF makes the same
+            # physical-vs-logical distinction via update_pre/postimage)
+            assert got_del - got_ins == want_del, (seed, _step, op)
+            assert got_ins - got_del == want_ins, (seed, _step, op)
+            prev = cur

@@ -71,11 +71,23 @@ def main():
         if n_run % 25 == 0:
             # long full-registry runs accumulate localCheckpoint RDD
             # blocks and plan caches; without this the driver JVM dies
-            # around query ~180 (observed). Queries are independent, so
-            # dropping persisted state between them is free.
+            # around query ~180 (observed). Dropping persisted state
+            # also kills the cross-query memoized DataFrames
+            # (kg/queries._EDGES_MEMO, fixture_queries._TRIPLES_MEMO):
+            # their checkpoint blocks vanish but the module dicts still
+            # hand out the dead plans (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND
+            # at the next kg_* query, observed at n_run=61 under
+            # stale-first rotation order) — clear the memos so the next
+            # consumer rebuilds.
             for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
                 rdd.unpersist()
             spark.catalog.clearCache()
+            from csv_to_jsonld_processor_spark.kg import queries as _kgq
+            from csv_to_jsonld_processor_spark.plans import (
+                fixture_queries as _fxq,
+            )
+            _kgq._EDGES_MEMO.clear()
+            _fxq._TRIPLES_MEMO.clear()
         sdf = fn(spark, sf_dir)
         srows = [tuple(r) for r in sdf.collect()]
         scols = sdf.columns
