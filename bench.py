@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "table_incremental_agg",
     "table_mor_merge",
     "table_bloom_lookup",
+    "table_partition_evolution",
 ]
 
 

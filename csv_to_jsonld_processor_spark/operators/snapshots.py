@@ -1224,11 +1224,21 @@ def evolve_schema(
     return new_id
 
 
-def append_evolved(spark: SparkSession, df: DataFrame, table_dir: str) -> int:
+def append_evolved(
+    spark: SparkSession, df: DataFrame, table_dir: str,
+    partition_by: list[str] | None = None,
+) -> int:
     """Append a segment written under the CURRENT logical schema: the
     segment's physical names bind to the schema's field ids, and a
     _parent pointer chains to the previous snapshot — an O(batch) commit,
-    never an O(table) rewrite."""
+    never an O(table) rewrite.
+
+    ``partition_by`` is PARTITION EVOLUTION (Iceberg's contract): the
+    spec applies to THIS segment only and is recorded next to it
+    (``_spec.json``); earlier segments keep their layout untouched and
+    later appends may pick yet another spec.  Readers prune each
+    segment under ITS OWN spec (read_evolved_pruned_eq) — changing how
+    new data is laid out never rewrites the old 100 TB."""
     cur = current_snapshot_id(table_dir)
     if cur is None:
         raise ValueError("empty table; use commit_snapshot_evolved")
@@ -1239,7 +1249,14 @@ def append_evolved(spark: SparkSession, df: DataFrame, table_dir: str) -> int:
         raise ValueError(f"columns not in schema: {unknown}")
     new_id = _next_snapshot_id(table_dir)
     d = _snap_dir(table_dir, new_id)
-    df.write.mode("overwrite").parquet(d)
+    if partition_by:
+        missing = [c for c in partition_by if c not in df.columns]
+        if missing:
+            raise ValueError(f"partition columns not in batch: {missing}")
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(d)
+        _write_json_atomic(os.path.join(d, "_spec.json"), partition_by)
+    else:
+        df.write.mode("overwrite").parquet(d)
     _write_json_atomic(
         os.path.join(d, "_fields.json"), {c: by_name[c] for c in df.columns}
     )
@@ -1278,8 +1295,12 @@ def read_snapshot_evolved(
             fields = _read_json(fields_p)  # physical name -> field id
             by_id = {v: k for k, v in fields.items()}
             seg = spark.read.parquet(d)
+            # cast physical to the declared logical type: a hive
+            # partition directory key re-enters type-inferred, and the
+            # declared schema must win over inference
             cols = [
-                F.col(by_id[f["id"]]).alias(f["name"]) if f["id"] in by_id
+                F.col(by_id[f["id"]]).cast(f["type"]).alias(f["name"])
+                if f["id"] in by_id
                 else F.lit(None).cast(f["type"]).alias(f["name"])
                 for f in schema
             ]
@@ -1290,6 +1311,80 @@ def read_snapshot_evolved(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def read_evolved_pruned_eq(
+    spark: SparkSession, table_dir: str, col: str, value,
+    snapshot_id: int | None = None,
+) -> tuple[DataFrame, int, int]:
+    """Equality read through PER-SEGMENT partition specs: a segment
+    partitioned on ``col`` (under the physical name its spec recorded —
+    rename-safe via field ids) contributes only its matching hive
+    subdirectory; an unpartitioned segment is scanned with the residual
+    filter.  Returns (df, dirs_read, dirs_total) where the counts are
+    hive leaf directories (an unpartitioned segment counts 1) — the
+    pruning-effectiveness evidence.  Semantically identical to
+    ``read_snapshot_evolved(...).where(col == value)``."""
+    cur = current_snapshot_id(table_dir)
+    if cur is None:
+        raise ValueError("empty table")
+    sid: int | None = cur if snapshot_id is None else snapshot_id
+    schema = _snapshot_schema(table_dir, sid)
+    fid = next((f["id"] for f in schema if f["name"] == col), None)
+    if fid is None:
+        raise ValueError(f"unknown column {col!r}")
+    typ = next(f["type"] for f in schema if f["id"] == fid)
+    parts: list[DataFrame] = []
+    dirs_read = dirs_total = 0
+    while sid is not None:
+        d = _snap_dir(table_dir, sid)
+        fields_p = os.path.join(d, "_fields.json")
+        if os.path.exists(fields_p):
+            fields = _read_json(fields_p)
+            by_id = {v: k for k, v in fields.items()}
+            spec_p = os.path.join(d, "_spec.json")
+            spec = _read_json(spec_p) if os.path.exists(spec_p) else []
+            phys = by_id.get(fid)
+
+            def _mapped(seg: "DataFrame") -> DataFrame:
+                return seg.select(*[
+                    F.col(by_id[f["id"]]).cast(f["type"]).alias(f["name"])
+                    if f["id"] in by_id
+                    else F.lit(None).cast(f["type"]).alias(f["name"])
+                    for f in schema
+                ])
+
+            if phys is not None and phys in spec:
+                # one hive level is enough for the registered surface;
+                # plain =-joined dir names (no URL-escaping needed for
+                # the key domains used here — documented assumption
+                # shared with operators/layout.py)
+                leaves = [
+                    n for n in os.listdir(d) if n.startswith(f"{phys}=")
+                ]
+                dirs_total += len(leaves)
+                hit = os.path.join(d, f"{phys}={value}")
+                if os.path.isdir(hit):
+                    dirs_read += 1
+                    seg = spark.read.option("basePath", d).parquet(hit)
+                    parts.append(_mapped(seg))
+            else:
+                dirs_total += 1
+                dirs_read += 1
+                parts.append(_mapped(spark.read.parquet(d)))
+        data_p = os.path.join(d, "_parent")
+        sid = _read_json(data_p) if os.path.exists(data_p) else None
+    if not parts:
+        base = read_snapshot_evolved(spark, table_dir).limit(0)
+        return base.where(F.col(col) == value), dirs_read, dirs_total
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return (
+        out.where(F.col(col) == F.lit(value).cast(typ)),
+        dirs_read,
+        dirs_total,
+    )
 
 
 def table_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1529,6 +1624,66 @@ ORDER BY segment
 """
 
 
+def table_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition evolution end-to-end: v1 segment committed
+    UNPARTITIONED (odd custkeys) → v2 segment appended partitioned by
+    c_mktsegment (even custkeys; the spec applies to the new segment
+    only, zero old files touched) → metadata-only RENAME
+    c_mktsegment→segment → equality read on segment='BUILDING' through
+    the per-segment specs: the v1 segment full-scans with a residual
+    filter, the v2 segment contributes exactly ONE hive directory, and
+    the rename resolves back to the physical dir name via field ids.
+    Output: BUILDING row counts split by generation, decimal balance,
+    and the pruned/lossless booleans (dirs_read < dirs_total; pruned
+    rows == unpruned filter rows).  Oracle recomputes relationally."""
+    import tempfile
+
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"].select(*_CUST_COLS)
+    table_dir = tempfile.mkdtemp(prefix="pspec_table_")
+    commit_snapshot_evolved(
+        spark, cust.where(F.col("c_custkey") % 2 == 1), table_dir
+    )
+    append_evolved(
+        spark, cust.where(F.col("c_custkey") % 2 == 0), table_dir,
+        partition_by=["c_mktsegment"],
+    )
+    evolve_schema(table_dir, rename={"c_mktsegment": "segment"})
+
+    pruned, dirs_read, dirs_total = read_evolved_pruned_eq(
+        spark, table_dir, "segment", "BUILDING"
+    )
+    full = read_snapshot_evolved(spark, table_dir).where(
+        F.col("segment") == "BUILDING"
+    )
+    lossless = pruned.count() == full.count()
+    return pruned.agg(
+        F.count(F.lit(1)).cast("long").alias("n_building"),
+        F.sum((F.col("c_custkey") % 2 == 1).cast("long")).alias("n_v1"),
+        F.sum((F.col("c_custkey") % 2 == 0).cast("long")).alias("n_v2"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double")
+        .alias("bal"),
+    ).select(
+        "n_building", "n_v1", "n_v2", "bal",
+        F.lit(bool(dirs_read < dirs_total)).alias("spec_pruned"),
+        F.lit(bool(lossless)).alias("prune_lossless"),
+    )
+
+
+TABLE_PARTITION_EVOLUTION_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_building,
+       CAST(SUM(CASE WHEN c_custkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_v1,
+       CAST(SUM(CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_v2,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal,
+       TRUE AS spec_pruned,
+       TRUE AS prune_lossless
+FROM customer
+WHERE c_mktsegment = 'BUILDING'
+"""
+
+
 _LOOKUP_KEYS = [7, 42, 99, 123, 145]  # exist at every test SF
 
 
@@ -1714,4 +1869,7 @@ SNAPSHOT_QUERIES: dict[str, tuple] = {
     "table_incremental_agg": (table_incremental_agg, TABLE_INCR_AGG_SQL),
     "table_mor_merge": (table_mor_merge, TABLE_MOR_MERGE_SQL),
     "table_bloom_lookup": (table_bloom_lookup, TABLE_BLOOM_LOOKUP_SQL),
+    "table_partition_evolution": (
+        table_partition_evolution, TABLE_PARTITION_EVOLUTION_SQL
+    ),
 }

@@ -693,3 +693,52 @@ def test_table_layer_model_fuzz(spark, tmp_path):
             assert got_del - got_ins == want_del, (seed, _step, op)
             assert got_ins - got_del == want_ins, (seed, _step, op)
             prev = cur
+
+
+def test_partition_evolution_per_segment_specs(spark, tmp_path):
+    """Each segment prunes under ITS OWN spec: the unpartitioned v1
+    segment full-scans, the partitioned v2 segment contributes one
+    hive dir; a rename AFTER the partitioned append still resolves the
+    physical directory name via field ids; results equal the unpruned
+    filter; old files are never rewritten by the spec change."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from csv_to_jsonld_processor_spark.operators.snapshots import (
+        _snap_dir,
+        append_evolved,
+        commit_snapshot_evolved,
+        evolve_schema,
+        read_evolved_pruned_eq,
+        read_snapshot_evolved,
+    )
+
+    table = str(tmp_path / "t")
+    v1 = spark.range(40).select(
+        F.col("id").alias("k"), (F.col("id") % 4).cast("string").alias("g")
+    )
+    commit_snapshot_evolved(spark, v1, table)
+    files_v1 = sorted(os.listdir(_snap_dir(table, 0)))
+    v2 = spark.range(40, 80).select(
+        F.col("id").alias("k"), (F.col("id") % 4).cast("string").alias("g")
+    )
+    append_evolved(spark, v2, table, partition_by=["g"])
+    assert sorted(os.listdir(_snap_dir(table, 0))) == files_v1
+
+    evolve_schema(table, rename={"g": "grp"})
+    pruned, dirs_read, dirs_total = read_evolved_pruned_eq(
+        spark, table, "grp", "2"
+    )
+    # v1 counts 1 dir (full scan); v2 has 4 hive dirs, 1 read
+    assert (dirs_read, dirs_total) == (2, 5)
+    want = {
+        r["k"]
+        for r in read_snapshot_evolved(spark, table)
+        .where(F.col("grp") == "2").collect()
+    }
+    assert {r["k"] for r in pruned.collect()} == want and len(want) == 20
+
+    # pruning on a non-partition column: everything scanned, still right
+    got, dr, dt = read_evolved_pruned_eq(spark, table, "k", 42)
+    assert dr == dt and [r["k"] for r in got.collect()] == [42]
