@@ -1624,6 +1624,24 @@ ORDER BY segment
 """
 
 
+def register_snapshot_view(
+    spark: SparkSession, table_dir: str, name: str,
+    snapshot_id: int | None = None, ref: str | None = None,
+) -> None:
+    """Mount a snapshot (or a named ref's head) as a temp view so plain
+    ``spark.sql`` works over the lake layer — MoR overlays resolve
+    through the merge-on-read reader, pinned ids give reproducible
+    SQL-over-time-travel. The view captures the snapshot resolved NOW:
+    later commits don't move it (snapshot isolation for SQL readers)."""
+    if ref is not None:
+        df = read_ref(spark, table_dir, ref)
+        if df is None:
+            raise ValueError(f"unknown ref {ref!r}")
+    else:
+        df = read_snapshot_mor(spark, table_dir, snapshot_id)
+    df.createOrReplaceTempView(name)
+
+
 def table_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition evolution end-to-end: v1 segment committed
     UNPARTITIONED (odd custkeys) → v2 segment appended partitioned by

@@ -742,3 +742,39 @@ def test_partition_evolution_per_segment_specs(spark, tmp_path):
     # pruning on a non-partition column: everything scanned, still right
     got, dr, dt = read_evolved_pruned_eq(spark, table, "k", 42)
     assert dr == dt and [r["k"] for r in got.collect()] == [42]
+
+
+def test_register_snapshot_view_sql_over_lake(spark, tmp_path):
+    """spark.sql over mounted snapshots: a pinned-id view is frozen
+    (later commits don't move it), the CURRENT view resolves MoR
+    overlays, and a ref view reads the branch head."""
+    from pyspark.sql import functions as F
+
+    from csv_to_jsonld_processor_spark.operators.snapshots import (
+        commit_snapshot,
+        commit_to_ref,
+        delete_rows_mor,
+        register_snapshot_view,
+    )
+
+    table = str(tmp_path / "t")
+    commit_snapshot(
+        spark,
+        spark.range(30).select(F.col("id").alias("k")),
+        table,
+    )
+    register_snapshot_view(spark, table, "lake_v0", snapshot_id=0)
+    delete_rows_mor(spark, table, "k % 3 = 0")
+    register_snapshot_view(spark, table, "lake_cur")
+    commit_to_ref(
+        spark, spark.range(5).select(F.col("id").alias("k")), table, "audit"
+    )
+    register_snapshot_view(spark, table, "lake_audit", ref="audit")
+
+    assert spark.sql("SELECT COUNT(*) c FROM lake_v0").first()["c"] == 30
+    assert spark.sql("SELECT COUNT(*) c FROM lake_cur").first()["c"] == 20
+    assert spark.sql("SELECT COUNT(*) c FROM lake_audit").first()["c"] == 5
+    got = spark.sql(
+        "SELECT SUM(v0.k) s FROM lake_v0 v0 LEFT ANTI JOIN lake_cur c USING (k)"
+    ).first()["s"]
+    assert got == sum(k for k in range(30) if k % 3 == 0)
