@@ -667,3 +667,47 @@ def test_incremental_maintenance_equals_full_rebuild(spark):
     assert rebuilt.exceptAll(incr).count() == 0
     # the batch really changed something: some url's edges differ
     assert incr.exceptAll(edges_base).count() > 0
+
+
+def test_lake_cdc_drives_incremental_kg(spark, tmp_path):
+    """The full steady-state loop: pages live in the snapshot table; a
+    recrawl batch lands via MERGE (merge-on-read); the CHANGELOG —
+    not any out-of-band knowledge — identifies the changed pages; only
+    those re-extract and splice into the edge table. Result must equal
+    a full rebuild of the table's CURRENT state."""
+    from pyspark.sql import functions as F
+
+    from csv_to_jsonld_processor_spark.kg.incremental import (
+        maintain_edges_incremental,
+    )
+    from csv_to_jsonld_processor_spark.kg.pipeline import build_kg
+    from csv_to_jsonld_processor_spark.operators.snapshots import (
+        commit_snapshot,
+        merge_rows_mor,
+        read_changes,
+        read_snapshot_mor,
+    )
+    from csv_to_jsonld_processor_spark.sources.pages import (
+        generate_pages,
+        generate_recrawled_pages,
+    )
+
+    n = 150
+    cols = ["url", "sent_idx", "subj", "pred", "obj"]
+    table = str(tmp_path / "pages")
+    commit_snapshot(spark, generate_pages(spark, n, seed=42, partitions=4), table)
+    edges = build_kg(spark, read_snapshot_mor(spark, table, 0))["edges"].select(*cols)
+
+    batch = generate_recrawled_pages(spark, n, mod=10, residue=3, partitions=4)
+    m = merge_rows_mor(spark, table, batch, "url")
+
+    # changed pages = the changelog's INSERT images — nothing external
+    changed = read_changes(spark, table, 0, m).where(
+        F.col("_change_type") == "insert"
+    ).drop("_change_type")
+    incr = maintain_edges_incremental(spark, edges, changed)
+
+    rebuilt = build_kg(spark, read_snapshot_mor(spark, table, m))["edges"].select(*cols)
+    assert incr.count() == rebuilt.count()
+    assert incr.exceptAll(rebuilt).count() == 0
+    assert rebuilt.exceptAll(incr).count() == 0
