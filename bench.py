@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "table_mor_merge",
     "table_bloom_lookup",
     "table_partition_evolution",
+    "kg_lake_incremental",
 ]
 
 

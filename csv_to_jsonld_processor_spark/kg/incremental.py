@@ -90,6 +90,47 @@ ORDER BY url, sent_idx, subj, pred, obj
 """
 
 
+def kg_lake_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full steady-state loop AS ONE VERIFIED QUERY: the page
+    corpus lives in the snapshot table layer; the recrawl batch lands
+    via merge-on-read MERGE (url-keyed); the table's OWN CHANGELOG —
+    no out-of-band knowledge of what changed — identifies the changed
+    pages; only those re-extract and splice into the edge table.
+    Same truth-anchored golden as kg_incremental_recrawl: the
+    maintained table must equal the generator-derived post-recrawl
+    edge set, so a changelog that misses a page, a merge that drops a
+    carry-forward, or a splice that leaks a stale edge turns the row
+    red.  Scale shape: the table merge is O(batch) (broadcast
+    semi-join tombstones), the changelog read is O(delta), extraction
+    is O(changed pages), the splice is a broadcast anti-join — the
+    corpus is never rescanned end to end."""
+    import tempfile
+
+    from ..operators.snapshots import (
+        commit_snapshot,
+        merge_rows_mor,
+        read_changes,
+    )
+    from ..sources.pages import generate_pages, generate_recrawled_pages
+    from .queries import kg_webtext_edges
+
+    edges_base = kg_webtext_edges(spark, sf_dir)
+    table_dir = tempfile.mkdtemp(prefix="kg_lake_")
+    commit_snapshot(
+        spark, generate_pages(spark, N_PAGES, seed=42, partitions=8), table_dir
+    )
+    batch = generate_recrawled_pages(
+        spark, N_PAGES, mod=MOD, residue=RESIDUE, content_seed=CONTENT_SEED
+    )
+    m = merge_rows_mor(spark, table_dir, batch, "url")
+    changed = read_changes(spark, table_dir, 0, m).where(
+        F.col("_change_type") == "insert"
+    ).drop("_change_type")
+    out = maintain_edges_incremental(spark, edges_base, changed)
+    return out.orderBy("url", "sent_idx", "subj", "pred", "obj")
+
+
 KG_INCREMENTAL_QUERIES: dict[str, tuple] = {
     "kg_incremental_recrawl": (kg_incremental_recrawl, KG_INCR_RECRAWL_SQL),
+    "kg_lake_incremental": (kg_lake_incremental, KG_INCR_RECRAWL_SQL),
 }
