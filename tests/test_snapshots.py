@@ -778,3 +778,34 @@ def test_register_snapshot_view_sql_over_lake(spark, tmp_path):
         "SELECT SUM(v0.k) s FROM lake_v0 v0 LEFT ANTI JOIN lake_cur c USING (k)"
     ).first()["s"]
     assert got == sum(k for k in range(30) if k % 3 == 0)
+
+
+def test_mor_edge_cases_noop_and_empty(spark, tmp_path):
+    """Degenerate inputs stay well-formed: a no-match delete/update
+    commits an empty-delta overlay that reads and changelogs as a
+    no-op; an EMPTY merge batch neither tombstones nor inserts."""
+    from pyspark.sql import functions as F
+
+    from csv_to_jsonld_processor_spark.operators.snapshots import (
+        commit_snapshot,
+        delete_rows_mor,
+        merge_rows_mor,
+        read_changes,
+        read_snapshot_mor,
+        update_rows_mor,
+    )
+
+    table = str(tmp_path / "t")
+    commit_snapshot(
+        spark, spark.range(10).select(F.col("id").alias("k")), table
+    )
+    d = delete_rows_mor(spark, table, "k > 100")
+    assert read_snapshot_mor(spark, table, d).count() == 10
+    assert read_changes(spark, table, 0, d).count() == 0
+    m = merge_rows_mor(
+        spark, table, spark.range(0).select(F.col("id").alias("k")), "k"
+    )
+    assert read_snapshot_mor(spark, table, m).count() == 10
+    assert read_changes(spark, table, d, m).count() == 0
+    u = update_rows_mor(spark, table, "k < 0", {"k": "k"})
+    assert read_snapshot_mor(spark, table, u).count() == 10
