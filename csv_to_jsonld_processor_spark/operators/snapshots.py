@@ -1354,11 +1354,15 @@ def read_evolved_pruned_eq(
                     for f in schema
                 ])
 
-            if phys is not None and phys in spec:
-                # one hive level is enough for the registered surface;
-                # plain =-joined dir names (no URL-escaping needed for
-                # the key domains used here — documented assumption
-                # shared with operators/layout.py)
+            if phys is not None and spec and spec[0] == phys:
+                # prune ONLY on the FIRST spec level: the hive layout
+                # nests dirs in spec order, so `d/col=value` exists
+                # only for level 0 — pruning on a deeper level would
+                # silently skip the whole segment (lossy). Deeper
+                # levels fall through to the residual filter. Plain
+                # =-joined dir names (no URL-escaping needed for the
+                # key domains used here — documented assumption shared
+                # with operators/layout.py)
                 leaves = [
                     n for n in os.listdir(d) if n.startswith(f"{phys}=")
                 ]

@@ -809,3 +809,38 @@ def test_mor_edge_cases_noop_and_empty(spark, tmp_path):
     assert read_changes(spark, table, d, m).count() == 0
     u = update_rows_mor(spark, table, "k < 0", {"k": "k"})
     assert read_snapshot_mor(spark, table, u).count() == 10
+
+
+def test_partition_prune_only_on_first_spec_level(spark, tmp_path):
+    """A column at a DEEPER spec level must NOT dir-prune (the hive
+    path d/col=value only exists for level 0) — it falls back to a
+    full segment scan and stays lossless."""
+    from pyspark.sql import functions as F
+
+    from csv_to_jsonld_processor_spark.operators.snapshots import (
+        append_evolved,
+        commit_snapshot_evolved,
+        read_evolved_pruned_eq,
+    )
+
+    table = str(tmp_path / "t")
+    v1 = spark.range(10).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).cast("string").alias("a"),
+        (F.col("id") % 3).cast("string").alias("b"),
+    )
+    commit_snapshot_evolved(spark, v1, table)
+    v2 = spark.range(10, 40).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).cast("string").alias("a"),
+        (F.col("id") % 3).cast("string").alias("b"),
+    )
+    append_evolved(spark, v2, table, partition_by=["a", "b"])
+
+    # level-0 column prunes
+    got, dr, dt = read_evolved_pruned_eq(spark, table, "a", "1")
+    assert dr < dt and got.count() == sum(1 for k in range(40) if k % 2 == 1)
+    # level-1 column must NOT prune, must stay lossless
+    got, dr, dt = read_evolved_pruned_eq(spark, table, "b", "2")
+    assert dr == dt
+    assert got.count() == sum(1 for k in range(40) if k % 3 == 2)
