@@ -983,6 +983,13 @@ def read_changes(
     cur = current_snapshot_id(table_dir)
     if cur is None or from_id > cur or to_id > cur:
         raise ValueError(f"snapshot range [{from_id},{to_id}] not committed")
+    for sid in (from_id, to_id):
+        if os.path.exists(os.path.join(_snap_dir(table_dir, sid), "_parent")):
+            raise ValueError(
+                "read_changes does not span schema-evolution/append chains "
+                f"(snapshot {sid} has a _parent pointer); diff "
+                "read_snapshot_evolved views instead"
+            )
     base_from = _chain_base(table_dir, from_id)
     base_to = _chain_base(table_dir, to_id)
     fast = base_from == base_to and _overlay_info(table_dir, to_id) is not None

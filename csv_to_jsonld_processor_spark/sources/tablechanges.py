@@ -91,6 +91,11 @@ def _schema_of(table_dir: str) -> tuple[list[str], "object"]:
     import pyarrow.parquet as pq
 
     cur = _current(table_dir)
+    if os.path.exists(os.path.join(_snap_dir(table_dir, cur), "_parent")):
+        raise ValueError(
+            "tablechanges does not stream schema-evolution/append chains "
+            "(CURRENT has a _parent pointer)"
+        )
     base = _chain_base(table_dir, cur)
     files = _part_files(_snap_dir(table_dir, base))
     sch = pq.ParquetFile(files[0]).schema_arrow
