@@ -1635,6 +1635,58 @@ ORDER BY segment
 """
 
 
+def rollback_to(table_dir: str, snapshot_id: int) -> int:
+    """Point CURRENT back at an older committed snapshot — one atomic
+    pointer rename, nothing rewritten. The abandoned head is TAGGED
+    (``REF-rollback-<id>``, Iceberg's tag-before-rollback discipline)
+    so (a) the id allocator never reuses its generation as a crash
+    orphan and (b) roll-FORWARD is just another rollback_to targeting
+    the tagged id. Targets may be any retained snapshot at-or-below
+    CURRENT or a tagged abandoned head."""
+    cur = current_snapshot_id(table_dir)
+    if cur is None:
+        raise ValueError("empty table")
+    if snapshot_id == cur:
+        return cur
+    if snapshot_id < 0 or (
+        snapshot_id > cur and snapshot_id not in _all_ref_ids(table_dir)
+    ):
+        raise ValueError(f"snapshot {snapshot_id} not committed (CURRENT={cur})")
+    if not os.path.isdir(_snap_dir(table_dir, snapshot_id)):
+        raise ValueError(f"snapshot {snapshot_id} expired or missing")
+    tag = _ref_path(table_dir, f"rollback-{cur}")
+    tmp = tag + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(cur))
+    os.replace(tmp, tag)
+    tmp = os.path.join(table_dir, "CURRENT.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(snapshot_id))
+    os.replace(tmp, os.path.join(table_dir, "CURRENT"))
+    return snapshot_id
+
+
+def snapshot_history(table_dir: str) -> list[dict]:
+    """Commit history of the table, oldest first: id, kind (data / MoR
+    overlay / evolution metadata / append), and the parent it depends
+    on — assembled from the on-disk pointers alone, no data read."""
+    out = []
+    for sid in snapshot_ids(table_dir):
+        d = _snap_dir(table_dir, sid)
+        ov = _overlay_info(table_dir, sid)
+        if ov is not None:
+            kind, parent = "mor_overlay", ov[0]
+        elif os.path.exists(os.path.join(d, "_parent")):
+            parent = _read_json(os.path.join(d, "_parent"))
+            has_data = any(f.startswith("part-") or "=" in f
+                           for f in os.listdir(d))
+            kind = "append" if has_data else "evolution"
+        else:
+            kind, parent = "data", None
+        out.append({"id": sid, "kind": kind, "parent": parent})
+    return out
+
+
 def register_snapshot_view(
     spark: SparkSession, table_dir: str, name: str,
     snapshot_id: int | None = None, ref: str | None = None,

@@ -844,3 +844,40 @@ def test_partition_prune_only_on_first_spec_level(spark, tmp_path):
     got, dr, dt = read_evolved_pruned_eq(spark, table, "b", "2")
     assert dr == dt
     assert got.count() == sum(1 for k in range(40) if k % 3 == 2)
+
+
+def test_rollback_tags_head_and_allocator_respects_it(spark, tmp_path):
+    """Rollback is one pointer flip; the abandoned head is tagged so
+    the next commit allocates a FRESH id (never overwrites it), and
+    roll-forward targets the tagged id; history reports the chain."""
+    from pyspark.sql import functions as F
+
+    from csv_to_jsonld_processor_spark.operators.snapshots import (
+        commit_snapshot,
+        delete_rows_mor,
+        read_snapshot,
+        read_snapshot_mor,
+        rollback_to,
+        snapshot_history,
+    )
+
+    table = str(tmp_path / "t")
+    commit_snapshot(spark, spark.range(10).select(F.col("id").alias("k")), table)
+    commit_snapshot(spark, spark.range(20).select(F.col("id").alias("k")), table)
+    d = delete_rows_mor(spark, table, "k >= 15")          # snap 2, overlay on 1
+    assert read_snapshot_mor(spark, table).count() == 15
+
+    rollback_to(table, 0)
+    assert read_snapshot(spark, table).count() == 10
+    # new commit after rollback must NOT overwrite the abandoned head
+    nid = commit_snapshot(
+        spark, spark.range(7).select(F.col("id").alias("k")), table
+    )
+    assert nid == 3
+    assert read_snapshot_mor(spark, table, d).count() == 15  # head intact
+
+    rollback_to(table, d)                                  # roll forward
+    assert read_snapshot_mor(spark, table).count() == 15
+
+    kinds = {h["id"]: h["kind"] for h in snapshot_history(table)}
+    assert kinds[0] == "data" and kinds[2] == "mor_overlay"
