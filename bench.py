@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "events_stream_join",
     "sql_shared_grouping_sets",
     "media_png_stats",
+    "media_gif_stats",
     # round-5 session-4 additions
     "doc_bm25_search",
     "doc_bpe_train",

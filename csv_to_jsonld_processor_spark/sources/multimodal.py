@@ -802,3 +802,309 @@ def sample_frames(media: DataFrame, every_k: int = 4, codec: str = "synthetic") 
             )
 
     return src.mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# GIF87a/89a codec (stdlib-only): LZW-compressed, multi-frame — the
+# third REAL compressed format after PNG (DEFLATE) and WAV (PCM), and
+# the first ANIMATED one, so the frame-sample stage runs on genuinely
+# framed bytes. Grayscale 256-entry global palette: a pixel's palette
+# index IS its intensity, which keeps the truth-anchored golden a pure
+# arithmetic recomputation from the synth parameters.
+
+
+def _lzw_encode(indices: bytes, min_code: int = 8) -> bytes:
+    """GIF-variant LZW: clear/end codes, code width grows 9→12 bits,
+    dictionary reset at 4096; LSB-first bit packing; 255-byte
+    sub-blocks."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+
+    out_bits: list[tuple[int, int]] = []  # (code, width)
+
+    def fresh() -> tuple[dict, int, int]:
+        return (
+            {bytes([i]): i for i in range(1 << min_code)},
+            end + 1,
+            min_code + 1,
+        )
+
+    table, next_code, width = fresh()
+    out_bits.append((clear, width))
+    buf = b""
+    for b in indices:
+        cand = buf + bytes([b])
+        if cand in table:
+            buf = cand
+            continue
+        out_bits.append((table[buf], width))
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        elif next_code > 4096 - 2:
+            out_bits.append((clear, width))
+            table, next_code, width = fresh()
+        buf = bytes([b])
+    if buf:
+        out_bits.append((table[buf], width))
+    out_bits.append((end, width))
+
+    acc = n_acc = 0
+    raw = bytearray()
+    for code, w in out_bits:
+        acc |= code << n_acc
+        n_acc += w
+        while n_acc >= 8:
+            raw.append(acc & 0xFF)
+            acc >>= 8
+            n_acc -= 8
+    if n_acc:
+        raw.append(acc & 0xFF)
+
+    blocks = bytearray([min_code])
+    for i in range(0, len(raw), 255):
+        chunk = raw[i:i + 255]
+        blocks.append(len(chunk))
+        blocks.extend(chunk)
+    blocks.append(0)
+    return bytes(blocks)
+
+
+def _lzw_decode(data: bytes, expected: int) -> bytes:
+    """Inverse of _lzw_encode: consumes [min_code][sub-blocks...][0]."""
+    min_code = data[0]
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    raw = bytearray()
+    pos = 1
+    while True:
+        n = data[pos]
+        pos += 1
+        if n == 0:
+            break
+        raw.extend(data[pos:pos + n])
+        pos += n
+
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset() -> tuple[list[bytes], int]:
+        t = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
+        return t, min_code + 1
+
+    table, width = reset()
+    acc = n_acc = 0
+    prev: bytes | None = None
+    for byte in raw:
+        acc |= byte << n_acc
+        n_acc += 8
+        while n_acc >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            n_acc -= width
+            if code == clear:
+                table, width = reset()
+                prev = None
+                continue
+            if code == end:
+                if len(out) != expected:
+                    raise ValueError(
+                        f"LZW stream ended at {len(out)} of {expected} pixels"
+                    )
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            else:  # the KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            if prev is not None and code < len(table) - 1:
+                pass
+            out.extend(entry)
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+    raise ValueError("missing LZW end code")
+
+
+def encode_gif(width: int, height: int, frames: list[bytes]) -> bytes:
+    """GIF89a, 256-entry grayscale global palette, one image block per
+    frame (each a full wxh indexed raster), 4/100 s frame delay."""
+    if any(len(f) != width * height for f in frames):
+        raise ValueError("frame size mismatch")
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out += bytes([0xF7, 0, 0])  # global palette, 256 entries, 8-bit
+    for i in range(256):
+        out += bytes([i, i, i])
+    for f in frames:
+        out += bytes([0x21, 0xF9, 4, 0, 4, 0, 0, 0])  # GCE: 4/100 s
+        out += bytes([0x2C]) + struct.pack("<HHHH", 0, 0, width, height)
+        out += bytes([0])  # no local palette
+        out += _lzw_encode(f)
+    out += bytes([0x3B])
+    return bytes(out)
+
+
+def decode_gif(blob: bytes) -> dict:
+    """Parse GIF87a/89a with a global palette and full-frame images;
+    returns frames as indexed rasters plus the grayscale palette map."""
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    width, height = struct.unpack("<HH", blob[6:10])
+    flags = blob[10]
+    pos = 13
+    palette = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        palette = blob[pos:pos + 3 * n]
+        pos += 3 * n
+    frames = []
+    while pos < len(blob):
+        b0 = blob[pos]
+        if b0 == 0x3B:
+            break
+        if b0 == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while blob[pos] != 0:
+                pos += blob[pos] + 1
+            pos += 1
+        elif b0 == 0x2C:
+            left, top, w, h = struct.unpack("<HHHH", blob[pos + 1:pos + 9])
+            iflags = blob[pos + 9]
+            pos += 10
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                pos += 3 * n
+            start = pos
+            pos += 1  # min code size
+            while blob[pos] != 0:
+                pos += blob[pos] + 1
+            pos += 1
+            frames.append(_lzw_decode(blob[start:pos], w * h))
+        else:
+            raise ValueError(f"unknown GIF block 0x{b0:02x}")
+    return {
+        "width": width,
+        "height": height,
+        "n_frames": len(frames),
+        "frames": frames,
+        "palette": palette,
+    }
+
+
+def synth_gif(media_id: int, seed: int = 42) -> tuple[bytes, int, int, int]:
+    """Deterministic REAL animated blob: dims, frame count, and every
+    indexed raster derive from sha256(media_id, seed)."""
+    h = hashlib.sha256(f"gif:{seed}:{media_id}".encode()).digest()
+    w = 8 + h[1] % 16
+    ht = 8 + h[2] % 16
+    nf = 2 + h[3] % 3
+    frames = []
+    for fi in range(nf):
+        n = w * ht
+        fh = hashlib.sha256(h + bytes([fi])).digest()
+        frames.append((fh * (n // 32 + 1))[:n])
+    return encode_gif(w, ht, frames), w, ht, nf
+
+
+def generate_gif_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+    import pandas as pd
+
+    rng = spark.range(0, n, 1, spark.sparkContext.defaultParallelism)
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                blob, w, ht, nf = synth_gif(int(i), seed)
+                rows.append(
+                    {
+                        "media_id": int(i),
+                        "kind": "video",
+                        "url": f"https://media.example.org/gif/{int(i)}.gif",
+                        "blob": blob,
+                        "meta_width": w,
+                        "meta_height": ht,
+                        "meta_channels": nf,
+                    }
+                )
+            yield pd.DataFrame.from_records(rows)
+
+    return rng.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def media_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANIMATED compressed codec end-to-end on real bytes: 600
+    deterministic multi-frame grayscale GIFs → stdlib LZW decode of
+    every frame inside mapInPandas → per-frame-count stats (dims and
+    mean intensity across ALL frames; intensity == palette index, so
+    the golden recomputes from the synth parameters without touching
+    encode/decode — equality proves the LZW round-trip is
+    byte-exact)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    media = generate_gif_media(spark, 600, seed=42)
+    src = media.select("media_id", "blob")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                g = decode_gif(bytes(r["blob"]))
+                allpx = np.frombuffer(b"".join(g["frames"]), dtype=np.uint8)
+                rows.append(
+                    {
+                        "media_id": int(r["media_id"]),
+                        "width": g["width"],
+                        "height": g["height"],
+                        "n_frames": g["n_frames"],
+                        "mean_intensity": float(allpx.mean()),
+                    }
+                )
+            yield pd.DataFrame.from_records(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_frames", "mean_intensity",
+                ],
+            )
+
+    feats = src.mapInPandas(
+        run,
+        schema="media_id long, width int, height int, n_frames int, "
+               "mean_intensity double",
+    )
+    return (
+        feats.groupBy("n_frames")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("width"), 6).alias("avg_width"),
+            F.round(F.avg("height"), 6).alias("avg_height"),
+            F.round(F.avg("mean_intensity"), 6).alias("avg_intensity"),
+        )
+        .orderBy("n_frames")
+    )
+
+
+# golden: plain-Python recomputation from the synth parameters (sha256
+# dims, frame count, payload stretch), N=600 seed=42 — never through
+# encode/decode
+MEDIA_GIF_SQL = """
+SELECT CAST(n_frames AS INT) AS n_frames, CAST(n AS BIGINT) AS n,
+       CAST(avg_width AS DOUBLE) AS avg_width,
+       CAST(avg_height AS DOUBLE) AS avg_height,
+       CAST(avg_intensity AS DOUBLE) AS avg_intensity
+FROM (VALUES
+  (2, 217, 14.741935, 15.456221, 126.150198),
+  (3, 199, 16.291457, 15.502513, 126.851469),
+  (4, 184, 15.391304, 15.646739, 127.627403)
+) AS golden(n_frames, n, avg_width, avg_height, avg_intensity)
+ORDER BY n_frames
+"""
+
+
+MULTIMODAL_QUERIES["media_gif_stats"] = (media_gif_stats, MEDIA_GIF_SQL)

@@ -265,3 +265,41 @@ def test_png_media_feature_stage(spark):
         assert r.mean_intensity == float(
             np.frombuffer(rgb, dtype=np.uint8).astype(np.float64).mean()
         )
+
+
+def test_gif_lzw_roundtrip_exact_and_adversarial(spark):
+    """GIF-LZW must round-trip byte-exact: the synthetic corpus (vs the
+    generator's own rasters, independent of the codec) AND adversarial
+    large rasters that force 12-bit codes and dictionary resets."""
+    import hashlib
+
+    from csv_to_jsonld_processor_spark.sources.multimodal import (
+        decode_gif,
+        encode_gif,
+        synth_gif,
+    )
+
+    for mid in range(60):
+        blob, w, h, nf = synth_gif(mid)
+        g = decode_gif(blob)
+        assert (g["width"], g["height"], g["n_frames"]) == (w, h, nf)
+        seed_h = hashlib.sha256(f"gif:42:{mid}".encode()).digest()
+        for fi in range(nf):
+            n = w * h
+            fh = hashlib.sha256(seed_h + bytes([fi])).digest()
+            assert g["frames"][fi] == (fh * (n // 32 + 1))[:n]
+
+    for data in [
+        (hashlib.sha256(b"x").digest() * 2000)[:60000],
+        bytes(range(256)) * 250,
+        bytes((i * i) % 256 for i in range(50000)),
+        b"\x00" * 30000,
+    ]:
+        w, h = 200, len(data) // 200
+        data = data[: w * h]
+        assert decode_gif(encode_gif(w, h, [data]))["frames"][0] == data
+
+    # grayscale palette invariant: index i maps to (i, i, i)
+    pal = decode_gif(synth_gif(0)[0])["palette"]
+    assert all(pal[3 * i] == pal[3 * i + 1] == pal[3 * i + 2] == i
+               for i in range(256))
