@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "sql_shared_grouping_sets",
     "media_png_stats",
     "media_gif_stats",
+    "media_gif_frames",
     # round-5 session-4 additions
     "doc_bm25_search",
     "doc_bpe_train",

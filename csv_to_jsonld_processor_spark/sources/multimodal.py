@@ -785,6 +785,16 @@ def sample_frames(media: DataFrame, every_k: int = 4, codec: str = "synthetic") 
         for pdf in batches:
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                if codec == "gif":
+                    # REAL framed bytes: every k-th LZW-decoded raster
+                    g = decode_gif(bytes(blob))
+                    for fi in range(0, g["n_frames"], every_k):
+                        px = np.frombuffer(g["frames"][fi], dtype=np.uint8)
+                        rows.append(
+                            {"media_id": int(mid), "frame_idx": fi,
+                             "frame_mean": float(px.mean())}
+                        )
+                    continue
                 d = decode_blob(bytes(blob), codec)
                 if d["kind"] != "video":
                     continue
@@ -1107,4 +1117,36 @@ ORDER BY n_frames
 """
 
 
+def media_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over REAL animated bytes: every 2nd LZW-decoded
+    raster of the 600-GIF corpus through the sample_frames stage →
+    per-frame-index stats. Golden recomputed from the synth
+    parameters (frame 0 exists for all 600, frame 2 only for the
+    3-or-4-frame blobs)."""
+    from pyspark.sql import functions as F
+
+    media = generate_gif_media(spark, 600, seed=42)
+    frames = sample_frames(media, every_k=2, codec="gif")
+    return (
+        frames.groupBy("frame_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("frame_mean"), 6).alias("avg_frame_mean"),
+        )
+        .orderBy("frame_idx")
+    )
+
+
+MEDIA_GIF_FRAMES_SQL = """
+SELECT CAST(frame_idx AS INT) AS frame_idx, CAST(n AS BIGINT) AS n,
+       CAST(avg_frame_mean AS DOUBLE) AS avg_frame_mean
+FROM (VALUES
+  (0, 600, 126.908091),
+  (2, 383, 127.837374)
+) AS golden(frame_idx, n, avg_frame_mean)
+ORDER BY frame_idx
+"""
+
+
 MULTIMODAL_QUERIES["media_gif_stats"] = (media_gif_stats, MEDIA_GIF_SQL)
+MULTIMODAL_QUERIES["media_gif_frames"] = (media_gif_frames, MEDIA_GIF_FRAMES_SQL)
