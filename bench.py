@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "events_sequence_motifs",
     "kg_sssp_weighted",
     "kg_sparql_path_nps",
+    "kg_sparql_update",
     "kg_ktruss",
     "parts_skyline",
     "events_exact_median",

@@ -1429,6 +1429,103 @@ ORDER BY person, org, site
 """
 
 
+# --- SPARQL 1.1 UPDATE (DELETE/INSERT WHERE) ---------------------------------
+
+def update_query(
+    edges: DataFrame,
+    where: list[Pattern],
+    delete_tmpl: list[Pattern] | None = None,
+    insert_tmpl: list[Pattern] | None = None,
+    filters: list[str] | None = None,
+) -> DataFrame:
+    """SPARQL 1.1 UPDATE as graph algebra, per spec evaluation order:
+    both templates instantiate against the PRE-update solutions of
+    WHERE, then G' = (G \u2216 inst(DELETE)) \u222a inst(INSERT) — a triple
+    deleted and re-inserted by the same request survives, and inserts
+    of existing triples dedup (RDF graphs are sets).
+
+    Scale: two construct_query projections over one shared BGP join
+    tree plus two anti-joins on (subj, pred, obj); the graph is never
+    shuffled beyond the BGP's own joins, and the instantiated delta
+    relations are solution-sized, not graph-sized. Composes with the
+    snapshot layer: commit_snapshot(update_query(...)) gives versioned
+    SPARQL UPDATE with time travel and changelogs for free."""
+    g = edges.select("subj", "pred", "obj").dropDuplicates()
+    out = g
+    if delete_tmpl:
+        dels = construct_query(edges, where, delete_tmpl, filters=filters)
+        out = out.join(dels, ["subj", "pred", "obj"], "left_anti")
+    if insert_tmpl:
+        ins = construct_query(edges, where, insert_tmpl, filters=filters)
+        out = out.join(ins, ["subj", "pred", "obj"], "left_anti").unionByName(ins)
+    return out
+
+
+# Registered update: reverse the employment edge for employees of
+# Berlin-headquartered orgs — DELETE the worksFor triple, INSERT the
+# inverse employs triple, both from the same pre-update match.
+UPDATE_WHERE: list[Pattern] = [
+    (Var("p"), TERMS + "worksFor", Var("org")),
+    (Var("org"), TERMS + "headquarters", Var("city")),
+]
+UPDATE_DELETE: list[Pattern] = [(Var("p"), TERMS + "worksFor", Var("org"))]
+UPDATE_INSERT: list[Pattern] = [(Var("org"), TERMS + "employs", Var("p"))]
+UPDATE_FILTER = ["city LIKE '%/berlin'"]
+
+
+def kg_sparql_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE/INSERT WHERE on the flagship webtext KG:
+
+        DELETE {{ ?p kg:worksFor ?org }}
+        INSERT {{ ?org kg:employs ?p }}
+        WHERE  {{ ?p kg:worksFor ?org . ?org kg:headquarters ?city .
+                  FILTER(?city = .../berlin) }}
+
+    Returns the updated graph's per-predicate triple counts. Oracle
+    recomputes the same algebra relationally over the truth-anchored
+    golden edge table — a delete that misses a solution, an insert
+    that duplicates, or a re-inserted-then-deleted triple error all
+    shift a count."""
+    from .queries import kg_webtext_edges
+
+    edges = kg_webtext_edges(spark, sf_dir)
+    updated = update_query(
+        edges, UPDATE_WHERE, UPDATE_DELETE, UPDATE_INSERT,
+        filters=UPDATE_FILTER,
+    )
+    return (
+        updated.groupBy("pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triples"))
+        .orderBy("pred")
+    )
+
+
+def _update_sql() -> str:
+    from .queries import _GOLDEN_EDGES
+
+    return f"""
+WITH g AS (
+  SELECT DISTINCT subj, pred, obj
+  FROM read_csv('{_GOLDEN_EDGES}', header=true, all_varchar=true)
+), sols AS (
+  SELECT DISTINCT w.subj AS p, w.obj AS org
+  FROM g w JOIN g h ON h.subj = w.obj
+  WHERE w.pred = '{TERMS}worksFor' AND h.pred = '{TERMS}headquarters'
+    AND h.obj LIKE '%/berlin'
+), dels AS (
+  SELECT p AS subj, '{TERMS}worksFor' AS pred, org AS obj FROM sols
+), ins AS (
+  SELECT org AS subj, '{TERMS}employs' AS pred, p AS obj FROM sols
+), updated AS (
+  SELECT * FROM g
+  EXCEPT SELECT * FROM dels
+  UNION SELECT * FROM ins
+)
+SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_triples
+FROM updated GROUP BY pred ORDER BY pred
+"""
+
+
 KG_BGP_QUERIES: dict[str, tuple] = {
     "kg_sparql_bgp": (kg_sparql_bgp, _bgp_sql()),
     "kg_sparql_graph": (kg_sparql_graph, _graph_sql()),
@@ -1447,4 +1544,5 @@ KG_BGP_QUERIES: dict[str, tuple] = {
     "kg_sparql_path": (kg_sparql_path, _path_sql()),
     "kg_sparql_path_closure": (kg_sparql_path_closure, _path_closure_sql()),
     "kg_sparql_path_nps": (kg_sparql_path_nps, _path_nps_sql()),
+    "kg_sparql_update": (kg_sparql_update, _update_sql()),
 }

@@ -593,3 +593,64 @@ def test_path_rel_nps_star_opt(spark, edges):
     got = [tuple(r) for r in path_rel(
         edges, ("star", ("pred", "self"))).collect()]
     assert got.count(("loop", "loop")) == 1
+
+
+def test_update_query_spec_semantics(spark):
+    """SPARQL 1.1 UPDATE evaluation order: both templates instantiate
+    against PRE-update solutions; a triple deleted and re-inserted by
+    the same request survives; inserting an existing triple dedups;
+    delete-only and insert-only forms work."""
+    from csv_to_jsonld_processor_spark.kg.bgp import Var, update_query
+
+    T = "http://t/"
+    edges = spark.createDataFrame(
+        [
+            ("a", T + "knows", "b"),
+            ("b", T + "knows", "c"),
+            ("a", T + "likes", "c"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    # rename knows -> met (delete + insert from the same solutions)
+    out = {
+        tuple(r)
+        for r in update_query(
+            edges,
+            [(Var("x"), T + "knows", Var("y"))],
+            delete_tmpl=[(Var("x"), T + "knows", Var("y"))],
+            insert_tmpl=[(Var("x"), T + "met", Var("y"))],
+        ).collect()
+    }
+    assert out == {
+        ("a", T + "met", "b"), ("b", T + "met", "c"), ("a", T + "likes", "c"),
+    }
+
+    # delete-and-reinsert the SAME triple: survives (insert wins)
+    out = {
+        tuple(r)
+        for r in update_query(
+            edges,
+            [(Var("x"), T + "knows", Var("y"))],
+            delete_tmpl=[(Var("x"), T + "knows", Var("y"))],
+            insert_tmpl=[(Var("x"), T + "knows", Var("y"))],
+        ).collect()
+    }
+    assert out == {tuple(r) for r in edges.collect()}
+
+    # inserting an existing triple dedups (graphs are sets)
+    out = update_query(
+        edges,
+        [(Var("x"), T + "knows", Var("y"))],
+        insert_tmpl=[(Var("x"), T + "likes", Var("y"))],
+    )
+    rows = {tuple(r) for r in out.collect()}
+    assert ("a", T + "likes", "b") in rows and ("b", T + "likes", "c") in rows
+    assert out.count() == 5  # 3 original + 2 new; existing (a likes c) not duplicated
+
+    # delete-only
+    out = update_query(
+        edges,
+        [(Var("x"), T + "likes", Var("y"))],
+        delete_tmpl=[(Var("x"), T + "likes", Var("y"))],
+    )
+    assert {r["pred"] for r in out.collect()} == {T + "knows"}
