@@ -654,3 +654,39 @@ def test_update_query_spec_semantics(spark):
         delete_tmpl=[(Var("x"), T + "likes", Var("y"))],
     )
     assert {r["pred"] for r in out.collect()} == {T + "knows"}
+
+
+def test_update_commits_to_snapshot_with_cdc(spark, tmp_path):
+    """Versioned SPARQL UPDATE: committing update_query output to the
+    snapshot layer gives time travel AND a changelog that is exactly
+    the update's delete/insert delta."""
+    from csv_to_jsonld_processor_spark.kg.bgp import Var, update_query
+    from csv_to_jsonld_processor_spark.operators.snapshots import (
+        commit_snapshot,
+        read_changes,
+        read_snapshot,
+    )
+
+    T = "http://t/"
+    edges = spark.createDataFrame(
+        [("a", T + "knows", "b"), ("b", T + "knows", "c"),
+         ("a", T + "likes", "c")],
+        "subj string, pred string, obj string",
+    )
+    table = str(tmp_path / "g")
+    commit_snapshot(spark, edges, table)
+    updated = update_query(
+        edges,
+        [(Var("x"), T + "knows", Var("y"))],
+        delete_tmpl=[(Var("x"), T + "knows", Var("y"))],
+        insert_tmpl=[(Var("x"), T + "met", Var("y"))],
+    )
+    nid = commit_snapshot(spark, updated, table)
+
+    assert read_snapshot(spark, table, 0).count() == 3  # time travel
+    ch = {(r["subj"], r["pred"], r["obj"], r["_change_type"])
+          for r in read_changes(spark, table, 0, nid).collect()}
+    assert ch == {
+        ("a", T + "knows", "b", "delete"), ("b", T + "knows", "c", "delete"),
+        ("a", T + "met", "b", "insert"), ("b", T + "met", "c", "insert"),
+    }
