@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "kg_sssp_weighted",
     "kg_sparql_path_nps",
     "kg_sparql_update",
+    "kg_sparql_service",
     "kg_ktruss",
     "parts_skyline",
     "events_exact_median",

@@ -1526,6 +1526,109 @@ FROM updated GROUP BY pred ORDER BY pred
 """
 
 
+# --- SPARQL 1.1 federation: SERVICE with bound-join ---------------------------
+
+def service_query(
+    local_edges: DataFrame,
+    local_patterns: list[Pattern],
+    remote_edges: DataFrame,
+    remote_patterns: list[Pattern],
+    project: list[str],
+    filters: list[str] | None = None,
+    max_bindings: int = 100_000,
+) -> tuple[DataFrame, int]:
+    """SPARQL 1.1 SERVICE with the BOUND-JOIN optimization federation
+    engines use (FedX-style VALUES injection): evaluate the local BGP,
+    ship the DISTINCT bindings of the shared variables to the endpoint
+    as a VALUES block riding the remote request, and join the
+    endpoint's solutions back on those variables.
+
+    The endpoint boundary is modeled faithfully: the remote evaluation
+    sees ONLY its own patterns plus the shipped VALUES block — never
+    the local graph — exactly the information a real SERVICE request
+    serializes. The binding set is collected to the driver because it
+    IS the request payload (bounded by ``max_bindings``, the same cap
+    a federation engine applies before falling back to unbound
+    evaluation); everything else stays distributed. Returns
+    (solutions, n_shipped_bindings)."""
+    local_vars = sorted({v for p in local_patterns for v in _pattern_vars(p)})
+    remote_vars = sorted({v for p in remote_patterns for v in _pattern_vars(p)})
+    shared = [v for v in local_vars if v in remote_vars]
+    if not shared:
+        raise ValueError("SERVICE group shares no variables with the local BGP")
+    local = bgp_query(local_edges, local_patterns, local_vars, distinct=True)
+    shipped = [tuple(r) for r in local.select(*shared).distinct().collect()]
+    if len(shipped) > max_bindings:
+        raise ValueError(
+            f"{len(shipped)} bindings exceed the bound-join cap "
+            f"{max_bindings}; evaluate the SERVICE group unbound instead"
+        )
+    remote = bgp_query(
+        remote_edges, remote_patterns, remote_vars,
+        values=(shared, shipped), distinct=True,
+    )
+    out = local.join(remote, shared)
+    if filters:
+        for f in filters:
+            out = out.where(f)
+    return out.select(*project).dropDuplicates(), len(shipped)
+
+
+SERVICE_LOCAL: list[Pattern] = [(Var("p"), TERMS + "worksFor", Var("org"))]
+SERVICE_REMOTE: list[Pattern] = [(Var("org"), TERMS + "headquarters", Var("city"))]
+
+
+def kg_sparql_service(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Federated query on the flagship KG, endpoints split by concern:
+    the LOCAL graph holds every non-geo triple, the REMOTE "geo
+    endpoint" holds only the headquarters triples —
+
+        SELECT ?city (COUNT(DISTINCT ?p) AS n_people)
+        WHERE {{ ?p kg:worksFor ?org .
+                 SERVICE geo {{ ?org kg:headquarters ?city }} }}
+
+    evaluated with the bound join: only the distinct ?org bindings
+    ship to the endpoint. Output adds the shipped-bindings count as a
+    column, so the oracle also pins that the request payload is the
+    org dimension, not the employment table."""
+    from .queries import kg_webtext_edges
+
+    edges = kg_webtext_edges(spark, sf_dir)
+    local = edges.where(F.col("pred") != TERMS + "headquarters")
+    remote = edges.where(F.col("pred") == TERMS + "headquarters")
+    sols, n_shipped = service_query(
+        local, SERVICE_LOCAL, remote, SERVICE_REMOTE, ["p", "org", "city"]
+    )
+    return (
+        sols.groupBy("city")
+        .agg(F.countDistinct("p").cast("long").alias("n_people"))
+        .withColumn("n_shipped_bindings", F.lit(n_shipped).cast("long"))
+        .orderBy("city")
+    )
+
+
+def _service_sql() -> str:
+    from .queries import _GOLDEN_EDGES
+
+    return f"""
+WITH g AS (
+  SELECT DISTINCT subj, pred, obj
+  FROM read_csv('{_GOLDEN_EDGES}', header=true, all_varchar=true)
+), w AS (
+  SELECT DISTINCT subj AS p, obj AS org FROM g WHERE pred = '{TERMS}worksFor'
+), geo AS (
+  SELECT DISTINCT subj AS org, obj AS city FROM g
+  WHERE pred = '{TERMS}headquarters'
+), shipped AS (
+  SELECT COUNT(DISTINCT org) AS n FROM w
+)
+SELECT city, CAST(COUNT(DISTINCT p) AS BIGINT) AS n_people,
+       CAST((SELECT n FROM shipped) AS BIGINT) AS n_shipped_bindings
+FROM w JOIN geo USING (org)
+GROUP BY city ORDER BY city
+"""
+
+
 KG_BGP_QUERIES: dict[str, tuple] = {
     "kg_sparql_bgp": (kg_sparql_bgp, _bgp_sql()),
     "kg_sparql_graph": (kg_sparql_graph, _graph_sql()),
@@ -1545,4 +1648,5 @@ KG_BGP_QUERIES: dict[str, tuple] = {
     "kg_sparql_path_closure": (kg_sparql_path_closure, _path_closure_sql()),
     "kg_sparql_path_nps": (kg_sparql_path_nps, _path_nps_sql()),
     "kg_sparql_update": (kg_sparql_update, _update_sql()),
+    "kg_sparql_service": (kg_sparql_service, _service_sql()),
 }

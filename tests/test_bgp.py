@@ -690,3 +690,45 @@ def test_update_commits_to_snapshot_with_cdc(spark, tmp_path):
         ("a", T + "knows", "b", "delete"), ("b", T + "knows", "c", "delete"),
         ("a", T + "met", "b", "insert"), ("b", T + "met", "c", "insert"),
     }
+
+
+def test_service_bound_join_ships_only_shared_bindings(spark):
+    """SERVICE semantics: the endpoint sees only its patterns plus the
+    shipped VALUES block — remote triples for orgs the local side never
+    bound must not surface; no shared variable or an oversized binding
+    set raise."""
+    import pytest as _pytest
+
+    from csv_to_jsonld_processor_spark.kg.bgp import Var, service_query
+
+    T = "http://t/"
+    local = spark.createDataFrame(
+        [("p1", T + "worksFor", "o1"), ("p2", T + "worksFor", "o2")],
+        "subj string, pred string, obj string",
+    )
+    remote = spark.createDataFrame(
+        [("o1", T + "hq", "berlin"), ("o2", T + "hq", "tokyo"),
+         ("o3", T + "hq", "paris")],  # o3 never bound locally
+        "subj string, pred string, obj string",
+    )
+    sols, n = service_query(
+        local, [(Var("p"), T + "worksFor", Var("org"))],
+        remote, [(Var("org"), T + "hq", Var("city"))],
+        ["p", "org", "city"],
+    )
+    rows = {tuple(r) for r in sols.collect()}
+    assert rows == {("p1", "o1", "berlin"), ("p2", "o2", "tokyo")}
+    assert n == 2  # only the distinct org bindings shipped
+
+    with _pytest.raises(ValueError, match="shares no variables"):
+        service_query(
+            local, [(Var("p"), T + "worksFor", Var("org"))],
+            remote, [(Var("x"), T + "hq", Var("city"))],
+            ["p"],
+        )
+    with _pytest.raises(ValueError, match="bound-join cap"):
+        service_query(
+            local, [(Var("p"), T + "worksFor", Var("org"))],
+            remote, [(Var("org"), T + "hq", Var("city"))],
+            ["p"], max_bindings=1,
+        )
