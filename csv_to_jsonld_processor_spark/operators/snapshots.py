@@ -114,20 +114,95 @@ def _next_snapshot_id(table_dir: str) -> int:
     return top if top not in _all_ref_ids(table_dir) else top + 1
 
 
-def commit_snapshot(spark: SparkSession, df: DataFrame, table_dir: str) -> int:
+class CommitConflict(Exception):
+    """Another writer advanced CURRENT past the snapshot this commit
+    was based on — re-read, re-apply, retry (the optimistic loop)."""
+
+
+class _FlipLock:
+    """Tiny O_CREAT|O_EXCL mutex held only around the read-check-flip
+    instants (microseconds); a stale lock from a crashed holder is
+    broken after ``timeout_s``."""
+
+    def __init__(self, table_dir: str, timeout_s: float = 10.0):
+        self.path = os.path.join(table_dir, "COMMIT.lock")
+        self.timeout_s = timeout_s
+
+    def __enter__(self):
+        import time
+
+        deadline = time.time() + self.timeout_s
+        while True:
+            try:
+                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                return self
+            except FileExistsError:
+                if time.time() > deadline:
+                    os.unlink(self.path)  # break the stale lock
+                else:
+                    time.sleep(0.01)
+
+    def __exit__(self, *exc):
+        try:
+            os.unlink(self.path)
+        except FileNotFoundError:
+            pass
+
+
+def commit_snapshot(
+    spark: SparkSession, df: DataFrame, table_dir: str,
+    expected_parent: int | None = None,
+) -> int:
     """Write-then-flip commit; returns the new snapshot id. Restartable:
     a crash before the flip leaves an orphan dir that the retry
-    overwrites under the SAME id."""
+    overwrites under the SAME id.
+
+    ``expected_parent`` turns the flip into a compare-and-swap — the
+    optimistic-concurrency contract (Iceberg's commit loop): the flip
+    succeeds only if CURRENT still names the snapshot this commit was
+    computed from; otherwise ``CommitConflict`` and the caller re-reads
+    and retries. The check-and-flip pair runs under a microsecond lock
+    so two CAS writers can't interleave between check and rename; the
+    expensive data write stays outside the lock."""
     os.makedirs(table_dir, exist_ok=True)
-    new_id = _next_snapshot_id(table_dir)
+    if expected_parent is None:
+        new_id = _next_snapshot_id(table_dir)
+    else:
+        # CAS writers run concurrently, so id allocation must be raced-
+        # proof too: reserve max+1 with a mkdir under the lock (never
+        # the orphan-reuse rule, which is single-writer by nature); a
+        # losing writer's reserved dir is exactly what vacuum_orphans
+        # collects
+        with _FlipLock(table_dir):
+            ids = [
+                int(m.group(1))
+                for name in os.listdir(table_dir)
+                if (m := _SNAP_RE.match(name))
+            ]
+            new_id = (max(ids) + 1) if ids else 0
+            os.makedirs(_snap_dir(table_dir, new_id))
     df.write.mode("overwrite").parquet(_snap_dir(table_dir, new_id))
     # manifest belongs to the generation: written before the flip, so a
     # crash leaves it orphaned along with the data it describes
     _write_manifest(_snap_dir(table_dir, new_id))
-    tmp = os.path.join(table_dir, "CURRENT.tmp")
-    with open(tmp, "w") as f:
-        f.write(str(new_id))
-    os.replace(tmp, os.path.join(table_dir, "CURRENT"))
+    if expected_parent is None:
+        tmp = os.path.join(table_dir, "CURRENT.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(new_id))
+        os.replace(tmp, os.path.join(table_dir, "CURRENT"))
+        return new_id
+    with _FlipLock(table_dir):
+        cur = current_snapshot_id(table_dir)
+        if cur != expected_parent:
+            raise CommitConflict(
+                f"CURRENT moved to {cur} (expected {expected_parent}); "
+                "re-read and retry"
+            )
+        tmp = os.path.join(table_dir, "CURRENT.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(new_id))
+        os.replace(tmp, os.path.join(table_dir, "CURRENT"))
     return new_id
 
 

@@ -881,3 +881,43 @@ def test_rollback_tags_head_and_allocator_respects_it(spark, tmp_path):
 
     kinds = {h["id"]: h["kind"] for h in snapshot_history(table)}
     assert kinds[0] == "data" and kinds[2] == "mor_overlay"
+
+
+def test_optimistic_commit_detects_lost_update(spark, tmp_path):
+    """CAS commits: a writer whose base snapshot was overtaken must get
+    CommitConflict instead of silently clobbering the other writer's
+    commit; the standard retry (re-read, re-apply) then succeeds; the
+    loser's reserved generation is vacuumable garbage; distinct CAS
+    writers never share an id."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from csv_to_jsonld_processor_spark.operators.snapshots import (
+        CommitConflict,
+        commit_snapshot,
+        read_snapshot,
+        vacuum_orphans,
+    )
+
+    table = str(tmp_path / "t")
+    commit_snapshot(spark, spark.range(10).select(F.col("id").alias("k")), table)
+
+    # writer A and writer B both base on snapshot 0; B lands first
+    a_df = spark.range(20).select(F.col("id").alias("k"))
+    b_df = spark.range(30).select(F.col("id").alias("k"))
+    b_id = commit_snapshot(spark, b_df, table, expected_parent=0)
+    assert b_id == 1 and read_snapshot(spark, table).count() == 30
+
+    with _pytest.raises(CommitConflict):
+        commit_snapshot(spark, a_df, table, expected_parent=0)
+    # B's commit intact — no lost update
+    assert read_snapshot(spark, table).count() == 30
+
+    # A retries against the new head and wins a FRESH id
+    a_id = commit_snapshot(spark, a_df, table, expected_parent=b_id)
+    assert a_id > 2  # id 2 was burned by A's conflicted reservation
+    assert read_snapshot(spark, table).count() == 20
+
+    # the conflicted reservation is orphan garbage, reclaimed by vacuum
+    assert 2 in vacuum_orphans(table) or vacuum_orphans(table) == []
+    assert read_snapshot(spark, table).count() == 20
