@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     # round-5 additions (absent from earlier BENCH_r* runs — cross-round
     # totals compare via round1_subset_seconds)
     "doc_dsir_weights",
+    "doc_chunk_windows",
     "table_time_travel",
     "events_stream_join",
     "sql_shared_grouping_sets",

@@ -1349,6 +1349,87 @@ FROM per_doc GROUP BY lang ORDER BY lang
 """
 
 
+# --- RAG chunking: sliding token windows with stride -------------------------
+
+CHUNK_W = 64   # window tokens
+CHUNK_S = 48   # stride (16-token overlap)
+
+
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-prep chunking: each document splits into sliding
+    windows of {W} tokens at stride {S} (the standard overlap-chunking
+    RAG ingestion step). All accounting is exact integer arithmetic —
+    chunk count is 1 + ceil(max(n-W,0)/S), emitted token volume is the
+    closed-form sum of min(W, n - i*S) over chunks — so both engines
+    agree bit-for-bit with no chunk materialization: per source, docs,
+    chunks, emitted tokens (overlap counted), distinct tokens covered,
+    and the overlap overhead ratio.
+
+    Scale: one projection over the scan (no explode of per-chunk rows
+    — the volume formulas collapse the window arithmetic), one partial
+    aggregated groupBy on the bounded source domain."""
+    t = load_tables(spark, sf_dir)
+    W, S = CHUNK_W, CHUNK_S
+    d = t["documents"].select(
+        "source", F.size(F.split(F.col("text"), " ")).alias("n")
+    )
+    d = d.withColumn(
+        "c",
+        F.when(F.col("n") <= W, F.lit(1)).otherwise(
+            F.lit(1) + F.ceil((F.col("n") - W) / F.lit(S)).cast("int")
+        ),
+    )
+    # emitted tokens = sum_{i=0}^{c-1} min(W, n - i*S)
+    #   full windows: (c-1) of size W when n - (c-1)*S >= W else arithmetic tail
+    #   closed form: (c-1)*W + min(W, n - (c-1)*S)
+    d = d.withColumn(
+        "emitted",
+        (F.col("c") - 1) * W
+        + F.least(F.lit(W), F.col("n") - (F.col("c") - 1) * S),
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("c").cast("long").alias("n_chunks"),
+            F.sum("emitted").cast("long").alias("emitted_tokens"),
+            F.sum("n").cast("long").alias("covered_tokens"),
+        )
+        .withColumn(
+            "overlap_ratio",
+            F.round(
+                F.col("emitted_tokens") / F.col("covered_tokens"), 6
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+DOC_CHUNK_SQL = f"""
+WITH d AS (
+  SELECT source, len(string_split(text, ' ')) AS n FROM documents
+), c AS (
+  SELECT source, n,
+         CASE WHEN n <= {CHUNK_W} THEN 1
+              ELSE 1 + CAST(CEIL(CAST(n - {CHUNK_W} AS DOUBLE) / {CHUNK_S}) AS INT)
+         END AS c
+  FROM d
+), e AS (
+  SELECT source, n, c,
+         (c - 1) * {CHUNK_W}
+         + LEAST({CHUNK_W}, n - (c - 1) * {CHUNK_S}) AS emitted
+  FROM c
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(c) AS BIGINT) AS n_chunks,
+       CAST(SUM(emitted) AS BIGINT) AS emitted_tokens,
+       CAST(SUM(n) AS BIGINT) AS covered_tokens,
+       ROUND(CAST(SUM(emitted) AS DOUBLE) / SUM(n), 6) AS overlap_ratio
+FROM e GROUP BY source ORDER BY source
+"""
+
+
 TEXT_QUERIES: dict[str, tuple] = {
     "doc_bigram_lm_score": (doc_bigram_lm_score, DOC_BIGRAM_LM_SQL),
     "doc_dsir_weights": (doc_dsir_weights, DOC_DSIR_SQL),
@@ -1370,4 +1451,5 @@ TEXT_QUERIES: dict[str, tuple] = {
     "doc_mixture_sample": (doc_mixture_sample, DOC_MIXTURE_SQL),
     "doc_temperature_mixture": (doc_temperature_mixture, DOC_TEMP_MIXTURE_SQL),
     "doc_source_audit": (doc_source_audit, DOC_SOURCE_AUDIT_SQL),
+    "doc_chunk_windows": (doc_chunk_windows, DOC_CHUNK_SQL),
 }

@@ -107,3 +107,29 @@ def test_classifier_agreement_kappa_exact(spark):
     assert got == expected
     assert any(v[5] < 0 for v in got.values()), \
         "no negative kappa — signed division untested"
+
+
+def test_chunk_window_closed_form_matches_bruteforce():
+    """The closed-form chunk count and emitted-token volume must equal
+    the brute-force window enumeration for every doc length around the
+    window/stride boundaries."""
+    import math
+
+    from csv_to_jsonld_processor_spark.operators.textops import (
+        CHUNK_S,
+        CHUNK_W,
+    )
+
+    W, S = CHUNK_W, CHUNK_S
+    for n in list(range(1, 200)) + [W - 1, W, W + 1, 2 * W, 1000, 4096]:
+        brute = []
+        i = 0
+        while True:
+            brute.append(min(W, n - i * S))
+            if i * S + W >= n:
+                break
+            i += 1
+        c = 1 if n <= W else 1 + math.ceil((n - W) / S)
+        emitted = (c - 1) * W + min(W, n - (c - 1) * S)
+        assert c == len(brute), n
+        assert emitted == sum(brute), n
