@@ -1173,7 +1173,162 @@ ORDER BY query_id, rank
 """
 
 
+# --- scalar quantization (SQ8): int8 codes + exact integer ADC ---------------
+
+def _sq8_stats(emb) -> tuple[list[float], list[float]]:
+    """Per-dimension (min, scale) over the corpus — comparisons only,
+    so the collected 64-row stats are exact and engine-independent."""
+    rows = (
+        emb.select(F.posexplode("v").alias("d", "x"))
+        .groupBy("d")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .orderBy("d")
+        .collect()
+    )
+    mns = [r["mn"] for r in rows]
+    scs = [
+        0.0 if r["mx"] == r["mn"] else (r["mx"] - r["mn"]) / 255.0
+        for r in rows
+    ]
+    return mns, scs
+
+
+def _sq8_code_col(mns: list[float], scs: list[float]) -> Column:
+    """v -> array<int> of 0..255 codes: round((x-min)/scale) per dim.
+    Every step is one short IEEE chain on identical doubles in both
+    engines (no accumulation), so codes match bit-for-bit; positive
+    half-up rounding coincides with DuckDB's half-away."""
+    return F.array(*[
+        F.lit(0) if scs[d] == 0.0
+        else F.round((F.col("v")[d] - F.lit(mns[d])) / F.lit(scs[d])).cast("int")
+        for d in range(EMB_DIM)
+    ])
+
+
+def ann_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} gate for int8 scalar quantization — the memory-
+    compression half of a billion-scale IVF+SQ index (4 bytes -> 1 byte
+    per dim): per-dim min/max train the quantizer in one pass, ADC
+    scoring is an INTEGER dot product of code arrays (exact in any
+    engine — the float-kernel hazards of the kmeans oracle can't exist
+    here), and the gate compares SQ8 top-k against the float
+    brute-force truth per query. One row: n_truth, n_found, recall,
+    meets_floor. The DuckDB oracle recomputes BOTH sides — quantizer
+    training included — from the raw embeddings."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    mns, scs = _sq8_stats(emb)
+    coded = emb.select("vec_id", _sq8_code_col(mns, scs).alias("code"))
+    deq = coded.select(
+        "vec_id",
+        F.array(*[
+            F.lit(mns[d]) + F.col("code")[d] * F.lit(scs[d])
+            for d in range(EMB_DIM)
+        ]).alias("dv"),
+    )
+    queries = deq.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("dv").alias("qv")
+    )
+    scored = (
+        deq.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine("dv", "qv"), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    pred = scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= TOP_K
+    ).select("query_id", "neighbor_id").withColumn("in_pred", F.lit(1))
+    truth = ann_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    j = truth.join(pred, ["query_id", "neighbor_id"], "left")
+    return (
+        j.agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            F.coalesce(F.sum("in_pred"), F.lit(0)).alias("n_found"),
+        )
+        .select(
+            "n_truth", "n_found",
+            F.round(F.col("n_found") / F.col("n_truth"), 6).alias("recall"),
+            (F.col("n_found") / F.col("n_truth") >= 0.7).alias("meets_floor"),
+        )
+    )
+
+
+_SQ8_CODES_SQL = f"""
+  SELECT vec_id,
+         list_transform(
+           generate_series(1, {EMB_DIM}),
+           i -> CASE WHEN s.scs[i] = 0 THEN 0
+                     ELSE CAST(ROUND((e.v[i] - s.mns[i]) / s.scs[i]) AS INT)
+                END) AS code
+  FROM e, stats s
+"""
+
+ANN_SQ8_SQL = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), dims AS (
+  SELECT i.i AS d, MIN(v[i.i]) AS mn, MAX(v[i.i]) AS mx
+  FROM e, (SELECT UNNEST(generate_series(1, {EMB_DIM})) AS i) i
+  GROUP BY 1
+), stats AS (
+  SELECT list(mn ORDER BY d) AS mns,
+         list(CASE WHEN mx = mn THEN 0 ELSE (mx - mn) / 255.0 END
+              ORDER BY d) AS scs
+  FROM dims
+), codes AS ({_SQ8_CODES_SQL}
+), deq AS (
+  SELECT c.vec_id,
+         list_transform(generate_series(1, {EMB_DIM}),
+                        i -> s.mns[i] + c.code[i] * s.scs[i]) AS dv
+  FROM codes c, stats s
+), q AS (
+  SELECT vec_id AS query_id, dv AS qv FROM deq WHERE vec_id < {N_QUERIES}
+), adc AS (
+  SELECT q.query_id, d.vec_id AS neighbor_id,
+         ROUND({_ordered_cos_sql("d.dv", "q.qv")}, 6) AS score
+  FROM deq d CROSS JOIN q WHERE d.vec_id <> q.query_id
+), pred AS (
+  SELECT query_id, neighbor_id, 1 AS in_pred FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+    FROM adc
+  ) WHERE rank <= {TOP_K}
+), scored AS (
+  SELECT qq.query_id, e.vec_id AS neighbor_id,
+         ROUND({_ordered_cos_sql("e.v", "qq.qv")}, 6) AS score
+  FROM e CROSS JOIN (
+    SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}
+  ) qq
+  WHERE e.vec_id <> qq.query_id
+), truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= {TOP_K}
+), joined AS (
+  SELECT t.query_id, t.neighbor_id, p.in_pred
+  FROM truth t LEFT JOIN pred p
+    ON p.query_id = t.query_id AND p.neighbor_id = t.neighbor_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
+       CAST(COALESCE(SUM(in_pred), 0) AS BIGINT) AS n_found,
+       ROUND(COALESCE(SUM(in_pred), 0) * 1.0 / COUNT(*), 6) AS recall,
+       (COALESCE(SUM(in_pred), 0) * 1.0 / COUNT(*)) >= 0.7 AS meets_floor
+FROM joined
+"""
+
+
 SIMILARITY_QUERIES: dict[str, tuple] = {
+    "ann_sq8_recall": (ann_sq8_recall, ANN_SQ8_SQL),
     "embedding_hard_negatives": (embedding_hard_negatives, EMBEDDING_HARD_NEG_SQL),
     "embedding_semdedup": (embedding_semdedup, EMBEDDING_SEMDEDUP_SQL),
     "ann_kmeans_train": (ann_kmeans_train, ANN_KMEANS_SQL),
