@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "kg_triangle_counts",
     "ann_kmeans_train",
     "ann_sq8_recall",
+    "ann_ivf_sq8_recall",
     # round-4 additions (absent from earlier BENCH_r* runs — cross-round
     # totals compare via round1_subset_seconds)
     "dedup_minhash_incremental",

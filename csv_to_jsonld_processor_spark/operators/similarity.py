@@ -1327,8 +1327,181 @@ FROM joined
 """
 
 
+def ann_ivf_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed billion-scale index shape: IVF coarse routing +
+    SQ8-compressed cells — vectors live in their cells as int8 codes
+    only; queries probe {IVF_PROBES}/{N_CENTROIDS} cells and rescore
+    candidates ASYMMETRICALLY (original float query vs dequantized
+    candidate — the standard ADC). One recall row against exhaustive
+    float brute-force truth, oracle recomputing everything: quantizer
+    training, cell assignment, probes, dequantized rescoring.
+
+    Scale: inherits the IVF shuffle-free assignment and broadcast
+    probe join verbatim; SQ8 cuts cell storage 4x, which at equal
+    memory quadruples the probe budget — the actual reason real
+    indexes compose these two."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    mns, scs = _sq8_stats(emb)
+    cents = [
+        (int(r.vec_id), [float(x) for x in r.v])
+        for r in emb.where(F.col("vec_id") < N_CENTROIDS).collect()
+    ]
+
+    def norm2(vec: list[float]) -> float:
+        acc = 0.0
+        for x in vec:
+            acc += x * x
+        return acc
+
+    parts = [
+        f"struct(round({_dot_sql(vec)} / sqrt(_n2v * {norm2(vec)!r}D), 6) as s, "
+        f"{-cid} as ncid)"
+        for cid, vec in cents
+    ]
+    scores_arr = F.expr("array(" + ",".join(parts) + ")")
+    withscores = (
+        emb.withColumn(
+            "_n2v",
+            F.expr("aggregate(transform(v, x -> x * x), cast(0 as double), (acc, x) -> acc + x)"),
+        )
+        .withColumn("scores", scores_arr)
+        .drop("_n2v")
+    )
+    # cells store ONLY the codes (+ the cell id): the 4x-compressed index
+    assigned = (
+        withscores.withColumn(
+            "cell", (-F.array_max(F.col("scores")).ncid).cast("int")
+        )
+        .withColumn("code", _sq8_code_col(mns, scs))
+        .withColumn(
+            "dv",
+            F.array(*[
+                F.lit(mns[d]) + F.col("code")[d] * F.lit(scs[d])
+                for d in range(EMB_DIM)
+            ]),
+        )
+        .select("vec_id", "cell", "dv")
+    )
+    queries = withscores.where(F.col("vec_id") < N_QUERIES)
+    probes = (
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.explode(F.slice(F.sort_array("scores", asc=False), 1, IVF_PROBES)).alias("p"),
+        )
+        .select("query_id", "qv", (-F.col("p.ncid")).cast("int").alias("cell"))
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine("dv", "qv"), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    pred = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id")
+        .withColumn("in_pred", F.lit(1))
+    )
+    truth = ann_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    j = truth.join(pred, ["query_id", "neighbor_id"], "left")
+    return (
+        j.agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            F.coalesce(F.sum("in_pred"), F.lit(0)).alias("n_found"),
+        )
+        .select(
+            "n_truth", "n_found",
+            F.round(F.col("n_found") / F.col("n_truth"), 6).alias("recall"),
+            (F.col("n_found") / F.col("n_truth") >= 0.7).alias("meets_floor"),
+        )
+    )
+
+
+ANN_IVF_SQ8_SQL = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), dims AS (
+  SELECT i.i AS d, MIN(v[i.i]) AS mn, MAX(v[i.i]) AS mx
+  FROM e, (SELECT UNNEST(generate_series(1, {EMB_DIM})) AS i) i
+  GROUP BY 1
+), stats AS (
+  SELECT list(mn ORDER BY d) AS mns,
+         list(CASE WHEN mx = mn THEN 0 ELSE (mx - mn) / 255.0 END
+              ORDER BY d) AS scs
+  FROM dims
+), codes AS ({_SQ8_CODES_SQL}
+), deq AS (
+  SELECT c.vec_id,
+         list_transform(generate_series(1, {EMB_DIM}),
+                        i -> s.mns[i] + c.code[i] * s.scs[i]) AS dv
+  FROM codes c, stats s
+), cent AS (
+  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {N_CENTROIDS}
+), assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT e.vec_id, cent.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY ROUND({_ordered_cos_sql("e.v", "cent.cv")}, 6) DESC,
+                                       cent.cid ASC) AS rn
+    FROM e CROSS JOIN cent
+  ) WHERE rn = 1
+), probes AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.vec_id AS query_id, q.v AS qv, cent.cid AS cell,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY ROUND({_ordered_cos_sql("q.v", "cent.cv")}, 6) DESC,
+                                       cent.cid ASC) AS rn
+    FROM e q CROSS JOIN cent WHERE q.vec_id < {N_QUERIES}
+  ) WHERE rn <= {IVF_PROBES}
+), scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         ROUND({_ordered_cos_sql("d.dv", "p.qv")}, 6) AS score
+  FROM assign a JOIN probes p ON a.cell = p.cell
+  JOIN deq d ON d.vec_id = a.vec_id
+  WHERE a.vec_id <> p.query_id
+), pred AS (
+  SELECT query_id, neighbor_id, 1 AS in_pred FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, neighbor_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= {TOP_K}
+), tscored AS (
+  SELECT qq.query_id, e.vec_id AS neighbor_id,
+         ROUND({_ordered_cos_sql("e.v", "qq.qv")}, 6) AS score
+  FROM e CROSS JOIN (
+    SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}
+  ) qq
+  WHERE e.vec_id <> qq.query_id
+), truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, neighbor_id ASC) AS rank
+    FROM tscored
+  ) WHERE rank <= {TOP_K}
+), joined AS (
+  SELECT t.query_id, t.neighbor_id, p.in_pred
+  FROM truth t LEFT JOIN pred p
+    ON p.query_id = t.query_id AND p.neighbor_id = t.neighbor_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
+       CAST(COALESCE(SUM(in_pred), 0) AS BIGINT) AS n_found,
+       ROUND(COALESCE(SUM(in_pred), 0) * 1.0 / COUNT(*), 6) AS recall,
+       (COALESCE(SUM(in_pred), 0) * 1.0 / COUNT(*)) >= 0.7 AS meets_floor
+FROM joined
+"""
+
+
 SIMILARITY_QUERIES: dict[str, tuple] = {
     "ann_sq8_recall": (ann_sq8_recall, ANN_SQ8_SQL),
+    "ann_ivf_sq8_recall": (ann_ivf_sq8_recall, ANN_IVF_SQ8_SQL),
     "embedding_hard_negatives": (embedding_hard_negatives, EMBEDDING_HARD_NEG_SQL),
     "embedding_semdedup": (embedding_semdedup, EMBEDDING_SEMDEDUP_SQL),
     "ann_kmeans_train": (ann_kmeans_train, ANN_KMEANS_SQL),

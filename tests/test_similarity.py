@@ -205,3 +205,19 @@ def test_hard_negatives_band_excludes_positives(spark):
     # the banded set never contains an excluded positive pair
     pos = {(r.query_id, r.neighbor_id) for r in top if r.score >= HN_DUP_TAU}
     assert not (pos & {(r.query_id, r.neighbor_id) for r in hn})
+
+
+def test_ivf_sq8_composed_recall_meets_floor(spark):
+    """The composed IVF+SQ8 index must clear the recall floor: coarse
+    routing loses the same candidates as plain IVF, and dequantized
+    rescoring must not lose materially more."""
+    from csv_to_jsonld_processor_spark.operators.similarity import (
+        ann_ivf_sq8_recall,
+        ann_sq8_recall,
+    )
+
+    r = ann_ivf_sq8_recall(spark, SF_DIR).first()
+    assert r["meets_floor"] and r["n_truth"] == 50
+    # full-scan SQ8 (no routing loss): quantization alone is near-lossless
+    r2 = ann_sq8_recall(spark, SF_DIR).first()
+    assert r2["recall"] >= 0.95
