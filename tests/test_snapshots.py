@@ -921,3 +921,92 @@ def test_optimistic_commit_detects_lost_update(spark, tmp_path):
     # the conflicted reservation is orphan garbage, reclaimed by vacuum
     assert 2 in vacuum_orphans(table) or vacuum_orphans(table) == []
     assert read_snapshot(spark, table).count() == 20
+
+
+def test_schema_evolution_model_fuzz(spark, tmp_path):
+    """Seeded random walks over the evolution chain — append / rename /
+    add-column — checked against an in-memory model after every op,
+    plus time travel back to every fifth snapshot under THAT
+    snapshot's schema (names AND rows)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from csv_to_jsonld_processor_spark.operators.snapshots import (
+        append_evolved,
+        commit_snapshot_evolved,
+        evolve_schema,
+        read_snapshot_evolved,
+    )
+
+    for seed in (5, 17):
+        rng = random.Random(seed)
+        table = str(tmp_path / f"t{seed}")
+        # model: list of column names + per-row dicts keyed by FIELD ID
+        names = ["k", "v"]
+        fids = {"k": 1, "v": 2}
+        next_fid = 3
+        rows = [{1: k, 2: float(k) * 0.5} for k in range(20)]
+        v1 = spark.createDataFrame(
+            [(r[1], r[2]) for r in rows], "k long, v double"
+        )
+        commit_snapshot_evolved(spark, v1, table)
+        history = [(0, list(names))]
+        next_k = 20
+
+        for step in range(10):
+            op = rng.choice(["append", "rename", "add"])
+            if op == "rename":
+                old = rng.choice(names)
+                new = f"{old}_r{step}"
+                evolve_schema(table, rename={old: new})
+                fids[new] = fids.pop(old)
+                names[names.index(old)] = new
+            elif op == "add":
+                new = f"c{step}"
+                evolve_schema(table, add=[(new, "long")])
+                fids[new] = next_fid
+                next_fid += 1
+                names.append(new)
+            else:
+                n_new = rng.randint(1, 5)
+                batch_rows = []
+                for _ in range(n_new):
+                    r = {}
+                    for c in names:
+                        fid = fids[c]
+                        if fid == 1:
+                            r[fid] = next_k
+                            next_k += 1
+                        elif fid == 2:
+                            r[fid] = float(rng.randint(0, 40))
+                        else:
+                            r[fid] = rng.randint(0, 9)
+                    batch_rows.append(r)
+                sdf = spark.createDataFrame(
+                    [tuple(r[fids[c]] for c in names) for r in batch_rows],
+                    ", ".join(
+                        f"{c} {'long' if fids[c] != 2 else 'double'}"
+                        for c in names
+                    ),
+                )
+                append_evolved(spark, sdf, table)
+                rows.extend(batch_rows)
+            from csv_to_jsonld_processor_spark.operators.snapshots import (
+                current_snapshot_id,
+            )
+
+            cur = current_snapshot_id(table)
+            history.append((cur, list(names)))
+
+            got = read_snapshot_evolved(spark, table)
+            assert got.columns == names, (seed, step, op)
+            want = {
+                tuple(r.get(fids[c]) for c in names) for r in rows
+            }
+            assert {tuple(x) for x in got.collect()} == want, (seed, step, op)
+
+        # time travel: every snapshot's OWN schema names resolve
+        for sid, snap_names in history[::5]:
+            old = read_snapshot_evolved(spark, table, sid)
+            assert old.columns == snap_names, (seed, sid)
