@@ -142,3 +142,91 @@ def test_pyarrow_changelog_matches_spark_reader(spark, tmp_path):
             for r in read_changes(spark, table, lo, hi).collect()
         )
         assert via_arrow == via_spark, (lo, hi)
+
+
+def test_stream_restart_exactly_once(spark, tmp_path):
+    """Kill the changelog stream mid-consumption and restart on the
+    same checkpoint: every change batch lands exactly once — the
+    snapshot-id offsets + immutable snapshots ARE the replay log."""
+    from pyspark.sql import functions as F
+
+    from csv_to_jsonld_processor_spark.operators.snapshots import (
+        commit_snapshot,
+        delete_rows_mor,
+        update_rows_mor,
+    )
+    from csv_to_jsonld_processor_spark.streaming.ingest import read_file_sink
+
+    table = str(tmp_path / "t")
+    base = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 7).cast("double").alias("v")
+    )
+    commit_snapshot(spark, base, table)
+    snaps = []
+    for i in range(4):
+        snaps.append(
+            update_rows_mor(spark, table, f"k % 9 = {i}", {"v": f"v + {10 * (i + 1)}.0"})
+        )
+    snaps.append(delete_rows_mor(spark, table, "v < 2"))
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def start():
+        return (
+            spark.readStream.format("tablechanges")
+            .option("table_dir", table)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+    def committed():
+        try:
+            return read_file_sink(spark, out)
+        except Exception:
+            return None
+
+    q = start()
+    deadline = time.time() + 90
+    while time.time() < deadline:
+        df = committed()
+        if df is not None and df.count() > 0:
+            break
+        time.sleep(0.3)
+    q.stop()  # crash mid-stream
+
+    q2 = start()
+    deadline = time.time() + 120
+    want_snaps = set(snaps)
+    while time.time() < deadline:
+        df = committed()
+        if df is not None and {
+            r["_snap"] for r in df.select("_snap").distinct().collect()
+        } >= want_snaps:
+            break
+        time.sleep(0.5)
+    q2.stop()
+
+    got = committed()
+    # exactly once: each (row, snap) change appears a single time
+    n_rows = got.count()
+    n_distinct = got.dropDuplicates(["k", "v", "_change_type", "_snap"]).count()
+    assert n_rows == n_distinct and n_rows > 0
+    # and the per-snap content equals the batch changelog
+    from csv_to_jsonld_processor_spark.operators.snapshots import read_changes
+
+    prev = 0
+    for sid in snaps:
+        want = {
+            (r["k"], r["v"], r["_change_type"])
+            for r in read_changes(spark, table, prev, sid).collect()
+        }
+        have = {
+            (r["k"], r["v"], r["_change_type"])
+            for r in got.where(F.col("_snap") == sid).collect()
+        }
+        assert have == want, sid
+        prev = sid
