@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "kg_sparql_service",
     "kg_ktruss",
     "parts_skyline",
+    "orders_association_rules",
     "events_exact_median",
     "kg_temporal_reachability",
     "customer_kanonymity",

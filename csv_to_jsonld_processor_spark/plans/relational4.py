@@ -396,7 +396,112 @@ ORDER BY p.p_retailprice, p.p_partkey
 """
 
 
+# --- market-basket association rules -----------------------------------------
+
+BASKET_MINSUP = 2  # absolute pair support floor (co-occurrence dilutes as parts grow with SF: max pair support is 5 at sf0.001 and 3 at sf0.1)
+BASKET_TOP = 25
+
+
+def orders_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over order baskets: for every part pair
+    co-purchased in ≥ {BASKET_MINSUP} orders, both directed rules'
+    support, confidence = supp(a,b)/supp(a), and lift =
+    conf / (supp(b)/N) — the top {BASKET_TOP} by (lift, pair) with all
+    ratios as divisions of exact longs (cross-engine exact).
+
+    Scale shape: the pair generation is an orderkey self-join with
+    a < b — fan-out bounded by C(basket,2) and TPC-H baskets are ≤ 7
+    lines, so the join output is a small constant multiple of
+    lineitem; one partial-aggregated groupBy counts pairs, item
+    supports broadcast back. A retail corpus with mega-baskets would
+    cap basket size first (the same contributor-degree cap discipline
+    as the co-purchase projection in kg/graphalgs.py)."""
+    t = load_tables(spark, sf_dir)
+    items = t["lineitem"].select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).dropDuplicates()
+    n_orders = items.select("o").distinct().count()
+    supp = items.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("supp"))
+    a = items.select("o", F.col("p").alias("pa"))
+    b = items.select("o", F.col("p").alias("pb"))
+    pairs = (
+        a.join(b, "o")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("supp_ab"))
+        .where(F.col("supp_ab") >= BASKET_MINSUP)
+    )
+    directed = pairs.unionByName(
+        pairs.select(
+            F.col("pb").alias("pa"), F.col("pa").alias("pb"), "supp_ab"
+        )
+    )
+    rules = (
+        directed.join(
+            F.broadcast(supp.select(F.col("p").alias("pa"),
+                                    F.col("supp").alias("supp_a"))), "pa")
+        .join(
+            F.broadcast(supp.select(F.col("p").alias("pb"),
+                                    F.col("supp").alias("supp_b"))), "pb")
+        .select(
+            F.col("pa").alias("antecedent"),
+            F.col("pb").alias("consequent"),
+            "supp_ab", "supp_a", "supp_b",
+            F.round(F.col("supp_ab") / F.col("supp_a"), 6).alias("confidence"),
+            F.round(
+                (F.col("supp_ab") / F.col("supp_a"))
+                / (F.col("supp_b") / F.lit(float(n_orders))), 6
+            ).alias("lift"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w_rank = F.row_number().over(
+        Window.orderBy(F.desc("lift"), F.asc("antecedent"), F.asc("consequent"))
+    )
+    return (
+        rules.withColumn("rank", w_rank.cast("int"))
+        .where(F.col("rank") <= BASKET_TOP)
+        .orderBy("rank")
+    )
+
+
+ORDERS_ASSOC_SQL = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), n AS (SELECT COUNT(DISTINCT o) AS n_orders FROM items),
+supp AS (SELECT p, COUNT(*) AS supp FROM items GROUP BY p),
+pairs AS (
+  SELECT a.p AS pa, b.p AS pb, COUNT(*) AS supp_ab
+  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= {BASKET_MINSUP}
+), directed AS (
+  SELECT pa, pb, supp_ab FROM pairs
+  UNION ALL SELECT pb, pa, supp_ab FROM pairs
+), rules AS (
+  SELECT d.pa AS antecedent, d.pb AS consequent,
+         CAST(d.supp_ab AS BIGINT) AS supp_ab,
+         CAST(sa.supp AS BIGINT) AS supp_a,
+         CAST(sb.supp AS BIGINT) AS supp_b,
+         ROUND(CAST(d.supp_ab AS DOUBLE) / sa.supp, 6) AS confidence,
+         ROUND((CAST(d.supp_ab AS DOUBLE) / sa.supp)
+               / (CAST(sb.supp AS DOUBLE) / (SELECT CAST(n_orders AS DOUBLE) FROM n)), 6) AS lift
+  FROM directed d
+  JOIN supp sa ON sa.p = d.pa
+  JOIN supp sb ON sb.p = d.pb
+)
+SELECT antecedent, consequent, supp_ab, supp_a, supp_b, confidence, lift, rank
+FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    ORDER BY lift DESC, antecedent ASC, consequent ASC) AS INT) AS rank
+  FROM rules
+) WHERE rank <= {BASKET_TOP}
+ORDER BY rank
+"""
+
+
 RELATIONAL4_QUERIES: dict[str, tuple] = {
+    "orders_association_rules": (orders_association_rules, ORDERS_ASSOC_SQL),
     "parts_skyline": (parts_skyline, SKYLINE_SQL),
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
     "q11_important_stock": (q11_important_stock, Q11_SQL),
