@@ -625,3 +625,15 @@ def test_incremental_recrawl_antijoin_broadcasts_changed_urls(spark):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin LeftAnti" not in plan
+
+
+def test_association_rules_broadcast_supports_no_cartesian(spark):
+    """Item supports must join back broadcast (dimension-sized), the
+    pair generation is the only self-join, and nothing is cartesian."""
+    from csv_to_jsonld_processor_spark.plans.relational4 import (
+        orders_association_rules,
+    )
+
+    plan = plan_of(orders_association_rules(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
