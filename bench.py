@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "kg_maximal_matching",
     "embedding_hard_negatives",
     "events_cusum_changepoint",
+    "events_ewma_forecast",
     "doc_classifier_agreement",
     "table_mor_deletes",
     "table_mor_updates",

@@ -672,7 +672,96 @@ ORDER BY event_type
 """
 
 
+# --- EWMA forecast in exact integer arithmetic -------------------------------
+#
+# alpha = 1/4 over the 30-day daily series: the recursion
+# s_t = (3/4)s_(t-1) + (1/4)x_t, seeded s_0 = x_0, unrolls to
+# s_T * 4^T = 3^T x_0 + sum_(i=1..T) 3^(T-i) 4^(i-1) x_i — every weight
+# an exact integer, every x_i an exact BIGINT cent sum (values are
+# cent-quantized), so the weighted sum is ORDER-FREE exact decimal
+# arithmetic in any engine; only the final rescale divides doubles.
+# The classic FP recursion would be partial-agg order-dependent — the
+# exact unrolling is the same discipline as the CUSUM and median ops.
+
+_EWMA_T = 29
+_EWMA_WEIGHTS = [68630377364883, 22876792454961, 30502389939948, 40669853253264, 54226471004352, 72301961339136, 96402615118848, 128536820158464, 171382426877952, 228509902503936, 304679870005248, 406239826673664, 541653102231552, 722204136308736, 962938848411648, 1283918464548864, 1711891286065152, 2282521714753536, 3043362286338048, 4057816381784064, 5410421842378752, 7213895789838336, 9618527719784448, 12824703626379264, 17099604835172352, 22799473113563136, 30399297484750848, 40532396646334464, 54043195528445952, 72057594037927936]  # w_i = 3^(T-i)*4^(i-1), w_0 = 3^T
+
+
+def events_ewma_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: the exponentially-weighted moving average of the
+    daily value series at the final day (the 1-step-ahead forecast for
+    day T+1 under EWMA) computed EXACTLY by integer unrolling, next to
+    the final day's actual and the absolute forecast error."""
+    t = load_tables(spark, sf_dir)
+    e = t["events"].select(
+        "event_type",
+        (F.dayofmonth("ts") - 1).alias("i"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    daily = e.groupBy("event_type", "i").agg(
+        F.sum("cents").cast("decimal(14,0)").alias("x")
+    )
+    warr = F.array(*[
+        F.lit(str(x)).cast("decimal(24,0)") for x in _EWMA_WEIGHTS
+    ])
+    weighted = daily.withColumn(
+        "wx",
+        (F.element_at(warr, F.col("i").cast("int") + 1) * F.col("x"))
+        .cast("decimal(38,0)"),
+    )
+    agg = weighted.groupBy("event_type").agg(
+        F.sum("wx").cast("decimal(38,0)").alias("s_scaled"),
+        F.max(F.when(F.col("i") == _EWMA_T, F.col("x"))).alias("last_cents"),
+        F.countDistinct("i").cast("long").alias("n_days"),
+    )
+    scale = float(4 ** _EWMA_T) * 100.0
+    return agg.select(
+        "event_type", "n_days",
+        F.round(F.col("last_cents").cast("double") / 100.0, 2)
+        .alias("last_actual"),
+        F.round(F.col("s_scaled").cast("double") / F.lit(scale), 2)
+        .alias("ewma_forecast"),
+        F.round(
+            F.abs(
+                F.col("last_cents").cast("double") / 100.0
+                - F.col("s_scaled").cast("double") / F.lit(scale)
+            ), 2
+        ).alias("abs_error"),
+    ).orderBy("event_type")
+
+
+EVENTS_EWMA_SQL = f"""
+WITH e AS (
+  SELECT event_type, CAST(EXTRACT(DAY FROM ts) - 1 AS INT) AS i,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+), daily AS (
+  SELECT event_type, i, CAST(SUM(cents) AS DECIMAL(14,0)) AS x
+  FROM e GROUP BY 1, 2
+), wt AS (
+  SELECT UNNEST(range(0, 30)) AS i,
+         UNNEST([68630377364883, 22876792454961, 30502389939948, 40669853253264, 54226471004352, 72301961339136, 96402615118848, 128536820158464, 171382426877952, 228509902503936, 304679870005248, 406239826673664, 541653102231552, 722204136308736, 962938848411648, 1283918464548864, 1711891286065152, 2282521714753536, 3043362286338048, 4057816381784064, 5410421842378752, 7213895789838336, 9618527719784448, 12824703626379264, 17099604835172352, 22799473113563136, 30399297484750848, 40532396646334464, 54043195528445952, 72057594037927936]) AS w
+), agg AS (
+  SELECT d.event_type,
+         CAST(SUM(CAST(wt.w AS DECIMAL(24,0)) * d.x) AS DECIMAL(38,0)) AS s_scaled,
+         MAX(CASE WHEN d.i = 29 THEN d.x END) AS last_cents,
+         COUNT(DISTINCT d.i) AS n_days
+  FROM daily d JOIN wt ON wt.i = d.i
+  GROUP BY 1
+)
+SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+       ROUND(CAST(last_cents AS DOUBLE) / 100.0, 2) AS last_actual,
+       ROUND(CAST(s_scaled AS DOUBLE) / 2.8823037615171174e+19, 2)
+         AS ewma_forecast,
+       ROUND(ABS(CAST(last_cents AS DOUBLE) / 100.0
+                 - CAST(s_scaled AS DOUBLE) / 2.8823037615171174e+19), 2)
+         AS abs_error
+FROM agg ORDER BY event_type
+"""
+
+
 EVENTOPS_QUERIES: dict[str, tuple] = {
+    "events_ewma_forecast": (events_ewma_forecast, EVENTS_EWMA_SQL),
     "events_cusum_changepoint": (events_cusum_changepoint, EVENTS_CUSUM_SQL),
     "events_sequence_motifs": (events_sequence_motifs, _seq_motifs_sql()),
     "events_drift_tv": (events_drift_tv, EVENTS_DRIFT_SQL),

@@ -242,3 +242,33 @@ def test_cusum_changepoint_matches_python_replay(spark):
         if best is None or abs(s) > best[1]:
             best = (d, abs(s))
     assert best[0] == base + datetime.timedelta(days=9)
+
+
+def test_ewma_unrolling_equals_sequential_recursion(spark):
+    """The integer-unrolled EWMA must equal the sequential
+    s_t = (3/4)s_{t-1} + (1/4)x_t recursion computed in exact
+    rationals, per event type."""
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from csv_to_jsonld_processor_spark.operators.eventops import (
+        events_ewma_forecast,
+    )
+    from csv_to_jsonld_processor_spark.session import load_tables
+
+    sf = "/root/testdata/sf0.001"
+    t = load_tables(spark, sf)
+    rows = t["events"].groupBy(
+        "event_type", F.dayofmonth("ts").alias("d")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("c")).collect()
+    series = {}
+    for r in rows:
+        series.setdefault(r["event_type"], {})[r["d"] - 1] = r["c"]
+    got = {r["event_type"]: r["ewma_forecast"]
+           for r in events_ewma_forecast(spark, sf).collect()}
+    for et, days in series.items():
+        s = Fraction(days.get(0, 0))
+        for i in range(1, 30):
+            s = Fraction(3, 4) * s + Fraction(1, 4) * Fraction(days.get(i, 0))
+        assert got[et] == round(float(s) / 100.0, 2), et
