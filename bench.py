@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "embedding_hard_negatives",
     "events_cusum_changepoint",
     "events_ewma_forecast",
+    "events_bootstrap_ci",
     "doc_classifier_agreement",
     "table_mor_deletes",
     "table_mor_updates",

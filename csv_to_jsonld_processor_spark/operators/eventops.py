@@ -760,7 +760,111 @@ FROM agg ORDER BY event_type
 """
 
 
+# --- deterministic bootstrap confidence interval -----------------------------
+
+BOOT_B = 50  # replicates
+
+
+def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncertainty quantification with a DETERMINISTIC half-sampling
+    bootstrap: replicate b keeps event e iff md5(event_id, b) is even —
+    a content-addressed coin flip, so every engine and every cluster
+    size draws the identical {BOOT_B} replicates. Per event type:
+    the full-sample mean purchase value, the bootstrap p05/p95 of the
+    replicate means, and the CI width — replicate means accumulate in
+    exact decimal cents, the percentile is a rank pick over the
+    bounded replicate domain (never a data sort).
+
+    Scale: the replicate dimension fans out map-side (one explode of a
+    {BOOT_B}-element literal range) straight into a partial-aggregated
+    (type, b) groupBy — the corpus shuffles replicate SUMS, not rows."""
+    t = load_tables(spark, sf_dir)
+    from pyspark.sql import Window
+
+    e = t["events"].where(F.col("event_type") == "purchase").select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    reps = e.select(
+        "event_type", "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+        "event_id",
+    ).where(
+        F.conv(F.substring(F.md5(F.concat_ws(":", "event_id", "b")), 1, 7),
+               16, 10).cast("long") % 2 == 0
+    )
+    rep_means = reps.groupBy("event_type", "b").agg(
+        (F.sum(F.col("cents").cast("decimal(18,0)"))
+         / F.count(F.lit(1)) / 100).cast("double").alias("rep_mean")
+    )
+    w = Window.partitionBy("event_type").orderBy("rep_mean")
+    ranked = rep_means.withColumn("rn", F.row_number().over(w))
+    lo_rank = int(BOOT_B * 0.05)
+    hi_rank = int(BOOT_B * 0.95)
+    ci = ranked.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == lo_rank, F.col("rep_mean"))).alias("p05"),
+        F.max(F.when(F.col("rn") == hi_rank, F.col("rep_mean"))).alias("p95"),
+        F.count(F.lit(1)).cast("long").alias("n_replicates"),
+    )
+    full = e.groupBy("event_type").agg(
+        (F.sum(F.col("cents").cast("decimal(18,0)"))
+         / F.count(F.lit(1)) / 100).cast("double").alias("mean_value")
+    )
+    return (
+        full.join(ci, "event_type")
+        .select(
+            "event_type",
+            F.round("mean_value", 4).alias("mean_value"),
+            F.round("p05", 4).alias("ci_p05"),
+            F.round("p95", 4).alias("ci_p95"),
+            F.round(F.col("p95") - F.col("p05"), 4).alias("ci_width"),
+            "n_replicates",
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_BOOTSTRAP_SQL = f"""
+WITH e AS (
+  SELECT event_id, event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+), reps AS (
+  SELECT event_type, cents, b.b
+  FROM e, (SELECT UNNEST(range(0, {BOOT_B})) AS b) b
+  WHERE CAST(('0x' || substr(md5(event_id || ':' || b.b), 1, 7)) AS BIGINT) % 2 = 0
+), rep_means AS (
+  SELECT event_type, b,
+         CAST(SUM(CAST(cents AS DECIMAL(18,0))) / COUNT(*) / 100 AS DOUBLE)
+           AS rep_mean
+  FROM reps GROUP BY 1, 2
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY rep_mean) AS rn
+  FROM rep_means
+), ci AS (
+  SELECT event_type,
+         MAX(CASE WHEN rn = {int(BOOT_B * 0.05)} THEN rep_mean END) AS p05,
+         MAX(CASE WHEN rn = {int(BOOT_B * 0.95)} THEN rep_mean END) AS p95,
+         COUNT(*) AS n_replicates
+  FROM ranked GROUP BY 1
+), fullsample AS (
+  SELECT event_type,
+         CAST(SUM(CAST(cents AS DECIMAL(18,0))) / COUNT(*) / 100 AS DOUBLE)
+           AS mean_value
+  FROM e GROUP BY 1
+)
+SELECT f.event_type,
+       ROUND(f.mean_value, 4) AS mean_value,
+       ROUND(c.p05, 4) AS ci_p05,
+       ROUND(c.p95, 4) AS ci_p95,
+       ROUND(c.p95 - c.p05, 4) AS ci_width,
+       CAST(c.n_replicates AS BIGINT) AS n_replicates
+FROM fullsample f JOIN ci c USING (event_type)
+ORDER BY event_type
+"""
+
+
 EVENTOPS_QUERIES: dict[str, tuple] = {
+    "events_bootstrap_ci": (events_bootstrap_ci, EVENTS_BOOTSTRAP_SQL),
     "events_ewma_forecast": (events_ewma_forecast, EVENTS_EWMA_SQL),
     "events_cusum_changepoint": (events_cusum_changepoint, EVENTS_CUSUM_SQL),
     "events_sequence_motifs": (events_sequence_motifs, _seq_motifs_sql()),
