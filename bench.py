@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "events_cusum_changepoint",
     "events_ewma_forecast",
     "events_bootstrap_ci",
+    "events_ab_test",
     "doc_classifier_agreement",
     "table_mor_deletes",
     "table_mor_updates",

@@ -863,7 +863,90 @@ ORDER BY event_type
 """
 
 
+# --- A/B experiment analysis -------------------------------------------------
+
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation archetype: users split into arms by a
+    content-addressed hash (md5(user_id) parity — the deterministic
+    bucketing a real experimentation platform uses), purchase values
+    compared with a Welch two-sample t statistic. All moments derive
+    from EXACT integer sums (cent sums and squared-cent sums in
+    BIGINT/decimal — order-free), so the only floating point is the
+    final closed-form arithmetic on those exact totals: bit-identical
+    cross-engine. One row: per-arm n/mean/variance, the t statistic,
+    and the |t| >= 1.96 decision."""
+    t = load_tables(spark, sf_dir)
+    e = t["events"].where(F.col("event_type") == "purchase").select(
+        (F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 7),
+                16, 10).cast("long") % 2).alias("arm"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    m = e.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("decimal(28,0)").alias("sx"),
+        F.sum(F.col("cents") * F.col("cents")).cast("decimal(38,0)").alias("sxx"),
+    ).select(
+        "arm", "n",
+        (F.col("sx").cast("double") / F.col("n") / 100).alias("mean"),
+        (
+            (F.col("sxx").cast("double")
+             - F.col("sx").cast("double") * F.col("sx").cast("double")
+             / F.col("n"))
+            / (F.col("n") - 1) / 10000
+        ).alias("var"),
+    )
+    a = m.where(F.col("arm") == 0).select(
+        F.col("n").alias("n_a"), F.col("mean").alias("mean_a"),
+        F.col("var").alias("var_a"))
+    b = m.where(F.col("arm") == 1).select(
+        F.col("n").alias("n_b"), F.col("mean").alias("mean_b"),
+        F.col("var").alias("var_b"))
+    return a.crossJoin(b).select(
+        "n_a", F.round("mean_a", 4).alias("mean_a"),
+        "n_b", F.round("mean_b", 4).alias("mean_b"),
+        F.round(
+            (F.col("mean_a") - F.col("mean_b"))
+            / F.sqrt(F.col("var_a") / F.col("n_a")
+                     + F.col("var_b") / F.col("n_b")), 4
+        ).alias("t_stat"),
+        (
+            F.abs(
+                (F.col("mean_a") - F.col("mean_b"))
+                / F.sqrt(F.col("var_a") / F.col("n_a")
+                         + F.col("var_b") / F.col("n_b"))
+            ) >= 1.96
+        ).alias("significant"),
+    )
+
+
+EVENTS_AB_SQL = """
+WITH e AS (
+  SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 7)) AS BIGINT)
+           % 2 AS arm,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+), m AS (
+  SELECT arm, COUNT(*) AS n,
+         CAST(SUM(CAST(cents AS DECIMAL(28,0))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(cents AS DECIMAL(28,0)) * cents) AS DOUBLE) AS sxx
+  FROM e GROUP BY 1
+), stats AS (
+  SELECT arm, n, sx / n / 100 AS mean,
+         (sxx - sx * sx / n) / (n - 1) / 10000 AS var
+  FROM m
+)
+SELECT a.n AS n_a, ROUND(a.mean, 4) AS mean_a,
+       b.n AS n_b, ROUND(b.mean, 4) AS mean_b,
+       ROUND((a.mean - b.mean) / sqrt(a.var / a.n + b.var / b.n), 4) AS t_stat,
+       ABS((a.mean - b.mean) / sqrt(a.var / a.n + b.var / b.n)) >= 1.96
+         AS significant
+FROM (SELECT * FROM stats WHERE arm = 0) a,
+     (SELECT * FROM stats WHERE arm = 1) b
+"""
+
+
 EVENTOPS_QUERIES: dict[str, tuple] = {
+    "events_ab_test": (events_ab_test, EVENTS_AB_SQL),
     "events_bootstrap_ci": (events_bootstrap_ci, EVENTS_BOOTSTRAP_SQL),
     "events_ewma_forecast": (events_ewma_forecast, EVENTS_EWMA_SQL),
     "events_cusum_changepoint": (events_cusum_changepoint, EVENTS_CUSUM_SQL),
