@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "events_ewma_forecast",
     "events_bootstrap_ci",
     "events_ab_test",
+    "events_cuped_adjustment",
     "doc_classifier_agreement",
     "table_mor_deletes",
     "table_mor_updates",

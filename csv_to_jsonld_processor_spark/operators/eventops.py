@@ -945,7 +945,102 @@ FROM (SELECT * FROM stats WHERE arm = 0) a,
 """
 
 
+def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM'13) on the A/B
+    split: per user, pre-period (days 1-15) and post-period (16-30)
+    purchase totals; theta = cov(pre, post) / var(pre) from EXACT
+    integer moments pooled across arms; adjusted metric
+    y' = y - theta (x - x̄). One row per arm plus the variance-
+    reduction summary: unadjusted vs adjusted between-arm delta and
+    the variance ratio (adjusted/unadjusted — below 1 when the
+    pre-period covariate explains post-period variance). Every sum is
+    exact cents; the closed-form FP arithmetic on exact totals is
+    bit-identical cross-engine."""
+    t = load_tables(spark, sf_dir)
+    per_user = (
+        t["events"].where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            (F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 7),
+                    16, 10).cast("long") % 2).alias("arm"),
+            F.when(F.dayofmonth("ts") <= 15,
+                   F.round(F.col("value") * 100).cast("long"))
+             .otherwise(F.lit(0)).alias("pre_c"),
+            F.when(F.dayofmonth("ts") > 15,
+                   F.round(F.col("value") * 100).cast("long"))
+             .otherwise(F.lit(0)).alias("post_c"),
+        )
+        .groupBy("user_id", "arm")
+        .agg(F.sum("pre_c").alias("x"), F.sum("post_c").alias("y"))
+    )
+    mom = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("decimal(28,0)").cast("double").alias("sx"),
+        F.sum("y").cast("decimal(28,0)").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").cast("double").alias("sxx"),
+    ).first()
+    n, sx, sy, sxy, sxx = mom["n"], mom["sx"], mom["sy"], mom["sxy"], mom["sxx"]
+    theta = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    xbar = sx / n
+    adj = per_user.withColumn(
+        "y_adj", F.col("y") - F.lit(theta) * (F.col("x") - F.lit(xbar))
+    )
+    arms = adj.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        (F.avg("y") / 100).alias("mean_post"),
+        (F.avg("y_adj") / 100).alias("mean_adj"),
+        F.var_samp(F.col("y") / 100).alias("var_post"),
+        F.var_samp(F.col("y_adj") / 100).alias("var_adj"),
+    )
+    return arms.select(
+        "arm", "n_users",
+        F.round("mean_post", 4).alias("mean_post"),
+        F.round("mean_adj", 4).alias("mean_adj"),
+        F.round(F.col("var_adj") / F.col("var_post"), 4).alias("var_ratio"),
+        (F.col("var_adj") < F.col("var_post")).alias("variance_reduced"),
+        F.round(F.lit(theta), 6).alias("theta"),
+    ).orderBy("arm")
+
+
+EVENTS_CUPED_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 7)) AS BIGINT)
+           % 2 AS arm,
+         SUM(CASE WHEN EXTRACT(DAY FROM ts) <= 15
+                  THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS x,
+         SUM(CASE WHEN EXTRACT(DAY FROM ts) > 15
+                  THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS y
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1, 2
+), mom AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(28,0))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(28,0))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x AS DECIMAL(28,0)) * y) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x AS DECIMAL(28,0)) * x) AS DOUBLE) AS sxx
+  FROM per_user
+), th AS (
+  SELECT n, sx / n AS xbar,
+         (sxy - sx * sy / n) / (sxx - sx * sx / n) AS theta
+  FROM mom
+), adj AS (
+  SELECT p.arm, p.y, p.y - t.theta * (p.x - t.xbar) AS y_adj, t.theta
+  FROM per_user p, th t
+)
+SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(AVG(y) / 100, 4) AS mean_post,
+       ROUND(AVG(y_adj) / 100, 4) AS mean_adj,
+       ROUND(VAR_SAMP(y_adj / 100) / VAR_SAMP(y / 100), 4) AS var_ratio,
+       VAR_SAMP(y_adj / 100) < VAR_SAMP(y / 100) AS variance_reduced,
+       ROUND(ANY_VALUE(theta), 6) AS theta
+FROM adj GROUP BY arm ORDER BY arm
+"""
+
+
 EVENTOPS_QUERIES: dict[str, tuple] = {
+    "events_cuped_adjustment": (events_cuped_adjustment, EVENTS_CUPED_SQL),
     "events_ab_test": (events_ab_test, EVENTS_AB_SQL),
     "events_bootstrap_ci": (events_bootstrap_ci, EVENTS_BOOTSTRAP_SQL),
     "events_ewma_forecast": (events_ewma_forecast, EVENTS_EWMA_SQL),
