@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "events_bootstrap_ci",
     "events_ab_test",
     "events_cuped_adjustment",
+    "events_kaplan_meier",
     "doc_classifier_agreement",
     "table_mor_deletes",
     "table_mor_updates",

@@ -1039,7 +1039,108 @@ FROM adj GROUP BY arm ORDER BY arm
 """
 
 
+def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival analysis: Kaplan-Meier estimator of time-to-first-
+    purchase over the 30-day window, right-censoring users who never
+    purchase. Per day t: events d_t (first purchases), the at-risk set
+    n_t = cohort minus earlier converters (censoring only at the
+    window edge), and S(t) = prod_(i<=t) (1 - d_i/n_i) computed as an
+    ORDERED LEFT FOLD over the bounded day domain — Spark's
+    aggregate() and DuckDB's list_reduce() run the identical
+    left-associated double product, so the estimator is bit-stable
+    cross-engine with no exp/ln detour. Counts are exact; the fold is
+    30 multiplications over a collected 30-element array, never a data
+    sort."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    cohort = ev.select("user_id").distinct()
+    n_total = cohort.count()
+    first_p = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.dayofmonth("ts")).alias("ev_day"))
+    )
+    days = (
+        first_p.groupBy("ev_day")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .select(F.col("ev_day").alias("day"), "d")
+    )
+    all_days = spark.range(1, 31).select(F.col("id").cast("int").alias("day"))
+    per_day = (
+        all_days.join(days, "day", "left")
+        .na.fill({"d": 0})
+        .withColumn(
+            "earlier",
+            F.sum("d").over(
+                Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+        .na.fill({"earlier": 0})
+        .withColumn("n_risk", (F.lit(n_total) - F.col("earlier")).cast("long"))
+        .withColumn(
+            "f",
+            # empty risk set => the product stops (factor 1, the KM
+            # convention past the last at-risk day)
+            F.when(F.col("n_risk") > 0,
+                   F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk"))
+            .otherwise(F.lit(1.0)),
+        )
+    )
+    arr = per_day.orderBy("day").agg(
+        F.collect_list(F.struct("day", "f")).alias("pairs")
+    ).select(
+        F.transform(F.sort_array("pairs"), lambda p: p["f"]).alias("fs")
+    )
+    out = per_day.crossJoin(F.broadcast(arr)).select(
+        "day", "d", "n_risk",
+        F.round(
+            F.aggregate(
+                F.slice("fs", 1, F.col("day")),
+                F.lit(1.0),
+                lambda acc, x: acc * x,
+            ), 6
+        ).alias("survival"),
+    )
+    return out.where(F.col("d") > 0).orderBy("day")
+
+
+EVENTS_KM_SQL = """
+WITH cohort AS (SELECT COUNT(DISTINCT user_id) AS n FROM events),
+first_p AS (
+  SELECT user_id, MIN(EXTRACT(DAY FROM ts)) AS ev_day
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+), days AS (
+  SELECT CAST(ev_day AS INT) AS day, COUNT(*) AS d FROM first_p GROUP BY 1
+), per_day AS (
+  SELECT a.day, COALESCE(days.d, 0) AS d,
+         (SELECT n FROM cohort)
+           - COALESCE(SUM(COALESCE(days.d, 0)) OVER (
+               ORDER BY a.day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS n_risk
+  FROM (SELECT UNNEST(range(1, 31)) AS day) a
+  LEFT JOIN days ON days.day = a.day
+), withf AS (
+  SELECT day, d, n_risk,
+         CASE WHEN n_risk > 0 THEN 1.0 - CAST(d AS DOUBLE) / n_risk
+              ELSE 1.0 END AS f
+  FROM per_day
+), arr AS (
+  SELECT list(f ORDER BY day) AS fs FROM withf
+)
+SELECT w.day, CAST(w.d AS BIGINT) AS d, CAST(w.n_risk AS BIGINT) AS n_risk,
+       ROUND(CASE WHEN w.day = 1 THEN fs[1]
+                  ELSE list_reduce(fs[1:w.day], (a, b) -> a * b) END, 6)
+         AS survival
+FROM withf w, arr
+WHERE w.d > 0
+ORDER BY w.day
+"""
+
+
 EVENTOPS_QUERIES: dict[str, tuple] = {
+    "events_kaplan_meier": (events_kaplan_meier, EVENTS_KM_SQL),
     "events_cuped_adjustment": (events_cuped_adjustment, EVENTS_CUPED_SQL),
     "events_ab_test": (events_ab_test, EVENTS_AB_SQL),
     "events_bootstrap_ci": (events_bootstrap_ci, EVENTS_BOOTSTRAP_SQL),

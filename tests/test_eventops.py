@@ -272,3 +272,48 @@ def test_ewma_unrolling_equals_sequential_recursion(spark):
         for i in range(1, 30):
             s = Fraction(3, 4) * s + Fraction(1, 4) * Fraction(days.get(i, 0))
         assert got[et] == round(float(s) / 100.0, 2), et
+
+
+def test_kaplan_meier_matches_reference_estimator(spark):
+    """The in-engine KM curve must equal the textbook estimator
+    computed in Python rationals over the same cohort, and survival
+    must be non-increasing."""
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from csv_to_jsonld_processor_spark.operators.eventops import (
+        events_kaplan_meier,
+    )
+    from csv_to_jsonld_processor_spark.session import load_tables
+
+    sf = "/root/testdata/sf0.001"
+    t = load_tables(spark, sf)
+    n = t["events"].select("user_id").distinct().count()
+    fp = {
+        r["user_id"]: r["d"]
+        for r in t["events"].where(F.col("event_type") == "purchase")
+        .groupBy("user_id").agg(F.min(F.dayofmonth("ts")).alias("d")).collect()
+    }
+    got = [(r["day"], r["n_risk"], r["survival"])
+           for r in events_kaplan_meier(spark, sf).collect()]
+    s = Fraction(1)
+    at_risk = n
+    prev_day = 0
+    want = {}
+    from collections import Counter
+
+    d_by_day = Counter(fp.values())
+    for day in range(1, 31):
+        d = d_by_day.get(day, 0)
+        if at_risk > 0:
+            s *= Fraction(at_risk - d, at_risk)
+        if d > 0:
+            want[day] = (at_risk, s)
+        at_risk -= d
+    for day, n_risk, surv in got:
+        wn, ws = want[day]
+        assert n_risk == wn, day
+        assert abs(surv - float(ws)) < 1e-6, day
+    survs = [s for _, _, s in got]
+    assert survs == sorted(survs, reverse=True)
