@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "events_ab_test",
     "events_cuped_adjustment",
     "events_kaplan_meier",
+    "events_logrank_test",
     "doc_classifier_agreement",
     "table_mor_deletes",
     "table_mor_updates",

@@ -1139,7 +1139,154 @@ ORDER BY w.day
 """
 
 
+def events_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test: do the two hash-bucketed experiment arms differ
+    in time-to-first-purchase? Per event day t and arm g: observed
+    events d_gt and at-risk n_gt; expected under H0
+    e_gt = d_t * n_gt / n_t; variance
+    v_t = d_t (n_1t/n_t)(n_2t/n_t)(n_t - d_t)/(n_t - 1); the statistic
+    Z^2 = (sum(d_1t - e_1t))^2 / sum(v_t) ~ chi2(1). Every count is an
+    exact integer; expectations and variances are closed-form doubles
+    on exact counts summed over the BOUNDED day domain (30 terms, one
+    engine-identical order via the sorted-day fold) — deterministic
+    cross-engine. One row: totals, the statistic, and the 3.841
+    (p=0.05) decision."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    users = ev.select("user_id").distinct().withColumn(
+        "arm",
+        (F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 7),
+                16, 10).cast("long") % 2),
+    )
+    n_by_arm = {r["arm"]: r["n"] for r in
+                users.groupBy("arm").agg(F.count(F.lit(1)).alias("n")).collect()}
+    first_p = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id").agg(F.min(F.dayofmonth("ts")).alias("day"))
+        .join(users, "user_id")
+    )
+    d_gt = first_p.groupBy("day", "arm").agg(
+        F.count(F.lit(1)).cast("long").alias("d"))
+    days = spark.range(1, 31).select(F.col("id").cast("int").alias("day"))
+    arms = spark.createDataFrame([(0,), (1,)], "arm long")
+    grid = (
+        days.crossJoin(arms)
+        .join(d_gt, ["day", "arm"], "left").na.fill({"d": 0})
+        .withColumn(
+            "earlier",
+            F.sum("d").over(
+                Window.partitionBy("arm").orderBy("day")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+        .na.fill({"earlier": 0})
+        .withColumn(
+            "n_g",
+            F.when(F.col("arm") == 0, F.lit(n_by_arm.get(0, 0)))
+            .otherwise(F.lit(n_by_arm.get(1, 0))) - F.col("earlier"),
+        )
+    )
+    per_day = grid.groupBy("day").agg(
+        F.sum("d").alias("d_t"),
+        F.sum("n_g").alias("n_t"),
+        F.sum(F.when(F.col("arm") == 0, F.col("d"))).alias("d_1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("n_g"))).alias("n_1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n_g"))).alias("n_2"),
+    ).where((F.col("d_t") > 0) & (F.col("n_t") > 1))
+    terms = per_day.select(
+        "day",
+        (F.col("d_1") - F.col("d_t") * F.col("n_1") / F.col("n_t")).alias("oe"),
+        (
+            F.col("d_t") * (F.col("n_1") / F.col("n_t"))
+            * (F.col("n_2") / F.col("n_t"))
+            * (F.col("n_t") - F.col("d_t")) / (F.col("n_t") - 1)
+        ).alias("v"),
+    )
+    # bounded-domain fold in one fixed order (day asc) on both engines
+    folded = terms.orderBy("day").agg(
+        F.collect_list(F.struct("day", "oe", "v")).alias("xs")
+    ).select(
+        F.aggregate(
+            F.transform(F.sort_array("xs"), lambda x: x["oe"]),
+            F.lit(0.0), lambda a, x: a + x,
+        ).alias("sum_oe"),
+        F.aggregate(
+            F.transform(F.sort_array("xs"), lambda x: x["v"]),
+            F.lit(0.0), lambda a, x: a + x,
+        ).alias("sum_v"),
+        F.size("xs").cast("long").alias("n_event_days"),
+    )
+    return folded.select(
+        "n_event_days",
+        F.round("sum_oe", 6).alias("observed_minus_expected"),
+        F.round("sum_v", 6).alias("variance"),
+        F.round(F.col("sum_oe") * F.col("sum_oe") / F.col("sum_v"), 6)
+        .alias("chi2"),
+        (F.col("sum_oe") * F.col("sum_oe") / F.col("sum_v") >= 3.841)
+        .alias("significant"),
+    )
+
+
+EVENTS_LOGRANK_SQL = """
+WITH users AS (
+  SELECT DISTINCT user_id,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 7)) AS BIGINT)
+           % 2 AS arm
+  FROM events
+), n_arm AS (
+  SELECT arm, COUNT(*) AS n FROM users GROUP BY 1
+), first_p AS (
+  SELECT e.user_id, u.arm, MIN(EXTRACT(DAY FROM e.ts)) AS day
+  FROM events e JOIN users u USING (user_id)
+  WHERE e.event_type = 'purchase' GROUP BY 1, 2
+), d_gt AS (
+  SELECT CAST(day AS INT) AS day, arm, COUNT(*) AS d FROM first_p GROUP BY 1, 2
+), grid AS (
+  SELECT g.day, g.arm, COALESCE(d_gt.d, 0) AS d,
+         (SELECT n FROM n_arm WHERE n_arm.arm = g.arm)
+           - COALESCE(SUM(COALESCE(d_gt.d, 0)) OVER (
+               PARTITION BY g.arm ORDER BY g.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_g
+  FROM (SELECT d.day, a.arm
+        FROM (SELECT UNNEST(range(1, 31)) AS day) d,
+             (SELECT UNNEST([0, 1]) AS arm) a) g
+  LEFT JOIN d_gt ON d_gt.day = g.day AND d_gt.arm = g.arm
+), per_day AS (
+  SELECT day, SUM(d) AS d_t, SUM(n_g) AS n_t,
+         SUM(CASE WHEN arm = 0 THEN d END) AS d_1,
+         SUM(CASE WHEN arm = 0 THEN n_g END) AS n_1,
+         SUM(CASE WHEN arm = 1 THEN n_g END) AS n_2
+  FROM grid GROUP BY 1
+  HAVING SUM(d) > 0 AND SUM(n_g) > 1
+), terms AS (
+  SELECT day,
+         d_1 - CAST(d_t AS DOUBLE) * n_1 / n_t AS oe,
+         CAST(d_t AS DOUBLE) * (CAST(n_1 AS DOUBLE) / n_t)
+           * (CAST(n_2 AS DOUBLE) / n_t)
+           * (n_t - d_t) / (n_t - 1) AS v
+  FROM per_day
+), arrs AS (
+  SELECT list(oe ORDER BY day) AS oes, list(v ORDER BY day) AS vs,
+         COUNT(*) AS n_event_days
+  FROM terms
+)
+SELECT CAST(n_event_days AS BIGINT) AS n_event_days,
+       ROUND(list_reduce(oes, (a, b) -> a + b), 6) AS observed_minus_expected,
+       ROUND(list_reduce(vs, (a, b) -> a + b), 6) AS variance,
+       ROUND(list_reduce(oes, (a, b) -> a + b)
+             * list_reduce(oes, (a, b) -> a + b)
+             / list_reduce(vs, (a, b) -> a + b), 6) AS chi2,
+       list_reduce(oes, (a, b) -> a + b)
+         * list_reduce(oes, (a, b) -> a + b)
+         / list_reduce(vs, (a, b) -> a + b) >= 3.841 AS significant
+FROM arrs
+"""
+
+
 EVENTOPS_QUERIES: dict[str, tuple] = {
+    "events_logrank_test": (events_logrank_test, EVENTS_LOGRANK_SQL),
     "events_kaplan_meier": (events_kaplan_meier, EVENTS_KM_SQL),
     "events_cuped_adjustment": (events_cuped_adjustment, EVENTS_CUPED_SQL),
     "events_ab_test": (events_ab_test, EVENTS_AB_SQL),
