@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "events_cuped_adjustment",
     "events_kaplan_meier",
     "events_logrank_test",
+    "events_ewma_backtest",
     "doc_classifier_agreement",
     "table_mor_deletes",
     "table_mor_updates",

@@ -1285,7 +1285,351 @@ FROM arrs
 """
 
 
+# --- rolling-origin forecast backtest ----------------------------------------
+#
+# EWMA backtesting: for each origin T in 19..28, forecast day T+1 from
+# the prefix [0..T] with the same exact integer unrolling as
+# events_ewma_forecast (weights now depend on the origin — a (T, i, w)
+# table of exact integer literals generated at import time). MAE per
+# type over the 10 one-step forecasts, every sum exact decimal.
+
+_BACKTEST_ORIGINS = [19, 20, 21, 22, 23, 24, 25, 26, 27, 28]
+_BACKTEST_WEIGHTS = [(19, 0, '1162261467'), (19, 1, '387420489'), (19, 2, '516560652'), (19, 3, '688747536'), (19, 4, '918330048'), (19, 5, '1224440064'), (19, 6, '1632586752'), (19, 7, '2176782336'), (19, 8, '2902376448'), (19, 9, '3869835264'), (19, 10, '5159780352'), (19, 11, '6879707136'), (19, 12, '9172942848'), (19, 13, '12230590464'), (19, 14, '16307453952'), (19, 15, '21743271936'), (19, 16, '28991029248'), (19, 17, '38654705664'), (19, 18, '51539607552'), (19, 19, '68719476736'), (20, 0, '3486784401'), (20, 1, '1162261467'), (20, 2, '1549681956'), (20, 3, '2066242608'), (20, 4, '2754990144'), (20, 5, '3673320192'), (20, 6, '4897760256'), (20, 7, '6530347008'), (20, 8, '8707129344'), (20, 9, '11609505792'), (20, 10, '15479341056'), (20, 11, '20639121408'), (20, 12, '27518828544'), (20, 13, '36691771392'), (20, 14, '48922361856'), (20, 15, '65229815808'), (20, 16, '86973087744'), (20, 17, '115964116992'), (20, 18, '154618822656'), (20, 19, '206158430208'), (20, 20, '274877906944'), (21, 0, '10460353203'), (21, 1, '3486784401'), (21, 2, '4649045868'), (21, 3, '6198727824'), (21, 4, '8264970432'), (21, 5, '11019960576'), (21, 6, '14693280768'), (21, 7, '19591041024'), (21, 8, '26121388032'), (21, 9, '34828517376'), (21, 10, '46438023168'), (21, 11, '61917364224'), (21, 12, '82556485632'), (21, 13, '110075314176'), (21, 14, '146767085568'), (21, 15, '195689447424'), (21, 16, '260919263232'), (21, 17, '347892350976'), (21, 18, '463856467968'), (21, 19, '618475290624'), (21, 20, '824633720832'), (21, 21, '1099511627776'), (22, 0, '31381059609'), (22, 1, '10460353203'), (22, 2, '13947137604'), (22, 3, '18596183472'), (22, 4, '24794911296'), (22, 5, '33059881728'), (22, 6, '44079842304'), (22, 7, '58773123072'), (22, 8, '78364164096'), (22, 9, '104485552128'), (22, 10, '139314069504'), (22, 11, '185752092672'), (22, 12, '247669456896'), (22, 13, '330225942528'), (22, 14, '440301256704'), (22, 15, '587068342272'), (22, 16, '782757789696'), (22, 17, '1043677052928'), (22, 18, '1391569403904'), (22, 19, '1855425871872'), (22, 20, '2473901162496'), (22, 21, '3298534883328'), (22, 22, '4398046511104'), (23, 0, '94143178827'), (23, 1, '31381059609'), (23, 2, '41841412812'), (23, 3, '55788550416'), (23, 4, '74384733888'), (23, 5, '99179645184'), (23, 6, '132239526912'), (23, 7, '176319369216'), (23, 8, '235092492288'), (23, 9, '313456656384'), (23, 10, '417942208512'), (23, 11, '557256278016'), (23, 12, '743008370688'), (23, 13, '990677827584'), (23, 14, '1320903770112'), (23, 15, '1761205026816'), (23, 16, '2348273369088'), (23, 17, '3131031158784'), (23, 18, '4174708211712'), (23, 19, '5566277615616'), (23, 20, '7421703487488'), (23, 21, '9895604649984'), (23, 22, '13194139533312'), (23, 23, '17592186044416'), (24, 0, '282429536481'), (24, 1, '94143178827'), (24, 2, '125524238436'), (24, 3, '167365651248'), (24, 4, '223154201664'), (24, 5, '297538935552'), (24, 6, '396718580736'), (24, 7, '528958107648'), (24, 8, '705277476864'), (24, 9, '940369969152'), (24, 10, '1253826625536'), (24, 11, '1671768834048'), (24, 12, '2229025112064'), (24, 13, '2972033482752'), (24, 14, '3962711310336'), (24, 15, '5283615080448'), (24, 16, '7044820107264'), (24, 17, '9393093476352'), (24, 18, '12524124635136'), (24, 19, '16698832846848'), (24, 20, '22265110462464'), (24, 21, '29686813949952'), (24, 22, '39582418599936'), (24, 23, '52776558133248'), (24, 24, '70368744177664'), (25, 0, '847288609443'), (25, 1, '282429536481'), (25, 2, '376572715308'), (25, 3, '502096953744'), (25, 4, '669462604992'), (25, 5, '892616806656'), (25, 6, '1190155742208'), (25, 7, '1586874322944'), (25, 8, '2115832430592'), (25, 9, '2821109907456'), (25, 10, '3761479876608'), (25, 11, '5015306502144'), (25, 12, '6687075336192'), (25, 13, '8916100448256'), (25, 14, '11888133931008'), (25, 15, '15850845241344'), (25, 16, '21134460321792'), (25, 17, '28179280429056'), (25, 18, '37572373905408'), (25, 19, '50096498540544'), (25, 20, '66795331387392'), (25, 21, '89060441849856'), (25, 22, '118747255799808'), (25, 23, '158329674399744'), (25, 24, '211106232532992'), (25, 25, '281474976710656'), (26, 0, '2541865828329'), (26, 1, '847288609443'), (26, 2, '1129718145924'), (26, 3, '1506290861232'), (26, 4, '2008387814976'), (26, 5, '2677850419968'), (26, 6, '3570467226624'), (26, 7, '4760622968832'), (26, 8, '6347497291776'), (26, 9, '8463329722368'), (26, 10, '11284439629824'), (26, 11, '15045919506432'), (26, 12, '20061226008576'), (26, 13, '26748301344768'), (26, 14, '35664401793024'), (26, 15, '47552535724032'), (26, 16, '63403380965376'), (26, 17, '84537841287168'), (26, 18, '112717121716224'), (26, 19, '150289495621632'), (26, 20, '200385994162176'), (26, 21, '267181325549568'), (26, 22, '356241767399424'), (26, 23, '474989023199232'), (26, 24, '633318697598976'), (26, 25, '844424930131968'), (26, 26, '1125899906842624'), (27, 0, '7625597484987'), (27, 1, '2541865828329'), (27, 2, '3389154437772'), (27, 3, '4518872583696'), (27, 4, '6025163444928'), (27, 5, '8033551259904'), (27, 6, '10711401679872'), (27, 7, '14281868906496'), (27, 8, '19042491875328'), (27, 9, '25389989167104'), (27, 10, '33853318889472'), (27, 11, '45137758519296'), (27, 12, '60183678025728'), (27, 13, '80244904034304'), (27, 14, '106993205379072'), (27, 15, '142657607172096'), (27, 16, '190210142896128'), (27, 17, '253613523861504'), (27, 18, '338151365148672'), (27, 19, '450868486864896'), (27, 20, '601157982486528'), (27, 21, '801543976648704'), (27, 22, '1068725302198272'), (27, 23, '1424967069597696'), (27, 24, '1899956092796928'), (27, 25, '2533274790395904'), (27, 26, '3377699720527872'), (27, 27, '4503599627370496'), (28, 0, '22876792454961'), (28, 1, '7625597484987'), (28, 2, '10167463313316'), (28, 3, '13556617751088'), (28, 4, '18075490334784'), (28, 5, '24100653779712'), (28, 6, '32134205039616'), (28, 7, '42845606719488'), (28, 8, '57127475625984'), (28, 9, '76169967501312'), (28, 10, '101559956668416'), (28, 11, '135413275557888'), (28, 12, '180551034077184'), (28, 13, '240734712102912'), (28, 14, '320979616137216'), (28, 15, '427972821516288'), (28, 16, '570630428688384'), (28, 17, '760840571584512'), (28, 18, '1014454095446016'), (28, 19, '1352605460594688'), (28, 20, '1803473947459584'), (28, 21, '2404631929946112'), (28, 22, '3206175906594816'), (28, 23, '4274901208793088'), (28, 24, '5699868278390784'), (28, 25, '7599824371187712'), (28, 26, '10133099161583616'), (28, 27, '13510798882111488'), (28, 28, '18014398509481984')]
+_BACKTEST_WEIGHTS_SQL = """(19, 0, CAST('1162261467' AS DECIMAL(24,0))),
+  (19, 1, CAST('387420489' AS DECIMAL(24,0))),
+  (19, 2, CAST('516560652' AS DECIMAL(24,0))),
+  (19, 3, CAST('688747536' AS DECIMAL(24,0))),
+  (19, 4, CAST('918330048' AS DECIMAL(24,0))),
+  (19, 5, CAST('1224440064' AS DECIMAL(24,0))),
+  (19, 6, CAST('1632586752' AS DECIMAL(24,0))),
+  (19, 7, CAST('2176782336' AS DECIMAL(24,0))),
+  (19, 8, CAST('2902376448' AS DECIMAL(24,0))),
+  (19, 9, CAST('3869835264' AS DECIMAL(24,0))),
+  (19, 10, CAST('5159780352' AS DECIMAL(24,0))),
+  (19, 11, CAST('6879707136' AS DECIMAL(24,0))),
+  (19, 12, CAST('9172942848' AS DECIMAL(24,0))),
+  (19, 13, CAST('12230590464' AS DECIMAL(24,0))),
+  (19, 14, CAST('16307453952' AS DECIMAL(24,0))),
+  (19, 15, CAST('21743271936' AS DECIMAL(24,0))),
+  (19, 16, CAST('28991029248' AS DECIMAL(24,0))),
+  (19, 17, CAST('38654705664' AS DECIMAL(24,0))),
+  (19, 18, CAST('51539607552' AS DECIMAL(24,0))),
+  (19, 19, CAST('68719476736' AS DECIMAL(24,0))),
+  (20, 0, CAST('3486784401' AS DECIMAL(24,0))),
+  (20, 1, CAST('1162261467' AS DECIMAL(24,0))),
+  (20, 2, CAST('1549681956' AS DECIMAL(24,0))),
+  (20, 3, CAST('2066242608' AS DECIMAL(24,0))),
+  (20, 4, CAST('2754990144' AS DECIMAL(24,0))),
+  (20, 5, CAST('3673320192' AS DECIMAL(24,0))),
+  (20, 6, CAST('4897760256' AS DECIMAL(24,0))),
+  (20, 7, CAST('6530347008' AS DECIMAL(24,0))),
+  (20, 8, CAST('8707129344' AS DECIMAL(24,0))),
+  (20, 9, CAST('11609505792' AS DECIMAL(24,0))),
+  (20, 10, CAST('15479341056' AS DECIMAL(24,0))),
+  (20, 11, CAST('20639121408' AS DECIMAL(24,0))),
+  (20, 12, CAST('27518828544' AS DECIMAL(24,0))),
+  (20, 13, CAST('36691771392' AS DECIMAL(24,0))),
+  (20, 14, CAST('48922361856' AS DECIMAL(24,0))),
+  (20, 15, CAST('65229815808' AS DECIMAL(24,0))),
+  (20, 16, CAST('86973087744' AS DECIMAL(24,0))),
+  (20, 17, CAST('115964116992' AS DECIMAL(24,0))),
+  (20, 18, CAST('154618822656' AS DECIMAL(24,0))),
+  (20, 19, CAST('206158430208' AS DECIMAL(24,0))),
+  (20, 20, CAST('274877906944' AS DECIMAL(24,0))),
+  (21, 0, CAST('10460353203' AS DECIMAL(24,0))),
+  (21, 1, CAST('3486784401' AS DECIMAL(24,0))),
+  (21, 2, CAST('4649045868' AS DECIMAL(24,0))),
+  (21, 3, CAST('6198727824' AS DECIMAL(24,0))),
+  (21, 4, CAST('8264970432' AS DECIMAL(24,0))),
+  (21, 5, CAST('11019960576' AS DECIMAL(24,0))),
+  (21, 6, CAST('14693280768' AS DECIMAL(24,0))),
+  (21, 7, CAST('19591041024' AS DECIMAL(24,0))),
+  (21, 8, CAST('26121388032' AS DECIMAL(24,0))),
+  (21, 9, CAST('34828517376' AS DECIMAL(24,0))),
+  (21, 10, CAST('46438023168' AS DECIMAL(24,0))),
+  (21, 11, CAST('61917364224' AS DECIMAL(24,0))),
+  (21, 12, CAST('82556485632' AS DECIMAL(24,0))),
+  (21, 13, CAST('110075314176' AS DECIMAL(24,0))),
+  (21, 14, CAST('146767085568' AS DECIMAL(24,0))),
+  (21, 15, CAST('195689447424' AS DECIMAL(24,0))),
+  (21, 16, CAST('260919263232' AS DECIMAL(24,0))),
+  (21, 17, CAST('347892350976' AS DECIMAL(24,0))),
+  (21, 18, CAST('463856467968' AS DECIMAL(24,0))),
+  (21, 19, CAST('618475290624' AS DECIMAL(24,0))),
+  (21, 20, CAST('824633720832' AS DECIMAL(24,0))),
+  (21, 21, CAST('1099511627776' AS DECIMAL(24,0))),
+  (22, 0, CAST('31381059609' AS DECIMAL(24,0))),
+  (22, 1, CAST('10460353203' AS DECIMAL(24,0))),
+  (22, 2, CAST('13947137604' AS DECIMAL(24,0))),
+  (22, 3, CAST('18596183472' AS DECIMAL(24,0))),
+  (22, 4, CAST('24794911296' AS DECIMAL(24,0))),
+  (22, 5, CAST('33059881728' AS DECIMAL(24,0))),
+  (22, 6, CAST('44079842304' AS DECIMAL(24,0))),
+  (22, 7, CAST('58773123072' AS DECIMAL(24,0))),
+  (22, 8, CAST('78364164096' AS DECIMAL(24,0))),
+  (22, 9, CAST('104485552128' AS DECIMAL(24,0))),
+  (22, 10, CAST('139314069504' AS DECIMAL(24,0))),
+  (22, 11, CAST('185752092672' AS DECIMAL(24,0))),
+  (22, 12, CAST('247669456896' AS DECIMAL(24,0))),
+  (22, 13, CAST('330225942528' AS DECIMAL(24,0))),
+  (22, 14, CAST('440301256704' AS DECIMAL(24,0))),
+  (22, 15, CAST('587068342272' AS DECIMAL(24,0))),
+  (22, 16, CAST('782757789696' AS DECIMAL(24,0))),
+  (22, 17, CAST('1043677052928' AS DECIMAL(24,0))),
+  (22, 18, CAST('1391569403904' AS DECIMAL(24,0))),
+  (22, 19, CAST('1855425871872' AS DECIMAL(24,0))),
+  (22, 20, CAST('2473901162496' AS DECIMAL(24,0))),
+  (22, 21, CAST('3298534883328' AS DECIMAL(24,0))),
+  (22, 22, CAST('4398046511104' AS DECIMAL(24,0))),
+  (23, 0, CAST('94143178827' AS DECIMAL(24,0))),
+  (23, 1, CAST('31381059609' AS DECIMAL(24,0))),
+  (23, 2, CAST('41841412812' AS DECIMAL(24,0))),
+  (23, 3, CAST('55788550416' AS DECIMAL(24,0))),
+  (23, 4, CAST('74384733888' AS DECIMAL(24,0))),
+  (23, 5, CAST('99179645184' AS DECIMAL(24,0))),
+  (23, 6, CAST('132239526912' AS DECIMAL(24,0))),
+  (23, 7, CAST('176319369216' AS DECIMAL(24,0))),
+  (23, 8, CAST('235092492288' AS DECIMAL(24,0))),
+  (23, 9, CAST('313456656384' AS DECIMAL(24,0))),
+  (23, 10, CAST('417942208512' AS DECIMAL(24,0))),
+  (23, 11, CAST('557256278016' AS DECIMAL(24,0))),
+  (23, 12, CAST('743008370688' AS DECIMAL(24,0))),
+  (23, 13, CAST('990677827584' AS DECIMAL(24,0))),
+  (23, 14, CAST('1320903770112' AS DECIMAL(24,0))),
+  (23, 15, CAST('1761205026816' AS DECIMAL(24,0))),
+  (23, 16, CAST('2348273369088' AS DECIMAL(24,0))),
+  (23, 17, CAST('3131031158784' AS DECIMAL(24,0))),
+  (23, 18, CAST('4174708211712' AS DECIMAL(24,0))),
+  (23, 19, CAST('5566277615616' AS DECIMAL(24,0))),
+  (23, 20, CAST('7421703487488' AS DECIMAL(24,0))),
+  (23, 21, CAST('9895604649984' AS DECIMAL(24,0))),
+  (23, 22, CAST('13194139533312' AS DECIMAL(24,0))),
+  (23, 23, CAST('17592186044416' AS DECIMAL(24,0))),
+  (24, 0, CAST('282429536481' AS DECIMAL(24,0))),
+  (24, 1, CAST('94143178827' AS DECIMAL(24,0))),
+  (24, 2, CAST('125524238436' AS DECIMAL(24,0))),
+  (24, 3, CAST('167365651248' AS DECIMAL(24,0))),
+  (24, 4, CAST('223154201664' AS DECIMAL(24,0))),
+  (24, 5, CAST('297538935552' AS DECIMAL(24,0))),
+  (24, 6, CAST('396718580736' AS DECIMAL(24,0))),
+  (24, 7, CAST('528958107648' AS DECIMAL(24,0))),
+  (24, 8, CAST('705277476864' AS DECIMAL(24,0))),
+  (24, 9, CAST('940369969152' AS DECIMAL(24,0))),
+  (24, 10, CAST('1253826625536' AS DECIMAL(24,0))),
+  (24, 11, CAST('1671768834048' AS DECIMAL(24,0))),
+  (24, 12, CAST('2229025112064' AS DECIMAL(24,0))),
+  (24, 13, CAST('2972033482752' AS DECIMAL(24,0))),
+  (24, 14, CAST('3962711310336' AS DECIMAL(24,0))),
+  (24, 15, CAST('5283615080448' AS DECIMAL(24,0))),
+  (24, 16, CAST('7044820107264' AS DECIMAL(24,0))),
+  (24, 17, CAST('9393093476352' AS DECIMAL(24,0))),
+  (24, 18, CAST('12524124635136' AS DECIMAL(24,0))),
+  (24, 19, CAST('16698832846848' AS DECIMAL(24,0))),
+  (24, 20, CAST('22265110462464' AS DECIMAL(24,0))),
+  (24, 21, CAST('29686813949952' AS DECIMAL(24,0))),
+  (24, 22, CAST('39582418599936' AS DECIMAL(24,0))),
+  (24, 23, CAST('52776558133248' AS DECIMAL(24,0))),
+  (24, 24, CAST('70368744177664' AS DECIMAL(24,0))),
+  (25, 0, CAST('847288609443' AS DECIMAL(24,0))),
+  (25, 1, CAST('282429536481' AS DECIMAL(24,0))),
+  (25, 2, CAST('376572715308' AS DECIMAL(24,0))),
+  (25, 3, CAST('502096953744' AS DECIMAL(24,0))),
+  (25, 4, CAST('669462604992' AS DECIMAL(24,0))),
+  (25, 5, CAST('892616806656' AS DECIMAL(24,0))),
+  (25, 6, CAST('1190155742208' AS DECIMAL(24,0))),
+  (25, 7, CAST('1586874322944' AS DECIMAL(24,0))),
+  (25, 8, CAST('2115832430592' AS DECIMAL(24,0))),
+  (25, 9, CAST('2821109907456' AS DECIMAL(24,0))),
+  (25, 10, CAST('3761479876608' AS DECIMAL(24,0))),
+  (25, 11, CAST('5015306502144' AS DECIMAL(24,0))),
+  (25, 12, CAST('6687075336192' AS DECIMAL(24,0))),
+  (25, 13, CAST('8916100448256' AS DECIMAL(24,0))),
+  (25, 14, CAST('11888133931008' AS DECIMAL(24,0))),
+  (25, 15, CAST('15850845241344' AS DECIMAL(24,0))),
+  (25, 16, CAST('21134460321792' AS DECIMAL(24,0))),
+  (25, 17, CAST('28179280429056' AS DECIMAL(24,0))),
+  (25, 18, CAST('37572373905408' AS DECIMAL(24,0))),
+  (25, 19, CAST('50096498540544' AS DECIMAL(24,0))),
+  (25, 20, CAST('66795331387392' AS DECIMAL(24,0))),
+  (25, 21, CAST('89060441849856' AS DECIMAL(24,0))),
+  (25, 22, CAST('118747255799808' AS DECIMAL(24,0))),
+  (25, 23, CAST('158329674399744' AS DECIMAL(24,0))),
+  (25, 24, CAST('211106232532992' AS DECIMAL(24,0))),
+  (25, 25, CAST('281474976710656' AS DECIMAL(24,0))),
+  (26, 0, CAST('2541865828329' AS DECIMAL(24,0))),
+  (26, 1, CAST('847288609443' AS DECIMAL(24,0))),
+  (26, 2, CAST('1129718145924' AS DECIMAL(24,0))),
+  (26, 3, CAST('1506290861232' AS DECIMAL(24,0))),
+  (26, 4, CAST('2008387814976' AS DECIMAL(24,0))),
+  (26, 5, CAST('2677850419968' AS DECIMAL(24,0))),
+  (26, 6, CAST('3570467226624' AS DECIMAL(24,0))),
+  (26, 7, CAST('4760622968832' AS DECIMAL(24,0))),
+  (26, 8, CAST('6347497291776' AS DECIMAL(24,0))),
+  (26, 9, CAST('8463329722368' AS DECIMAL(24,0))),
+  (26, 10, CAST('11284439629824' AS DECIMAL(24,0))),
+  (26, 11, CAST('15045919506432' AS DECIMAL(24,0))),
+  (26, 12, CAST('20061226008576' AS DECIMAL(24,0))),
+  (26, 13, CAST('26748301344768' AS DECIMAL(24,0))),
+  (26, 14, CAST('35664401793024' AS DECIMAL(24,0))),
+  (26, 15, CAST('47552535724032' AS DECIMAL(24,0))),
+  (26, 16, CAST('63403380965376' AS DECIMAL(24,0))),
+  (26, 17, CAST('84537841287168' AS DECIMAL(24,0))),
+  (26, 18, CAST('112717121716224' AS DECIMAL(24,0))),
+  (26, 19, CAST('150289495621632' AS DECIMAL(24,0))),
+  (26, 20, CAST('200385994162176' AS DECIMAL(24,0))),
+  (26, 21, CAST('267181325549568' AS DECIMAL(24,0))),
+  (26, 22, CAST('356241767399424' AS DECIMAL(24,0))),
+  (26, 23, CAST('474989023199232' AS DECIMAL(24,0))),
+  (26, 24, CAST('633318697598976' AS DECIMAL(24,0))),
+  (26, 25, CAST('844424930131968' AS DECIMAL(24,0))),
+  (26, 26, CAST('1125899906842624' AS DECIMAL(24,0))),
+  (27, 0, CAST('7625597484987' AS DECIMAL(24,0))),
+  (27, 1, CAST('2541865828329' AS DECIMAL(24,0))),
+  (27, 2, CAST('3389154437772' AS DECIMAL(24,0))),
+  (27, 3, CAST('4518872583696' AS DECIMAL(24,0))),
+  (27, 4, CAST('6025163444928' AS DECIMAL(24,0))),
+  (27, 5, CAST('8033551259904' AS DECIMAL(24,0))),
+  (27, 6, CAST('10711401679872' AS DECIMAL(24,0))),
+  (27, 7, CAST('14281868906496' AS DECIMAL(24,0))),
+  (27, 8, CAST('19042491875328' AS DECIMAL(24,0))),
+  (27, 9, CAST('25389989167104' AS DECIMAL(24,0))),
+  (27, 10, CAST('33853318889472' AS DECIMAL(24,0))),
+  (27, 11, CAST('45137758519296' AS DECIMAL(24,0))),
+  (27, 12, CAST('60183678025728' AS DECIMAL(24,0))),
+  (27, 13, CAST('80244904034304' AS DECIMAL(24,0))),
+  (27, 14, CAST('106993205379072' AS DECIMAL(24,0))),
+  (27, 15, CAST('142657607172096' AS DECIMAL(24,0))),
+  (27, 16, CAST('190210142896128' AS DECIMAL(24,0))),
+  (27, 17, CAST('253613523861504' AS DECIMAL(24,0))),
+  (27, 18, CAST('338151365148672' AS DECIMAL(24,0))),
+  (27, 19, CAST('450868486864896' AS DECIMAL(24,0))),
+  (27, 20, CAST('601157982486528' AS DECIMAL(24,0))),
+  (27, 21, CAST('801543976648704' AS DECIMAL(24,0))),
+  (27, 22, CAST('1068725302198272' AS DECIMAL(24,0))),
+  (27, 23, CAST('1424967069597696' AS DECIMAL(24,0))),
+  (27, 24, CAST('1899956092796928' AS DECIMAL(24,0))),
+  (27, 25, CAST('2533274790395904' AS DECIMAL(24,0))),
+  (27, 26, CAST('3377699720527872' AS DECIMAL(24,0))),
+  (27, 27, CAST('4503599627370496' AS DECIMAL(24,0))),
+  (28, 0, CAST('22876792454961' AS DECIMAL(24,0))),
+  (28, 1, CAST('7625597484987' AS DECIMAL(24,0))),
+  (28, 2, CAST('10167463313316' AS DECIMAL(24,0))),
+  (28, 3, CAST('13556617751088' AS DECIMAL(24,0))),
+  (28, 4, CAST('18075490334784' AS DECIMAL(24,0))),
+  (28, 5, CAST('24100653779712' AS DECIMAL(24,0))),
+  (28, 6, CAST('32134205039616' AS DECIMAL(24,0))),
+  (28, 7, CAST('42845606719488' AS DECIMAL(24,0))),
+  (28, 8, CAST('57127475625984' AS DECIMAL(24,0))),
+  (28, 9, CAST('76169967501312' AS DECIMAL(24,0))),
+  (28, 10, CAST('101559956668416' AS DECIMAL(24,0))),
+  (28, 11, CAST('135413275557888' AS DECIMAL(24,0))),
+  (28, 12, CAST('180551034077184' AS DECIMAL(24,0))),
+  (28, 13, CAST('240734712102912' AS DECIMAL(24,0))),
+  (28, 14, CAST('320979616137216' AS DECIMAL(24,0))),
+  (28, 15, CAST('427972821516288' AS DECIMAL(24,0))),
+  (28, 16, CAST('570630428688384' AS DECIMAL(24,0))),
+  (28, 17, CAST('760840571584512' AS DECIMAL(24,0))),
+  (28, 18, CAST('1014454095446016' AS DECIMAL(24,0))),
+  (28, 19, CAST('1352605460594688' AS DECIMAL(24,0))),
+  (28, 20, CAST('1803473947459584' AS DECIMAL(24,0))),
+  (28, 21, CAST('2404631929946112' AS DECIMAL(24,0))),
+  (28, 22, CAST('3206175906594816' AS DECIMAL(24,0))),
+  (28, 23, CAST('4274901208793088' AS DECIMAL(24,0))),
+  (28, 24, CAST('5699868278390784' AS DECIMAL(24,0))),
+  (28, 25, CAST('7599824371187712' AS DECIMAL(24,0))),
+  (28, 26, CAST('10133099161583616' AS DECIMAL(24,0))),
+  (28, 27, CAST('13510798882111488' AS DECIMAL(24,0))),
+  (28, 28, CAST('18014398509481984' AS DECIMAL(24,0)))"""
+
+
+def events_ewma_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin evaluation of the EWMA forecaster: 10 one-step
+    forecasts per event type (origins day 20..29 forecasting the next
+    day), each computed by the exact integer unrolling; output per
+    type: n_forecasts, MAE, bias (mean signed error), both as closed-
+    form doubles over exact decimal cent totals."""
+    t = load_tables(spark, sf_dir)
+    e = t["events"].select(
+        "event_type",
+        (F.dayofmonth("ts") - 1).alias("i"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    daily = e.groupBy("event_type", "i").agg(
+        F.sum("cents").cast("decimal(14,0)").alias("x")
+    )
+    wdf = spark.createDataFrame(
+        _BACKTEST_WEIGHTS, "T int, i int, w string"
+    ).withColumn("w", F.col("w").cast("decimal(24,0)"))
+    weighted = daily.join(F.broadcast(wdf), "i").withColumn(
+        "wx", (F.col("w") * F.col("x")).cast("decimal(38,0)")
+    )
+    fc = weighted.groupBy("event_type", "T").agg(
+        F.sum("wx").cast("decimal(38,0)").alias("s_scaled")
+    ).withColumn(
+        "forecast_cents",
+        F.col("s_scaled").cast("double")
+        / F.pow(F.lit(4.0), F.col("T").cast("double")),
+    )
+    actual = daily.select(
+        "event_type", (F.col("i") - 1).cast("int").alias("T"),
+        F.col("x").cast("double").alias("actual_cents"),
+    )
+    joined = fc.join(actual, ["event_type", "T"]).where(
+        F.col("T").isin(_BACKTEST_ORIGINS)
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_forecasts"),
+            F.round(
+                F.avg(F.abs(F.col("actual_cents") - F.col("forecast_cents")))
+                / 100, 2
+            ).alias("mae"),
+            F.round(
+                F.avg(F.col("actual_cents") - F.col("forecast_cents")) / 100, 2
+            ).alias("bias"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_EWMA_BACKTEST_SQL = f"""
+WITH e AS (
+  SELECT event_type, CAST(EXTRACT(DAY FROM ts) - 1 AS INT) AS i,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+), daily AS (
+  SELECT event_type, i, CAST(SUM(cents) AS DECIMAL(14,0)) AS x
+  FROM e GROUP BY 1, 2
+), wt(T, i, w) AS (
+  SELECT * FROM (VALUES
+  {_BACKTEST_WEIGHTS_SQL}
+  ) v(T, i, w)
+), fc AS (
+  SELECT d.event_type, wt.T,
+         CAST(SUM(wt.w * d.x) AS DECIMAL(38,0)) AS s_scaled
+  FROM daily d JOIN wt ON wt.i = d.i
+  GROUP BY 1, 2
+), fval AS (
+  SELECT event_type, T,
+         CAST(s_scaled AS DOUBLE) / POWER(4.0, T) AS forecast_cents
+  FROM fc
+), joined AS (
+  SELECT f.event_type, f.T, f.forecast_cents,
+         CAST(d.x AS DOUBLE) AS actual_cents
+  FROM fval f JOIN daily d
+    ON d.event_type = f.event_type AND d.i = f.T + 1
+  WHERE f.T BETWEEN 19 AND 28
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_forecasts,
+       ROUND(AVG(ABS(actual_cents - forecast_cents)) / 100, 2) AS mae,
+       ROUND(AVG(actual_cents - forecast_cents) / 100, 2) AS bias
+FROM joined GROUP BY 1 ORDER BY event_type
+"""
+
+
 EVENTOPS_QUERIES: dict[str, tuple] = {
+    "events_ewma_backtest": (events_ewma_backtest, EVENTS_EWMA_BACKTEST_SQL),
     "events_logrank_test": (events_logrank_test, EVENTS_LOGRANK_SQL),
     "events_kaplan_meier": (events_kaplan_meier, EVENTS_KM_SQL),
     "events_cuped_adjustment": (events_cuped_adjustment, EVENTS_CUPED_SQL),
