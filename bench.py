@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "kg_ktruss",
     "parts_skyline",
     "orders_association_rules",
+    "orders_dq_report",
     "events_exact_median",
     "kg_temporal_reachability",
     "customer_kanonymity",

@@ -500,7 +500,112 @@ ORDER BY rank
 """
 
 
+# --- declarative data-quality expectations -----------------------------------
+
+def orders_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectations-framework archetype (the Great-Expectations /
+    dbt-test pattern re-expressed as ONE pass per table): a fixed
+    suite of declarative checks over orders/lineitem — uniqueness,
+    referential integrity, null rates, range conformance, cross-field
+    consistency — each emitting (expectation, n_checked, n_failed,
+    pass). Scale shape: per-table checks fold into a single
+    partial-aggregated scan of that table; the FK check is one
+    broadcast anti-join; nothing quadratic, nothing collected."""
+    t = load_tables(spark, sf_dir)
+    o, l, c = t["orders"], t["lineitem"], t["customer"]
+
+    o_agg = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("dup_keys"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("null_cust"),
+        F.sum((~F.col("o_orderstatus").isin("O", "F", "P")).cast("long"))
+        .alias("bad_status"),
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("bad_price"),
+    ).first()
+    l_agg = l.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("l_quantity") <= 0).cast("long")).alias("bad_qty"),
+        F.sum(
+            ((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1))
+            .cast("long")
+        ).alias("bad_disc"),
+        F.sum(
+            (~F.col("l_shipdate").between("1995-01-01", "2001-12-31"))
+            .cast("long")
+        ).alias("bad_dates"),
+    ).first()
+    orphan_orders = (
+        o.join(F.broadcast(c.select("c_custkey")),
+               o["o_custkey"] == c["c_custkey"], "left_anti").count()
+    )
+    orphan_lines = (
+        l.join(o.select("o_orderkey"),
+               l["l_orderkey"] == o["o_orderkey"], "left_anti").count()
+    )
+
+    rows = [
+        ("orders.o_orderkey unique", int(o_agg["n"]), int(o_agg["dup_keys"])),
+        ("orders.o_custkey not null", int(o_agg["n"]), int(o_agg["null_cust"])),
+        ("orders.o_orderstatus in (O,F,P)", int(o_agg["n"]), int(o_agg["bad_status"])),
+        ("orders.o_totalprice > 0", int(o_agg["n"]), int(o_agg["bad_price"])),
+        ("orders.o_custkey fk customer", int(o_agg["n"]), int(orphan_orders)),
+        ("lineitem.l_quantity > 0", int(l_agg["n"]), int(l_agg["bad_qty"])),
+        ("lineitem.l_discount in [0,0.1]", int(l_agg["n"]), int(l_agg["bad_disc"])),
+        ("lineitem.l_shipdate in 1995..2001", int(l_agg["n"]), int(l_agg["bad_dates"])),
+        ("lineitem.l_orderkey fk orders", int(l_agg["n"]), int(orphan_lines)),
+    ]
+    return spark.createDataFrame(
+        [(e, n, f, f == 0) for e, n, f in rows],
+        "expectation string, n_checked long, n_failed long, passed boolean",
+    ).orderBy("expectation")
+
+
+ORDERS_DQ_SQL = """
+WITH o_agg AS (
+  SELECT COUNT(*) AS n,
+         COUNT(*) - COUNT(DISTINCT o_orderkey) AS dup_keys,
+         SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_cust,
+         SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END)
+           AS bad_status,
+         SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS bad_price
+  FROM orders
+), l_agg AS (
+  SELECT COUNT(*) AS n,
+         SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS bad_qty,
+         SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END)
+           AS bad_disc,
+         SUM(CASE WHEN l_shipdate NOT BETWEEN DATE '1995-01-01'
+                                         AND DATE '2001-12-31'
+                  THEN 1 ELSE 0 END) AS bad_dates
+  FROM lineitem
+), orphans_o AS (
+  SELECT COUNT(*) AS k FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+), orphans_l AS (
+  SELECT COUNT(*) AS k FROM lineitem l
+  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+), rows_out AS (
+  SELECT 'orders.o_orderkey unique' AS expectation, n AS n_checked,
+         dup_keys AS n_failed FROM o_agg
+  UNION ALL SELECT 'orders.o_custkey not null', n, null_cust FROM o_agg
+  UNION ALL SELECT 'orders.o_orderstatus in (O,F,P)', n, bad_status FROM o_agg
+  UNION ALL SELECT 'orders.o_totalprice > 0', n, bad_price FROM o_agg
+  UNION ALL SELECT 'orders.o_custkey fk customer', (SELECT n FROM o_agg),
+                   k FROM orphans_o
+  UNION ALL SELECT 'lineitem.l_quantity > 0', n, bad_qty FROM l_agg
+  UNION ALL SELECT 'lineitem.l_discount in [0,0.1]', n, bad_disc FROM l_agg
+  UNION ALL SELECT 'lineitem.l_shipdate in 1995..2001', n, bad_dates FROM l_agg
+  UNION ALL SELECT 'lineitem.l_orderkey fk orders', (SELECT n FROM l_agg),
+                   k FROM orphans_l
+)
+SELECT expectation, CAST(n_checked AS BIGINT) AS n_checked,
+       CAST(n_failed AS BIGINT) AS n_failed, n_failed = 0 AS passed
+FROM rows_out ORDER BY expectation
+"""
+
+
 RELATIONAL4_QUERIES: dict[str, tuple] = {
+    "orders_dq_report": (orders_dq_report, ORDERS_DQ_SQL),
     "orders_association_rules": (orders_association_rules, ORDERS_ASSOC_SQL),
     "parts_skyline": (parts_skyline, SKYLINE_SQL),
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
