@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "events_kaplan_meier",
     "events_logrank_test",
     "events_ewma_backtest",
+    "events_rfm_segments",
     "doc_classifier_agreement",
     "table_mor_deletes",
     "table_mor_updates",

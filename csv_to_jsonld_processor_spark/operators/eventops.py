@@ -1628,7 +1628,80 @@ FROM joined GROUP BY 1 ORDER BY event_type
 """
 
 
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (the classic CRM cut): per purchasing user,
+    Recency = last purchase day, Frequency = purchase count, Monetary
+    = cent total — each scored into quartiles with NTILE over a TOTAL
+    order (metric, then user_id — the tie-break makes bucketing
+    deterministic and engine-identical). Output per (r, f, m) segment:
+    users and decimal-exact monetary sum, the highest-value segments
+    first.
+
+    Scale note: the global NTILE single-partitions the per-user
+    DIMENSION table (already reduced from the event stream by the
+    groupBy) — at 100 TB the quartile boundaries come from the exact
+    rank-selection histogram (events_exact_median's shape) and the
+    scores from a broadcast range lookup instead."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    per_user = (
+        t["events"].where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.dayofmonth("ts")).alias("recency_day"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("monetary_c"),
+        )
+    )
+    scored = (
+        per_user
+        .withColumn("r", F.ntile(4).over(
+            Window.orderBy(F.desc("recency_day"), F.asc("user_id"))))
+        .withColumn("f", F.ntile(4).over(
+            Window.orderBy(F.desc("frequency"), F.asc("user_id"))))
+        .withColumn("m", F.ntile(4).over(
+            Window.orderBy(F.desc("monetary_c"), F.asc("user_id"))))
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            (F.sum(F.col("monetary_c").cast("decimal(28,0)"))
+             .cast("double") / 100).alias("monetary_total"),
+        )
+        .select(
+            "r", "f", "m", "n_users",
+            F.round("monetary_total", 2).alias("monetary_total"),
+        )
+        .orderBy("r", "f", "m")
+    )
+
+
+EVENTS_RFM_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         MAX(EXTRACT(DAY FROM ts)) AS recency_day,
+         COUNT(*) AS frequency,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS monetary_c
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+), scored AS (
+  SELECT *,
+         NTILE(4) OVER (ORDER BY recency_day DESC, user_id ASC) AS r,
+         NTILE(4) OVER (ORDER BY frequency DESC, user_id ASC) AS f,
+         NTILE(4) OVER (ORDER BY monetary_c DESC, user_id ASC) AS m
+  FROM per_user
+)
+SELECT CAST(r AS INT) AS r, CAST(f AS INT) AS f, CAST(m AS INT) AS m,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(CAST(SUM(CAST(monetary_c AS DECIMAL(28,0))) AS DOUBLE) / 100, 2)
+         AS monetary_total
+FROM scored GROUP BY 1, 2, 3 ORDER BY r, f, m
+"""
+
+
 EVENTOPS_QUERIES: dict[str, tuple] = {
+    "events_rfm_segments": (events_rfm_segments, EVENTS_RFM_SQL),
     "events_ewma_backtest": (events_ewma_backtest, EVENTS_EWMA_BACKTEST_SQL),
     "events_logrank_test": (events_logrank_test, EVENTS_LOGRANK_SQL),
     "events_kaplan_meier": (events_kaplan_meier, EVENTS_KM_SQL),
