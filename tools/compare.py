@@ -56,11 +56,16 @@ def main():
     only = set(sys.argv[2:]) or set(qs)
 
     spark = get_spark("compare", cpus=8)
-    con = duckdb.connect()
-    for t in TABLES:
-        p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    def fresh_con():
+        c = duckdb.connect()
+        for t in TABLES:
+            p = os.path.join(sf_dir, f"{t}.parquet")
+            if os.path.exists(p):
+                c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        return c
+
+    con = fresh_con()
 
     failures = 0
     n_run = 0
@@ -88,6 +93,12 @@ def main():
             )
             _kgq._EDGES_MEMO.clear()
             _fxq._TRIPLES_MEMO.clear()
+            # DuckDB accumulates buffer-pool/metadata across hundreds
+            # of oracle executions in the same process as the 16g
+            # Spark driver — observed bad-allocation at query ~215;
+            # recycling the connection frees it (views re-registered)
+            con.close()
+            con = fresh_con()
         sdf = fn(spark, sf_dir)
         srows = [tuple(r) for r in sdf.collect()]
         scols = sdf.columns
