@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "events_logrank_test",
     "events_ewma_backtest",
     "events_rfm_segments",
+    "events_conversion_latency",
     "doc_classifier_agreement",
     "table_mor_deletes",
     "table_mor_updates",

@@ -1700,7 +1700,82 @@ FROM scored GROUP BY 1, 2, 3 ORDER BY r, f, m
 """
 
 
+def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per user, days from first view to
+    first purchase (converters only); EXACT p50/p90 via the domain-
+    histogram rank selection (events_exact_median's shape — one
+    bounded groupBy on the 0..29 delta domain, a cumulative window
+    over ≤30 rows, never a data sort), plus converter counts and the
+    same-day-conversion share, all exact integers."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    firsts = ev.where(F.col("event_type").isin("view", "purchase")).groupBy(
+        "user_id"
+    ).agg(
+        F.min(F.when(F.col("event_type") == "view",
+                     F.dayofmonth("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "purchase",
+                     F.dayofmonth("ts"))).alias("first_purchase"),
+    ).where(
+        F.col("first_view").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_view"))
+    ).withColumn("delta", F.col("first_purchase") - F.col("first_view"))
+    hist = firsts.groupBy("delta").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = Window.orderBy("delta").rowsBetween(Window.unboundedPreceding, 0)
+    tot = firsts.count()
+    ranked = hist.withColumn("cum", F.sum("c").over(w))
+    p50 = ranked.where(F.col("cum") >= (tot + 1) // 2).agg(
+        F.min("delta")).first()[0]
+    p90 = ranked.where(F.col("cum") * 10 >= tot * 9).agg(
+        F.min("delta")).first()[0]
+    same_day = firsts.where(F.col("delta") == 0).count()
+    return spark.createDataFrame(
+        [(int(tot), int(p50), int(p90), int(same_day))],
+        "n_converters long, p50_days long, p90_days long, n_same_day long",
+    ).withColumn(
+        "same_day_share",
+        F.round(F.col("n_same_day") / F.col("n_converters"), 6),
+    )
+
+
+EVENTS_CONV_LATENCY_SQL = """
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view'
+                  THEN EXTRACT(DAY FROM ts) END) AS fv,
+         MIN(CASE WHEN event_type = 'purchase'
+                  THEN EXTRACT(DAY FROM ts) END) AS fp
+  FROM events WHERE event_type IN ('view', 'purchase')
+  GROUP BY 1
+), conv AS (
+  SELECT fp - fv AS delta FROM firsts
+  WHERE fv IS NOT NULL AND fp IS NOT NULL AND fp >= fv
+), hist AS (
+  SELECT delta, COUNT(*) AS c FROM conv GROUP BY 1
+), ranked AS (
+  SELECT delta, c,
+         SUM(c) OVER (ORDER BY delta
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM hist
+), tot AS (SELECT COUNT(*) AS n FROM conv)
+SELECT CAST((SELECT n FROM tot) AS BIGINT) AS n_converters,
+       CAST((SELECT MIN(delta) FROM ranked
+             WHERE cum >= ((SELECT n FROM tot) + 1) // 2) AS BIGINT)
+         AS p50_days,
+       CAST((SELECT MIN(delta) FROM ranked
+             WHERE cum * 10 >= (SELECT n FROM tot) * 9) AS BIGINT) AS p90_days,
+       CAST((SELECT COALESCE(SUM(c), 0) FROM hist WHERE delta = 0) AS BIGINT)
+         AS n_same_day,
+       ROUND(CAST((SELECT COALESCE(SUM(c), 0) FROM hist WHERE delta = 0)
+                  AS DOUBLE) / (SELECT n FROM tot), 6) AS same_day_share
+"""
+
+
 EVENTOPS_QUERIES: dict[str, tuple] = {
+    "events_conversion_latency": (events_conversion_latency, EVENTS_CONV_LATENCY_SQL),
     "events_rfm_segments": (events_rfm_segments, EVENTS_RFM_SQL),
     "events_ewma_backtest": (events_ewma_backtest, EVENTS_EWMA_BACKTEST_SQL),
     "events_logrank_test": (events_logrank_test, EVENTS_LOGRANK_SQL),
