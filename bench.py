@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     # totals compare via round1_subset_seconds)
     "doc_dsir_weights",
     "doc_chunk_windows",
+    "doc_readability",
     "table_time_travel",
     "events_stream_join",
     "sql_shared_grouping_sets",

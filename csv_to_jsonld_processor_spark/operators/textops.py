@@ -1430,6 +1430,68 @@ FROM e GROUP BY source ORDER BY source
 """
 
 
+def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability scoring (Flesch reading ease) from pure integer
+    counts: words (whitespace tokens), sentences (terminal-punctuation
+    runs, min 1), and syllables approximated as vowel-cluster counts
+    ([aeiouy]+ — the standard heuristic; identical semantics in Java
+    regex and RE2 for this class). Per source: doc count, mean words
+    per sentence, mean syllables per word, and the mean Flesch score
+    206.835 - 1.015 (W/S) - 84.6 (Y/W) — closed-form doubles over
+    exact per-doc integers, averaged over exact counts."""
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].select(
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("w"),
+        F.greatest(
+            F.lit(1),
+            F.regexp_count(F.col("text"), F.lit("[.!?]+")),
+        ).cast("long").alias("s"),
+        F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+"))
+        .cast("long").alias("y"),
+    ).withColumn(
+        "flesch",
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("w").cast("double") / F.col("s"))
+        - F.lit(84.6) * (F.col("y").cast("double") / F.col("w")),
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("w").cast("long").alias("total_words"),
+            F.round(F.sum("w") / F.sum("s"), 4).alias("words_per_sentence"),
+            F.round(F.sum("y") / F.sum("w"), 4).alias("syllables_per_word"),
+            F.round(F.avg("flesch"), 4).alias("mean_flesch"),
+        )
+        .orderBy("source")
+    )
+
+
+DOC_READABILITY_SQL = """
+WITH d AS (
+  SELECT source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+         CAST(GREATEST(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT)
+           AS s,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+           AS y
+  FROM documents
+), scored AS (
+  SELECT source, w, s, y,
+         206.835 - 1.015 * (CAST(w AS DOUBLE) / s)
+                 - 84.6 * (CAST(y AS DOUBLE) / w) AS flesch
+  FROM d
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(w) AS BIGINT) AS total_words,
+       ROUND(CAST(SUM(w) AS DOUBLE) / SUM(s), 4) AS words_per_sentence,
+       ROUND(CAST(SUM(y) AS DOUBLE) / SUM(w), 4) AS syllables_per_word,
+       ROUND(AVG(flesch), 4) AS mean_flesch
+FROM scored GROUP BY source ORDER BY source
+"""
+
+
 TEXT_QUERIES: dict[str, tuple] = {
     "doc_bigram_lm_score": (doc_bigram_lm_score, DOC_BIGRAM_LM_SQL),
     "doc_dsir_weights": (doc_dsir_weights, DOC_DSIR_SQL),
@@ -1452,4 +1514,5 @@ TEXT_QUERIES: dict[str, tuple] = {
     "doc_temperature_mixture": (doc_temperature_mixture, DOC_TEMP_MIXTURE_SQL),
     "doc_source_audit": (doc_source_audit, DOC_SOURCE_AUDIT_SQL),
     "doc_chunk_windows": (doc_chunk_windows, DOC_CHUNK_SQL),
+    "doc_readability": (doc_readability, DOC_READABILITY_SQL),
 }
