@@ -303,3 +303,35 @@ def test_gif_lzw_roundtrip_exact_and_adversarial(spark):
     pal = decode_gif(synth_gif(0)[0])["palette"]
     assert all(pal[3 * i] == pal[3 * i + 1] == pal[3 * i + 2] == i
                for i in range(256))
+
+
+def test_png_gif_cross_codec_pixel_identity(spark):
+    """Two independent codecs, one truth: a grayscale raster encoded as
+    RGB PNG and as indexed GIF must decode to identical pixel values
+    (PNG channels replicate the gray index) — ties the DEFLATE+filter
+    path and the LZW path to the same bytes."""
+    import hashlib
+
+    from csv_to_jsonld_processor_spark.sources.multimodal import (
+        decode_gif,
+        decode_png,
+        encode_gif,
+        encode_png,
+    )
+
+    for seed in (b"a", b"b", b"c"):
+        w, h = 24, 16
+        gray = (hashlib.sha256(seed).digest() * ((w * h) // 32 + 1))[: w * h]
+        rgb = bytes(v for g in gray for v in (g, g, g))
+        png = decode_png(encode_png(w, h, rgb))
+        gif = decode_gif(encode_gif(w, h, [gray]))
+        assert png["width"] == gif["width"] == w
+        assert png["height"] == gif["height"] == h
+        # PNG payload is RGB; every channel must equal the GIF index
+        png_gray = bytes(png["payload"][i * 3] for i in range(w * h))
+        assert png_gray == gif["frames"][0] == gray
+        assert all(
+            png["payload"][i * 3] == png["payload"][i * 3 + 1]
+            == png["payload"][i * 3 + 2]
+            for i in range(w * h)
+        )
