@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "events_ewma_backtest",
     "events_rfm_segments",
     "events_conversion_latency",
+    "events_holt_forecast",
     "doc_classifier_agreement",
     "table_mor_deletes",
     "table_mor_updates",

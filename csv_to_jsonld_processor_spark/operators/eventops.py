@@ -1774,7 +1774,132 @@ SELECT CAST((SELECT n FROM tot) AS BIGINT) AS n_converters,
 """
 
 
+# --- Holt linear-trend forecast (exact dyadic unrolling) ---------------------
+
+def _holt_weights(T: int = 29):
+    """Exact per-day weights of the Holt (alpha=beta=1/2) one-step
+    forecast l_T + b_T, derived by unrolling the coupled recursions in
+    rational arithmetic at import time; with dyadic smoothing constants
+    every weight is an integer over a power-of-two denominator (2^56
+    at T=29), so the weighted sum is exact decimal arithmetic and the
+    weights provably sum to 1 (asserted)."""
+    from fractions import Fraction
+    from math import lcm
+
+    level = {0: Fraction(1)}
+    trend = {0: Fraction(-1), 1: Fraction(1)}  # b_0 = x_1 - x_0
+    for t in range(1, T + 1):
+        nl: dict = {}
+        for i, c in level.items():
+            nl[i] = nl.get(i, Fraction(0)) + c / 2
+        for i, c in trend.items():
+            nl[i] = nl.get(i, Fraction(0)) + c / 2
+        nl[t] = nl.get(t, Fraction(0)) + Fraction(1, 2)
+        nb: dict = {}
+        for i, c in nl.items():
+            nb[i] = nb.get(i, Fraction(0)) + c / 2
+        for i, c in level.items():
+            nb[i] = nb.get(i, Fraction(0)) - c / 2
+        for i, c in trend.items():
+            nb[i] = nb.get(i, Fraction(0)) + c / 2
+        level, trend = nl, nb
+    fc: dict = {}
+    for i, c in level.items():
+        fc[i] = fc.get(i, Fraction(0)) + c
+    for i, c in trend.items():
+        fc[i] = fc.get(i, Fraction(0)) + c
+    den = lcm(*[c.denominator for c in fc.values()])
+    ws = {i: int(c * den) for i, c in sorted(fc.items())}
+    assert sum(ws.values()) == den  # forecast weights sum to exactly 1
+    return den, ws
+
+
+_HOLT_DEN, _HOLT_W = _holt_weights()
+
+
+def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend-aware forecasting: Holt's linear method (level + trend,
+    alpha=beta=1/2) one-step-ahead forecast of the daily value series
+    per event type, computed EXACTLY: the coupled recursions unroll at
+    import time to integer weights over 2^56 (weights sum to exactly
+    1), the weighted sum runs in DECIMAL over exact cent totals, and
+    only the final rescale divides doubles. Output per type: last
+    actual, the EWMA forecast's sibling with trend, and the error —
+    comparable side-by-side with events_ewma_forecast."""
+    t = load_tables(spark, sf_dir)
+    e = t["events"].select(
+        "event_type",
+        (F.dayofmonth("ts") - 1).alias("i"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    daily = e.groupBy("event_type", "i").agg(
+        F.sum("cents").cast("decimal(14,0)").alias("x")
+    )
+    wdf = spark.createDataFrame(
+        [(i, str(w)) for i, w in _HOLT_W.items()], "i int, w string"
+    ).withColumn("w", F.col("w").cast("decimal(24,0)"))
+    agg = (
+        daily.join(F.broadcast(wdf), "i")
+        .withColumn("wx", (F.col("w") * F.col("x")).cast("decimal(38,0)"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("wx").cast("decimal(38,0)").alias("s_scaled"),
+            F.max(F.when(F.col("i") == 29, F.col("x"))).alias("last_cents"),
+        )
+    )
+    scale = float(_HOLT_DEN) * 100.0
+    return agg.select(
+        "event_type",
+        F.round(F.col("last_cents").cast("double") / 100.0, 2)
+        .alias("last_actual"),
+        F.round(F.col("s_scaled").cast("double") / F.lit(scale), 2)
+        .alias("holt_forecast"),
+        F.round(
+            F.abs(F.col("last_cents").cast("double") / 100.0
+                  - F.col("s_scaled").cast("double") / F.lit(scale)), 2
+        ).alias("abs_error"),
+    ).orderBy("event_type")
+
+
+def _holt_sql() -> str:
+    rows = ",\n  ".join(
+        f"({i}, CAST('{w}' AS DECIMAL(24,0)))" for i, w in _HOLT_W.items()
+    )
+    return f"""
+WITH e AS (
+  SELECT event_type, CAST(EXTRACT(DAY FROM ts) - 1 AS INT) AS i,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+), daily AS (
+  SELECT event_type, i, CAST(SUM(cents) AS DECIMAL(14,0)) AS x
+  FROM e GROUP BY 1, 2
+), wt(i, w) AS (
+  SELECT * FROM (VALUES
+  {{rows}}
+  ) v(i, w)
+), agg AS (
+  SELECT d.event_type,
+         CAST(SUM(wt.w * d.x) AS DECIMAL(38,0)) AS s_scaled,
+         MAX(CASE WHEN d.i = 29 THEN d.x END) AS last_cents
+  FROM daily d JOIN wt ON wt.i = d.i
+  GROUP BY 1
+)
+SELECT event_type,
+       ROUND(CAST(last_cents AS DOUBLE) / 100.0, 2) AS last_actual,
+       ROUND(CAST(s_scaled AS DOUBLE) / {{scale!r}}, 2) AS holt_forecast,
+       ROUND(ABS(CAST(last_cents AS DOUBLE) / 100.0
+                 - CAST(s_scaled AS DOUBLE) / {{scale!r}}), 2) AS abs_error
+FROM agg ORDER BY event_type
+""".replace("{rows}", rows).replace(
+        "{scale!r}", repr(float(_HOLT_DEN) * 100.0)
+    )
+
+
+EVENTS_HOLT_SQL = _holt_sql()
+
+
 EVENTOPS_QUERIES: dict[str, tuple] = {
+    "events_holt_forecast": (events_holt_forecast, EVENTS_HOLT_SQL),
     "events_conversion_latency": (events_conversion_latency, EVENTS_CONV_LATENCY_SQL),
     "events_rfm_segments": (events_rfm_segments, EVENTS_RFM_SQL),
     "events_ewma_backtest": (events_ewma_backtest, EVENTS_EWMA_BACKTEST_SQL),

@@ -317,3 +317,36 @@ def test_kaplan_meier_matches_reference_estimator(spark):
         assert abs(surv - float(ws)) < 1e-6, day
     survs = [s for _, _, s in got]
     assert survs == sorted(survs, reverse=True)
+
+
+def test_holt_unrolling_equals_sequential_recursion(spark):
+    """The dyadic-weight Holt forecast must equal the sequential
+    coupled recursion in exact rationals, per type."""
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from csv_to_jsonld_processor_spark.operators.eventops import (
+        events_holt_forecast,
+    )
+    from csv_to_jsonld_processor_spark.session import load_tables
+
+    sf = "/root/testdata/sf0.001"
+    t = load_tables(spark, sf)
+    rows = t["events"].groupBy(
+        "event_type", F.dayofmonth("ts").alias("d")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("c")).collect()
+    series = {}
+    for r in rows:
+        series.setdefault(r["event_type"], {})[r["d"] - 1] = r["c"]
+    got = {r["event_type"]: r["holt_forecast"]
+           for r in events_holt_forecast(spark, sf).collect()}
+    for et, days in series.items():
+        x = [Fraction(days.get(i, 0)) for i in range(30)]
+        level, trend = x[0], x[1] - x[0]
+        for tt in range(1, 30):
+            nl = (x[tt] + level + trend) / 2
+            trend = (nl - level + trend) / 2
+            level = nl
+        want = float(level + trend) / 100.0
+        assert abs(got[et] - round(want, 2)) < 1e-9, et
