@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "events_rfm_segments",
     "events_conversion_latency",
     "events_holt_forecast",
+    "events_forecast_tournament",
     "doc_classifier_agreement",
     "table_mor_deletes",
     "table_mor_updates",

@@ -1898,7 +1898,130 @@ FROM agg ORDER BY event_type
 EVENTS_HOLT_SQL = _holt_sql()
 
 
+# --- forecast model tournament -----------------------------------------------
+
+def _ewma_weights_at(T: int) -> list[int]:
+    return [3 ** T] + [3 ** (T - i) * 4 ** (i - 1) for i in range(1, T + 1)]
+
+
+def events_forecast_tournament(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model selection the honest way: four forecasters — naive
+    (carry last), expanding mean, EWMA(1/4), Holt(1/2,1/2) — compete
+    on the same rolling-origin backtest (origins day 20..29, one-step
+    ahead). Every forecast is exact arithmetic over cent totals
+    (integer weight tables for the smoothers, exact rational mean),
+    MAE per (type, model), and the per-type winner by (MAE, model
+    name). The composition closes the forecasting story: baselines
+    first, smoothers must beat them to win."""
+    t = load_tables(spark, sf_dir)
+    e = t["events"].select(
+        "event_type",
+        (F.dayofmonth("ts") - 1).alias("i"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    daily = e.groupBy("event_type", "i").agg(
+        F.sum("cents").cast("decimal(14,0)").alias("x")
+    )
+    origins = list(range(19, 29))
+
+    # weight tables: (model, T, i, w_num, den) — exact integers
+    rows = []
+    for T in origins:
+        ew = _ewma_weights_at(T)
+        for i, w in enumerate(ew):
+            rows.append(("ewma", T, i, str(w), str(4 ** T)))
+        hden, hws = _holt_weights(T)
+        for i, w in hws.items():
+            rows.append(("holt", T, i, str(w), str(hden)))
+        for i in range(T + 1):
+            rows.append(("mean", T, i, "1", str(T + 1)))
+        rows.append(("naive", T, T, "1", "1"))
+    wdf = spark.createDataFrame(
+        rows, "model string, T int, i int, w string, den string"
+    ).select(
+        "model", "T", "i",
+        F.col("w").cast("decimal(24,0)").alias("w"),
+        F.col("den").cast("double").alias("den"),
+    )
+    fc = (
+        daily.join(F.broadcast(wdf), "i")
+        .withColumn("wx", (F.col("w") * F.col("x")).cast("decimal(38,0)"))
+        .groupBy("event_type", "model", "T")
+        .agg(
+            (F.sum("wx").cast("double") / F.max("den")).alias("forecast_cents")
+        )
+    )
+    actual = daily.select(
+        "event_type", (F.col("i") - 1).cast("int").alias("T"),
+        F.col("x").cast("double").alias("actual_cents"),
+    )
+    scored = fc.join(actual, ["event_type", "T"])
+    mae = scored.groupBy("event_type", "model").agg(
+        F.round(
+            F.avg(F.abs(F.col("actual_cents") - F.col("forecast_cents"))) / 100,
+            2,
+        ).alias("mae")
+    )
+    from pyspark.sql import Window
+
+    w_rank = Window.partitionBy("event_type").orderBy("mae", "model")
+    return (
+        mae.withColumn("rank", F.row_number().over(w_rank).cast("int"))
+        .orderBy("event_type", "rank")
+    )
+
+
+def _tournament_sql() -> str:
+    rows = []
+    for T in range(19, 29):
+        ew = _ewma_weights_at(T)
+        for i, w in enumerate(ew):
+            rows.append(f"('ewma', {T}, {i}, CAST('{w}' AS DECIMAL(24,0)), {float(4 ** T)!r})")
+        hden, hws = _holt_weights(T)
+        for i, w in hws.items():
+            rows.append(f"('holt', {T}, {i}, CAST('{w}' AS DECIMAL(24,0)), {float(hden)!r})")
+        for i in range(T + 1):
+            rows.append(f"('mean', {T}, {i}, CAST('1' AS DECIMAL(24,0)), {float(T + 1)!r})")
+        rows.append(f"('naive', {T}, {T}, CAST('1' AS DECIMAL(24,0)), 1.0)")
+    values = ",\n  ".join(rows)
+    return f"""
+WITH e AS (
+  SELECT event_type, CAST(EXTRACT(DAY FROM ts) - 1 AS INT) AS i,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+), daily AS (
+  SELECT event_type, i, CAST(SUM(cents) AS DECIMAL(14,0)) AS x
+  FROM e GROUP BY 1, 2
+), wt(model, T, i, w, den) AS (
+  SELECT * FROM (VALUES
+  {values}
+  ) v(model, T, i, w, den)
+), fc AS (
+  SELECT d.event_type, wt.model, wt.T,
+         CAST(SUM(wt.w * d.x) AS DOUBLE) / MAX(wt.den) AS forecast_cents
+  FROM daily d JOIN wt ON wt.i = d.i
+  GROUP BY 1, 2, 3
+), scored AS (
+  SELECT f.event_type, f.model, f.T, f.forecast_cents,
+         CAST(d.x AS DOUBLE) AS actual_cents
+  FROM fc f JOIN daily d ON d.event_type = f.event_type AND d.i = f.T + 1
+), mae AS (
+  SELECT event_type, model,
+         ROUND(AVG(ABS(actual_cents - forecast_cents)) / 100, 2) AS mae
+  FROM scored GROUP BY 1, 2
+)
+SELECT event_type, model, mae,
+       CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY mae, model) AS INT) AS rank
+FROM mae ORDER BY event_type, rank
+"""
+
+
+EVENTS_TOURNAMENT_SQL = _tournament_sql()
+
+
 EVENTOPS_QUERIES: dict[str, tuple] = {
+    "events_forecast_tournament": (events_forecast_tournament, EVENTS_TOURNAMENT_SQL),
     "events_holt_forecast": (events_holt_forecast, EVENTS_HOLT_SQL),
     "events_conversion_latency": (events_conversion_latency, EVENTS_CONV_LATENCY_SQL),
     "events_rfm_segments": (events_rfm_segments, EVENTS_RFM_SQL),
