@@ -1762,6 +1762,42 @@ def snapshot_history(table_dir: str) -> list[dict]:
     return out
 
 
+def maintain_table(
+    spark: SparkSession, table_dir: str,
+    max_overlay_chain: int = 3, keep_last: int = 2,
+) -> dict:
+    """One-call table maintenance (the OPTIMIZE/VACUUM housekeeping a
+    lake table needs on a schedule): compact the merge-on-read overlay
+    when the CURRENT chain of overlay commits exceeds
+    ``max_overlay_chain`` (bounding read amplification), then expire
+    old snapshots (dependency-aware) and vacuum orphans. Returns the
+    action report. Safe to run any time: every step uses the standing
+    commit protocol, so readers never observe a half-maintained
+    table."""
+    cur = current_snapshot_id(table_dir)
+    if cur is None:
+        return {"compacted": False, "expired": [], "vacuumed": []}
+    chain = 0
+    sid = cur
+    while (ov := _overlay_info(table_dir, sid)) is not None:
+        chain += 1
+        # stacked overlays share one BASE; chain length = overlay
+        # commits since that base
+        nxt = sid - 1
+        if nxt < 0 or _chain_base(table_dir, nxt) != ov[0] and nxt != ov[0]:
+            break
+        sid = nxt
+        if sid == ov[0]:
+            break
+    compacted = False
+    if chain > max_overlay_chain:
+        compact_mor(spark, table_dir)
+        compacted = True
+    expired = expire_snapshots(table_dir, keep_last=keep_last)
+    vacuumed = vacuum_orphans(table_dir)
+    return {"compacted": compacted, "expired": expired, "vacuumed": vacuumed}
+
+
 def register_snapshot_view(
     spark: SparkSession, table_dir: str, name: str,
     snapshot_id: int | None = None, ref: str | None = None,

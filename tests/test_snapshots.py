@@ -1010,3 +1010,42 @@ def test_schema_evolution_model_fuzz(spark, tmp_path):
         for sid, snap_names in history[::5]:
             old = read_snapshot_evolved(spark, table, sid)
             assert old.columns == snap_names, (seed, sid)
+
+
+def test_maintain_table_compacts_expires_vacuums(spark, tmp_path):
+    """One call bounds read amplification and reclaims space: a deep
+    overlay chain triggers compaction, expiry honors dependencies,
+    vacuum removes orphans, and the merge-on-read view is unchanged
+    throughout."""
+    from pyspark.sql import functions as F
+
+    from csv_to_jsonld_processor_spark.operators.snapshots import (
+        _snap_dir,
+        commit_snapshot,
+        delete_rows_mor,
+        maintain_table,
+        read_snapshot_mor,
+        update_rows_mor,
+    )
+
+    table = str(tmp_path / "t")
+    commit_snapshot(
+        spark, spark.range(60).select(F.col("id").alias("k")), table
+    )
+    for i in range(4):  # overlay chain of 4 (> max 3)
+        update_rows_mor(spark, table, f"k % 11 = {i}", {"k": "k"})
+    delete_rows_mor(spark, table, "k >= 55")
+    before = {r["k"] for r in read_snapshot_mor(spark, table).collect()}
+
+    report = maintain_table(spark, table, max_overlay_chain=3, keep_last=2)
+    assert report["compacted"] is True
+    after = {r["k"] for r in read_snapshot_mor(spark, table).collect()}
+    assert after == before
+
+    # an orphan planted when no commit follows is vacuum's job (a
+    # pre-commit orphan would instead be absorbed by the id-reuse rule)
+    spark.range(3).write.parquet(_snap_dir(table, 90))
+    report2 = maintain_table(spark, table, max_overlay_chain=3, keep_last=2)
+    assert report2["compacted"] is False
+    assert 90 in report2["vacuumed"]
+    assert {r["k"] for r in read_snapshot_mor(spark, table).collect()} == before
