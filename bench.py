@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "events_conversion_latency",
     "events_holt_forecast",
     "events_forecast_tournament",
+    "events_seasonality_audit",
     "doc_classifier_agreement",
     "table_mor_deletes",
     "table_mor_updates",

@@ -2020,7 +2020,77 @@ FROM mae ORDER BY event_type, rank
 EVENTS_TOURNAMENT_SQL = _tournament_sql()
 
 
+def events_seasonality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is there day-of-week seasonality worth modeling? One-way ANOVA
+    on daily purchase totals grouped by day-of-week: between/within
+    sums of squares from EXACT integer moments (daily cent totals,
+    squared in decimal), F = (SSB/(k-1)) / (SSW/(n-k)) as closed-form
+    doubles over exact totals. F < the 5%% critical region => the
+    stationarity the forecast tournament exposed (the expanding mean
+    winning) is CONFIRMED rather than assumed. One row: group count,
+    F statistic, and the decision against F_crit(6, 23) = 2.53."""
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["events"].where(F.col("event_type") == "purchase")
+        .groupBy(F.dayofmonth("ts").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("c"))
+        .withColumn("dow", (F.col("day") % 7).cast("int"))
+    )
+    g = daily.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("c").cast("decimal(28,0)").alias("s_g"),
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("decimal(28,0)").alias("s"),
+        F.sum((F.col("c").cast("decimal(28,0)") * F.col("c")))
+        .cast("decimal(38,0)").alias("ss"),
+    ).first()
+    n, stot, ss = tot["n"], float(tot["s"]), float(tot["ss"])
+    groups = g.collect()
+    k = len(groups)
+    ssb = sum(float(r["s_g"]) ** 2 / r["n_g"] for r in sorted(
+        groups, key=lambda r: r["dow"])) - stot ** 2 / n
+    sst = ss - stot ** 2 / n
+    ssw = sst - ssb
+    f_stat = (ssb / (k - 1)) / (ssw / (n - k))
+    return spark.createDataFrame(
+        [(int(n), int(k), round(f_stat, 6), bool(f_stat >= 2.53))],
+        "n_days long, n_groups long, f_stat double, seasonal boolean",
+    )
+
+
+EVENTS_SEASONALITY_SQL = """
+WITH daily AS (
+  SELECT CAST(EXTRACT(DAY FROM ts) AS INT) AS day,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS c
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+), dowd AS (
+  SELECT day % 7 AS dow, c FROM daily
+), g AS (
+  SELECT dow, COUNT(*) AS n_g,
+         CAST(SUM(CAST(c AS DECIMAL(28,0))) AS DOUBLE) AS s_g
+  FROM dowd GROUP BY 1
+), tot AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(c AS DECIMAL(28,0))) AS DOUBLE) AS s,
+         CAST(SUM(CAST(c AS DECIMAL(28,0)) * c) AS DOUBLE) AS ss
+  FROM dowd
+), parts AS (
+  SELECT (SELECT SUM(s_g * s_g / n_g) FROM g) - s * s / n AS ssb,
+         ss - s * s / n AS sst, n,
+         (SELECT COUNT(*) FROM g) AS k
+  FROM tot
+)
+SELECT CAST(n AS BIGINT) AS n_days, CAST(k AS BIGINT) AS n_groups,
+       ROUND((ssb / (k - 1)) / ((sst - ssb) / (n - k)), 6) AS f_stat,
+       (ssb / (k - 1)) / ((sst - ssb) / (n - k)) >= 2.53 AS seasonal
+FROM parts
+"""
+
+
 EVENTOPS_QUERIES: dict[str, tuple] = {
+    "events_seasonality_audit": (events_seasonality_audit, EVENTS_SEASONALITY_SQL),
     "events_forecast_tournament": (events_forecast_tournament, EVENTS_TOURNAMENT_SQL),
     "events_holt_forecast": (events_holt_forecast, EVENTS_HOLT_SQL),
     "events_conversion_latency": (events_conversion_latency, EVENTS_CONV_LATENCY_SQL),
