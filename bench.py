@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "events_holt_forecast",
     "events_forecast_tournament",
     "events_seasonality_audit",
+    "events_metric_correlation",
     "doc_classifier_agreement",
     "table_mor_deletes",
     "table_mor_updates",

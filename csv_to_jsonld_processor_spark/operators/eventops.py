@@ -2089,7 +2089,75 @@ FROM parts
 """
 
 
+def events_metric_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-metric diagnostics: Pearson correlation of DAILY TOTALS
+    between every ordered pair of event types, from exact integer
+    moments — sums, squares, and cross-products of cent totals
+    accumulate in decimal (order-free), r is closed-form doubles on
+    those exact totals. The join is a self-join on the bounded
+    (type, day) domain table (≤ 30·k rows), never the event stream."""
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .groupBy("event_type", F.dayofmonth("ts").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("c"))
+    )
+    a = daily.select(
+        F.col("event_type").alias("ta"), "day", F.col("c").alias("xa"))
+    b = daily.select(
+        F.col("event_type").alias("tb"), "day", F.col("c").alias("xb"))
+    pairs = a.join(b, "day").where(F.col("ta") < F.col("tb"))
+    mom = pairs.groupBy("ta", "tb").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("xa").cast("decimal(28,0)")).cast("double").alias("sa"),
+        F.sum(F.col("xb").cast("decimal(28,0)")).cast("double").alias("sb"),
+        F.sum((F.col("xa").cast("decimal(28,0)") * F.col("xa")))
+        .cast("decimal(38,0)").cast("double").alias("saa"),
+        F.sum((F.col("xb").cast("decimal(28,0)") * F.col("xb")))
+        .cast("decimal(38,0)").cast("double").alias("sbb"),
+        F.sum((F.col("xa").cast("decimal(28,0)") * F.col("xb")))
+        .cast("decimal(38,0)").cast("double").alias("sab"),
+    )
+    r = (
+        (F.col("sab") - F.col("sa") * F.col("sb") / F.col("n"))
+        / F.sqrt(
+            (F.col("saa") - F.col("sa") * F.col("sa") / F.col("n"))
+            * (F.col("sbb") - F.col("sb") * F.col("sb") / F.col("n"))
+        )
+    )
+    return mom.select(
+        F.col("ta").alias("type_a"), F.col("tb").alias("type_b"),
+        "n", F.round(r, 6).alias("pearson_r"),
+    ).orderBy("type_a", "type_b")
+
+
+EVENTS_CORRELATION_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(EXTRACT(DAY FROM ts) AS INT) AS day,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS c
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT a.event_type AS ta, b.event_type AS tb, a.c AS xa, b.c AS xb
+  FROM daily a JOIN daily b ON a.day = b.day AND a.event_type < b.event_type
+), mom AS (
+  SELECT ta, tb, COUNT(*) AS n,
+         CAST(SUM(CAST(xa AS DECIMAL(28,0))) AS DOUBLE) AS sa,
+         CAST(SUM(CAST(xb AS DECIMAL(28,0))) AS DOUBLE) AS sb,
+         CAST(SUM(CAST(xa AS DECIMAL(28,0)) * xa) AS DOUBLE) AS saa,
+         CAST(SUM(CAST(xb AS DECIMAL(28,0)) * xb) AS DOUBLE) AS sbb,
+         CAST(SUM(CAST(xa AS DECIMAL(28,0)) * xb) AS DOUBLE) AS sab
+  FROM pairs GROUP BY 1, 2
+)
+SELECT ta AS type_a, tb AS type_b, CAST(n AS BIGINT) AS n,
+       ROUND((sab - sa * sb / n)
+             / sqrt((saa - sa * sa / n) * (sbb - sb * sb / n)), 6)
+         AS pearson_r
+FROM mom ORDER BY type_a, type_b
+"""
+
+
 EVENTOPS_QUERIES: dict[str, tuple] = {
+    "events_metric_correlation": (events_metric_correlation, EVENTS_CORRELATION_SQL),
     "events_seasonality_audit": (events_seasonality_audit, EVENTS_SEASONALITY_SQL),
     "events_forecast_tournament": (events_forecast_tournament, EVENTS_TOURNAMENT_SQL),
     "events_holt_forecast": (events_holt_forecast, EVENTS_HOLT_SQL),
