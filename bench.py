@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "events_forecast_tournament",
     "events_seasonality_audit",
     "events_metric_correlation",
+    "events_theilsen_trend",
     "doc_classifier_agreement",
     "table_mor_deletes",
     "table_mor_updates",

@@ -2156,7 +2156,96 @@ FROM mom ORDER BY type_a, type_b
 """
 
 
+def events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust trend: the Theil-Sen slope of each type's daily value
+    series — the exact median of all C(30,2)=435 pairwise slopes
+    (dy/dx over exact cent totals; identical doubles cross-engine),
+    picked by rank over the bounded pair domain with a total
+    deterministic order (slope, day pair). Robust to the outlier days
+    OLS would chase; slope ≈ 0 on the stationary series corroborates
+    the seasonality audit and the tournament. Output per type: n
+    pairs, the median slope in value units/day, and a trending
+    boolean (|slope| above 1%% of the mean daily value)."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .groupBy("event_type", (F.dayofmonth("ts") - 1).alias("i"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("c"))
+    )
+    a = daily.select("event_type", F.col("i").alias("ia"), F.col("c").alias("ca"))
+    b = daily.select("event_type", F.col("i").alias("ib"), F.col("c").alias("cb"))
+    slopes = (
+        a.join(b, "event_type")
+        .where(F.col("ia") < F.col("ib"))
+        .select(
+            "event_type", "ia", "ib",
+            ((F.col("cb") - F.col("ca")).cast("double")
+             / (F.col("ib") - F.col("ia"))).alias("slope"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("slope", "ia", "ib")
+    counted = slopes.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    ranked = slopes.withColumn("rn", F.row_number().over(w)).join(
+        counted, "event_type"
+    )
+    med = ranked.where(F.col("rn") == F.floor((F.col("n_pairs") + 1) / 2)).select(
+        "event_type", "n_pairs", F.col("slope").alias("med_slope")
+    )
+    means = daily.groupBy("event_type").agg(
+        (F.sum(F.col("c").cast("decimal(28,0)")).cast("double")
+         / F.count(F.lit(1))).alias("mean_daily")
+    )
+    return (
+        med.join(means, "event_type")
+        .select(
+            "event_type", "n_pairs",
+            F.round(F.col("med_slope") / 100, 4).alias("slope_per_day"),
+            (F.abs(F.col("med_slope")) >= 0.01 * F.abs(F.col("mean_daily")))
+            .alias("trending"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_THEILSEN_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(EXTRACT(DAY FROM ts) - 1 AS INT) AS i,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS c
+  FROM events GROUP BY 1, 2
+), slopes AS (
+  SELECT a.event_type, a.i AS ia, b.i AS ib,
+         CAST(b.c - a.c AS DOUBLE) / (b.i - a.i) AS slope
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.i < b.i
+), counted AS (
+  SELECT event_type, COUNT(*) AS n_pairs FROM slopes GROUP BY 1
+), ranked AS (
+  SELECT s.*, c.n_pairs,
+         ROW_NUMBER() OVER (PARTITION BY s.event_type
+                            ORDER BY s.slope, s.ia, s.ib) AS rn
+  FROM slopes s JOIN counted c USING (event_type)
+), med AS (
+  SELECT event_type, n_pairs, slope AS med_slope
+  FROM ranked WHERE rn = (n_pairs + 1) // 2
+), means AS (
+  SELECT event_type,
+         CAST(SUM(CAST(c AS DECIMAL(28,0))) AS DOUBLE) / COUNT(*)
+           AS mean_daily
+  FROM daily GROUP BY 1
+)
+SELECT m.event_type, CAST(m.n_pairs AS BIGINT) AS n_pairs,
+       ROUND(m.med_slope / 100, 4) AS slope_per_day,
+       ABS(m.med_slope) >= 0.01 * ABS(mn.mean_daily) AS trending
+FROM med m JOIN means mn USING (event_type)
+ORDER BY m.event_type
+"""
+
+
 EVENTOPS_QUERIES: dict[str, tuple] = {
+    "events_theilsen_trend": (events_theilsen_trend, EVENTS_THEILSEN_SQL),
     "events_metric_correlation": (events_metric_correlation, EVENTS_CORRELATION_SQL),
     "events_seasonality_audit": (events_seasonality_audit, EVENTS_SEASONALITY_SQL),
     "events_forecast_tournament": (events_forecast_tournament, EVENTS_TOURNAMENT_SQL),
