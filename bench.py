@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "parts_skyline",
     "orders_association_rules",
     "orders_dq_report",
+    "parts_abc_analysis",
     "events_exact_median",
     "kg_temporal_reachability",
     "customer_kanonymity",

@@ -604,7 +604,88 @@ FROM rows_out ORDER BY expectation
 """
 
 
+def parts_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) inventory analysis: parts ranked by exact decimal
+    revenue (extendedprice cents), classed by cumulative revenue share
+    — A to 80%, B to 95%, C the tail — with a deterministic total
+    order (revenue desc, partkey). Output per class: parts, revenue,
+    revenue share, part share — the 80/20 shape quantified. The
+    cumulative window runs over the part DIMENSION (post-aggregation),
+    not the lineitem stream."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    rev = (
+        t["lineitem"]
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("decimal(28,0)").alias("rev_c")
+        )
+    )
+    tot = rev.agg(F.sum("rev_c").cast("decimal(28,0)").alias("t")).first()["t"]
+    w = Window.orderBy(F.desc("rev_c"), F.asc("l_partkey"))
+    classed = (
+        rev.withColumn("cum", F.sum("rev_c").over(w).cast("decimal(28,0)"))
+        .withColumn(
+            "abc",
+            F.when(F.col("cum").cast("double") <= 0.80 * float(tot), "A")
+            .when(F.col("cum").cast("double") <= 0.95 * float(tot), "B")
+            .otherwise("C"),
+        )
+    )
+    n_parts = rev.count()
+    return (
+        classed.groupBy("abc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            (F.sum("rev_c").cast("double") / 100).alias("revenue"),
+        )
+        .select(
+            "abc", "n_parts",
+            F.round("revenue", 2).alias("revenue"),
+            F.round(F.col("revenue") / (float(tot) / 100), 6)
+            .alias("revenue_share"),
+            F.round(F.col("n_parts") / F.lit(float(n_parts)), 6)
+            .alias("part_share"),
+        )
+        .orderBy("abc")
+    )
+
+
+PARTS_ABC_SQL = """
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+              AS DECIMAL(28,0)) AS rev_c
+  FROM lineitem GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(rev_c) AS DECIMAL(28,0)) AS t, COUNT(*) AS n FROM rev
+), classed AS (
+  SELECT r.l_partkey, r.rev_c,
+         CASE WHEN CAST(SUM(r.rev_c) OVER (
+                     ORDER BY r.rev_c DESC, r.l_partkey ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS DOUBLE) <= 0.80 * CAST((SELECT t FROM tot) AS DOUBLE)
+              THEN 'A'
+              WHEN CAST(SUM(r.rev_c) OVER (
+                     ORDER BY r.rev_c DESC, r.l_partkey ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS DOUBLE) <= 0.95 * CAST((SELECT t FROM tot) AS DOUBLE)
+              THEN 'B' ELSE 'C' END AS abc
+  FROM rev r
+)
+SELECT abc, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       ROUND(CAST(SUM(rev_c) AS DOUBLE) / 100, 2) AS revenue,
+       ROUND(CAST(SUM(rev_c) AS DOUBLE)
+             / CAST((SELECT t FROM tot) AS DOUBLE), 6) AS revenue_share,
+       ROUND(COUNT(*) / CAST((SELECT n FROM tot) AS DOUBLE), 6) AS part_share
+FROM classed GROUP BY 1 ORDER BY abc
+"""
+
+
 RELATIONAL4_QUERIES: dict[str, tuple] = {
+    "parts_abc_analysis": (parts_abc_analysis, PARTS_ABC_SQL),
     "orders_dq_report": (orders_dq_report, ORDERS_DQ_SQL),
     "orders_association_rules": (orders_association_rules, ORDERS_ASSOC_SQL),
     "parts_skyline": (parts_skyline, SKYLINE_SQL),
