@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "orders_association_rules",
     "orders_dq_report",
     "parts_abc_analysis",
+    "parts_gini_concentration",
     "events_exact_median",
     "kg_temporal_reachability",
     "customer_kanonymity",

@@ -684,7 +684,80 @@ FROM classed GROUP BY 1 ORDER BY abc
 """
 
 
+def parts_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration as a single number: the Gini coefficient
+    of per-part revenue via the rank formula
+    G = 2 Σ i·x_(i) / (n Σ x) − (n+1)/n over the ascending-sorted
+    revenues (total order: revenue, partkey). Σ i·x_i accumulates as
+    exact decimal (rank × cents), so G is closed-form doubles on exact
+    integers. Companions: the top-1%% and top-10%% revenue shares from
+    the same ranking — the Lorenz points the ABC classes coarsen."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    rev = (
+        t["lineitem"]
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("decimal(28,0)").alias("rev_c")
+        )
+    )
+    w = Window.orderBy(F.asc("rev_c"), F.asc("l_partkey"))
+    ranked = rev.withColumn("i", F.row_number().over(w).cast("long"))
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rev_c").cast("decimal(28,0)").alias("s"),
+        F.sum((F.col("i") * F.col("rev_c")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").alias("si"),
+    ).first()
+    n, stot, si = agg["n"], float(agg["s"]), float(agg["si"])
+    gini = 2.0 * si / (n * stot) - (n + 1.0) / n
+    thr10 = n - n // 10
+    thr1 = n - n // 100
+    shares = ranked.agg(
+        (F.sum(F.when(F.col("i") > thr10, F.col("rev_c"))
+               .otherwise(F.lit(0)).cast("decimal(28,0)")).cast("double")
+         / float(stot)).alias("top10"),
+        (F.sum(F.when(F.col("i") > thr1, F.col("rev_c"))
+               .otherwise(F.lit(0)).cast("decimal(28,0)")).cast("double")
+         / float(stot)).alias("top1"),
+    ).first()
+    return spark.createDataFrame(
+        [(int(n), round(gini, 6),
+          round(float(shares["top10"]), 6), round(float(shares["top1"]), 6))],
+        "n_parts long, gini double, top10_share double, top1_share double",
+    )
+
+
+PARTS_GINI_SQL = """
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+              AS DECIMAL(28,0)) AS rev_c
+  FROM lineitem GROUP BY 1
+), ranked AS (
+  SELECT rev_c,
+         ROW_NUMBER() OVER (ORDER BY rev_c ASC, l_partkey ASC) AS i
+  FROM rev
+), tot AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(rev_c) AS DOUBLE) AS s,
+         CAST(SUM(CAST(i AS DECIMAL(10,0)) * rev_c) AS DOUBLE) AS si
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_parts,
+       ROUND(2.0 * si / (n * s) - (n + 1.0) / n, 6) AS gini,
+       ROUND((SELECT CAST(SUM(rev_c) AS DOUBLE) FROM ranked
+              WHERE i > (SELECT n - n // 10 FROM tot)) / s, 6) AS top10_share,
+       ROUND((SELECT CAST(SUM(rev_c) AS DOUBLE) FROM ranked
+              WHERE i > (SELECT n - n // 100 FROM tot)) / s, 6) AS top1_share
+FROM tot
+"""
+
+
 RELATIONAL4_QUERIES: dict[str, tuple] = {
+    "parts_gini_concentration": (parts_gini_concentration, PARTS_GINI_SQL),
     "parts_abc_analysis": (parts_abc_analysis, PARTS_ABC_SQL),
     "orders_dq_report": (orders_dq_report, ORDERS_DQ_SQL),
     "orders_association_rules": (orders_association_rules, ORDERS_ASSOC_SQL),
