@@ -496,6 +496,8 @@ def kg_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prio_src = F.md5(F.concat(F.lit("MIS|"), F.col("src")))
     und = adj.select(F.col("src").alias("v")).distinct().localCheckpoint()
+    verts0 = und  # full vertex set, already checkpointed — reused for the
+    # final state join instead of re-running the distinct over adj
     mis = und.limit(0)
     for _ in range(MIS_ROUNDS):
         nb_min = (
@@ -512,20 +514,23 @@ def kg_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("v")
             .localCheckpoint()
         )
-        mis = mis.unionByName(new_mis).localCheckpoint()
+        # the accumulator is a union of <= MIS_ROUNDS already-checkpointed
+        # round outputs — no checkpoint needed (lineage stays shallow, and
+        # the eager materialization job per round was pure overhead)
+        mis = mis.unionByName(new_mis)
+        # excl feeds only anti-joins, which ignore duplicates — the
+        # distinct was one needless exchange per round
         excl = (
             adj.join(new_mis.select(F.col("v").alias("src")), "src")
             .select(F.col("dst").alias("v"))
-            .distinct()
         )
         und = (
             und.join(new_mis, "v", "left_anti")
             .join(excl, "v", "left_anti")
             .localCheckpoint()
         )
-    verts = adj.select(F.col("src").alias("v")).distinct()
     state = (
-        verts.join(mis.withColumn("in_mis", F.lit(1)), "v", "left")
+        verts0.join(mis.withColumn("in_mis", F.lit(1)), "v", "left")
         .join(und.withColumn("undec", F.lit(1)), "v", "left")
     )
     u32 = F.conv(F.substring(F.md5("v"), 1, 8), 16, 10).cast("long")
@@ -747,33 +752,56 @@ def kg_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     degrees here), support is ONE partial-aggregated groupBy on the
     edge key, and the peel is an equi-join filter.  localCheckpoint
     truncates per-round lineage.  The projection input documents its
-    own quadratic-hazard cap (see _copurchase_projection)."""
+    own quadratic-hazard cap (see _copurchase_projection).
+
+    Fixed-point short-circuit: the peel is a pure function of the edge
+    set, so once a peel removes nothing (checked with the one-job
+    count + double-xxhash64-fold set sketch from dedup's _cc_star) every
+    later round's edge set, support table, and stats row are provably
+    identical — the trajectory rows for the converged tail reuse the
+    already-computed aggregates instead of re-enumerating triangles
+    over an unchanged graph."""
+
+    def _sketch(df: DataFrame) -> tuple:
+        row = df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(0Y, a, b))").alias("h0"),
+            F.expr("bit_xor(xxhash64(1Y, a, b))").alias("h1"),
+        ).first()
+        return (row["n"], row["h0"], row["h1"])
+
     und = _copurchase_projection(spark, sf_dir).localCheckpoint()
+    sk_und = _sketch(und)
     rounds = []
+    row_core = None
+    converged = False
     for r in range(KTRUSS_ROUNDS + 1):
-        sup = _edge_support(und).localCheckpoint()
-        n_tri = sup.agg(
-            (F.coalesce(F.sum("sup"), F.lit(0)) / 3).cast("long").alias("n_triangles")
-        )
-        verts = (
-            und.select(F.col("a").alias("v"))
-            .unionByName(und.select(F.col("b").alias("v")))
-            .agg(F.countDistinct("v").cast("long").alias("n_vertices"))
-        )
-        row = (
-            und.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
-            .crossJoin(F.broadcast(verts))
-            .crossJoin(F.broadcast(n_tri))
-            .select(F.lit(r).cast("int").alias("round"), "*")
-        )
-        rounds.append(row)
-        if r < KTRUSS_ROUNDS:
+        if not converged:
+            sup = _edge_support(und).localCheckpoint()
+            n_tri = sup.agg(
+                (F.coalesce(F.sum("sup"), F.lit(0)) / 3).cast("long").alias("n_triangles")
+            )
+            verts = (
+                und.select(F.col("a").alias("v"))
+                .unionByName(und.select(F.col("b").alias("v")))
+                .agg(F.countDistinct("v").cast("long").alias("n_vertices"))
+            )
+            row_core = (
+                und.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+                .crossJoin(F.broadcast(verts))
+                .crossJoin(F.broadcast(n_tri))
+            )
+        rounds.append(row_core.select(F.lit(r).cast("int").alias("round"), "*"))
+        if r < KTRUSS_ROUNDS and not converged:
             und = (
                 und.join(sup, ["a", "b"])
                 .where(F.col("sup") >= KTRUSS_K - 2)
                 .select("a", "b")
                 .localCheckpoint()
             )
+            sk_new = _sketch(und)
+            converged = sk_new == sk_und
+            sk_und = sk_new
     out = rounds[0]
     for df in rounds[1:]:
         out = out.unionByName(df)
@@ -847,18 +875,25 @@ def kg_bipartiteness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the BFS superstep cost model (ONE equi-join + ONE
     min-groupBy per round); the conflict check is a single equi-join of
-    the edge list against the final parity table."""
-    results = []
-    for gname, und in (
-        ("purchase_bipartite", _purchase_edges(spark, sf_dir)),
-        ("copurchase_projection", _copurchase_projection(spark, sf_dir)),
-    ):
+    the edge list against the final parity table.  The two graphs'
+    audits share no state, so their superstep chains run from two
+    driver threads (guide-style independent-job overlap): each graph's
+    per-round jobs back-fill executors left idle by the other's
+    stragglers instead of running strictly one after the other."""
+
+    def _audit(gname: str, und: DataFrame) -> DataFrame:
+        # checkpoint the EDGE LIST, not the symmetrized adjacency: und is
+        # referenced again by the final conflict join, which otherwise
+        # re-ran the whole projection build; adj is a narrow union over
+        # the checkpointed blocks (no shuffle to recompute per use)
+        und = und.localCheckpoint()
         adj = (
             und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
             .unionAll(und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-            .localCheckpoint()
         )
-        verts = adj.select(F.col("src").alias("v")).distinct()
+        # vertex set feeds both the min-md5 seed broadcast and the seed
+        # join — checkpoint so the distinct runs once
+        verts = adj.select(F.col("src").alias("v")).distinct().localCheckpoint()
         # SINGLE seed (global md5-min vertex): two seeds at odd distance
         # inside one component would 2-color a bipartite graph with
         # false conflicts — the audit colors one component from one root
@@ -879,7 +914,7 @@ def kg_bipartiteness(spark: SparkSession, sf_dir: str) -> DataFrame:
         pa = dist.select(F.col("v").alias("a"), (F.col("d") % 2).alias("pa"))
         pb = dist.select(F.col("v").alias("b"), (F.col("d") % 2).alias("pb"))
         checked = und.join(pa, "a").join(pb, "b")
-        results.append(
+        return (
             checked.agg(
                 F.count(F.lit(1)).cast("long").alias("n_edges_checked"),
                 F.sum((F.col("pa") == F.col("pb")).cast("int"))
@@ -900,6 +935,20 @@ def kg_bipartiteness(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit(gname).alias("graph"), "n_reached",
                     "n_edges_checked", "n_conflicts", "conflict_checksum")
         )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    graphs = (
+        ("purchase_bipartite", _purchase_edges(spark, sf_dir)),
+        ("copurchase_projection", _copurchase_projection(spark, sf_dir)),
+    )
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [
+            pool.submit(inheritable_thread_target(_audit), g, u) for g, u in graphs
+        ]
+        results = [f.result() for f in futs]
     return results[0].unionByName(results[1]).orderBy("graph")
 
 
@@ -999,7 +1048,8 @@ def kg_maximal_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("a", "b")
             .localCheckpoint()
         )
-        matched = matched.unionByName(hand).localCheckpoint()
+        # accumulator = union of checkpointed round outputs; no checkpoint
+        matched = matched.unionByName(hand)
         gone = (
             hand.select(F.col("a").alias("v"))
             .unionByName(hand.select(F.col("b").alias("v")))

@@ -505,11 +505,14 @@ def _cc_min_label(edges: DataFrame) -> tuple[DataFrame, int]:
             edges.join(labels, edges.src == labels.node)
             .select(F.col("dst").alias("node"), F.col("label"))
         )
+        # lazy checkpoint: the convergence count below materializes (and
+        # persists) the round in the SAME job — eager checkpointing paid
+        # an extra full job per round for the same truncated lineage
         new_labels = (
             labels.unionByName(msgs)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")
@@ -561,7 +564,9 @@ def _cc_star(edges: DataFrame) -> tuple[DataFrame, int]:
         )
         .where(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint()
+        # lazy: the sketch right below materializes + persists it in ONE
+        # job; eager checkpointing ran the plan in its own job first
+        .localCheckpoint(eager=False)
     )
     sk_canon = _sketch(canon)
     rounds = 0
@@ -589,7 +594,7 @@ def _cc_star(edges: DataFrame) -> tuple[DataFrame, int]:
             .unionByName(smins.select("src", F.col("m").alias("dst")))
             .where(F.col("src") != F.col("dst"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         sk_new = _sketch(new_canon)
         stable = sk_new == sk_canon

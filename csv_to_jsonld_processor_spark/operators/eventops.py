@@ -43,6 +43,10 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("ts") <= F.col("_t_prev") + F.expr(FUNNEL_WINDOW))
             )
         cur = cur.groupBy("user_id").agg(F.min("ts").alias("_t_prev"))
+        # lazy checkpoint: stage k's count below materializes (and
+        # persists) this stage once; without it stage k's count re-ran
+        # stages 1..k-1's joins and the events scan from scratch
+        cur = cur.localCheckpoint(eager=False)
         stage_firsts.append(cur)
         prev = cur
 
