@@ -505,29 +505,38 @@ def kg_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("src")
             .agg(F.min(F.md5(F.concat(F.lit("MIS|"), F.col("dst")))).alias("nb_prio"))
         )
-        new_mis = (
+        # ONE left join decides the round: winners (beat every undecided
+        # neighbor's priority) and non-winners split by flag from the
+        # same checkpointed relation — the former und×new_mis anti-join
+        # re-derived the split with an extra join per round
+        decided = (
             und.join(nb_min, und.v == nb_min.src, "left")
-            .where(
-                F.col("nb_prio").isNull()
-                | (F.md5(F.concat(F.lit("MIS|"), F.col("v"))) < F.col("nb_prio"))
+            .select(
+                "v",
+                (
+                    F.col("nb_prio").isNull()
+                    | (F.md5(F.concat(F.lit("MIS|"), F.col("v"))) < F.col("nb_prio"))
+                ).alias("win"),
             )
-            .select("v")
             .localCheckpoint()
         )
-        # the accumulator is a union of <= MIS_ROUNDS already-checkpointed
-        # round outputs — no checkpoint needed (lineage stays shallow, and
-        # the eager materialization job per round was pure overhead)
+        new_mis = decided.where("win").select("v")
+        # the accumulator is a union of narrow filters over checkpointed
+        # round relations — no checkpoint needed (lineage stays shallow,
+        # and the eager materialization job per round was pure overhead)
         mis = mis.unionByName(new_mis)
-        # excl feeds only anti-joins, which ignore duplicates — the
-        # distinct was one needless exchange per round
+        # excl feeds only an anti-join, which ignores duplicates — no
+        # distinct (one needless exchange per round)
         excl = (
             adj.join(new_mis.select(F.col("v").alias("src")), "src")
             .select(F.col("dst").alias("v"))
         )
         und = (
-            und.join(new_mis, "v", "left_anti")
+            decided.where(~F.col("win")).select("v")
             .join(excl, "v", "left_anti")
-            .localCheckpoint()
+            # lazy: next round's decided-checkpoint (or the final state
+            # join) materializes+persists it in the same job
+            .localCheckpoint(eager=False)
         )
     state = (
         verts0.join(mis.withColumn("in_mis", F.lit(1)), "v", "left")
@@ -770,14 +779,17 @@ def kg_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).first()
         return (row["n"], row["h0"], row["h1"])
 
-    und = _copurchase_projection(spark, sf_dir).localCheckpoint()
+    # lazy checkpoints: the per-round sketch (und) and the next peel's
+    # materialization (sup) compute+persist them without the extra
+    # standalone job an eager checkpoint pays
+    und = _copurchase_projection(spark, sf_dir).localCheckpoint(eager=False)
     sk_und = _sketch(und)
     rounds = []
     row_core = None
     converged = False
     for r in range(KTRUSS_ROUNDS + 1):
         if not converged:
-            sup = _edge_support(und).localCheckpoint()
+            sup = _edge_support(und).localCheckpoint(eager=False)
             n_tri = sup.agg(
                 (F.coalesce(F.sum("sup"), F.lit(0)) / 3).cast("long").alias("n_triangles")
             )
@@ -797,7 +809,7 @@ def kg_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
                 und.join(sup, ["a", "b"])
                 .where(F.col("sup") >= KTRUSS_K - 2)
                 .select("a", "b")
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
             sk_new = _sketch(und)
             converged = sk_new == sk_und
@@ -1046,7 +1058,8 @@ def kg_maximal_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
             live.join(fav_a, "a").join(fav_b, "b")
             .where((F.col("pr") == F.col("pa")) & (F.col("pr") == F.col("pb")))
             .select("a", "b")
-            .localCheckpoint()
+            # lazy: the live-set eager checkpoint below materializes it
+            .localCheckpoint(eager=False)
         )
         # accumulator = union of checkpointed round outputs; no checkpoint
         matched = matched.unionByName(hand)

@@ -98,18 +98,36 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session CacheManager until explicitly unpersisted (they leaked
     # across the multi-query driver run), while checkpoint blocks are
     # released when the DataFrame is garbage-collected.
-    base = base.localCheckpoint()
+    #
+    # The quality-metric pass and the MinHash verified-pair chain share
+    # no state, so their eager materializations run from two driver
+    # threads (independent-job overlap): the pair chain's stragglers
+    # back-fill with the repetition-metric tasks instead of serializing
+    # the two heaviest stages of the funnel.
+    from concurrent.futures import ThreadPoolExecutor
 
-    # greedy near-dup removal: drop b iff a verified dup (a, b), a < b,
-    # has a q-surviving a inside the corpus. The verified chain's own
-    # DAG references its candidate set twice — checkpointing the (tiny)
-    # pair list materializes that whole chain once.
-    pairs = (
-        dedup_minhash_verified(spark, sf_dir)
-        .where("is_dup")
-        .select("doc_a", "doc_b")
-        .localCheckpoint()
-    )
+    from pyspark import inheritable_thread_target
+
+    def _base_ckpt():
+        return base.localCheckpoint()
+
+    def _pairs_ckpt():
+        # greedy near-dup removal: drop b iff a verified dup (a, b), a < b,
+        # has a q-surviving a inside the corpus. The verified chain's own
+        # DAG references its candidate set twice — checkpointing the (tiny)
+        # pair list materializes that whole chain once.
+        return (
+            dedup_minhash_verified(spark, sf_dir)
+            .where("is_dup")
+            .select("doc_a", "doc_b")
+            .localCheckpoint()
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        base_f = pool.submit(inheritable_thread_target(_base_ckpt))
+        pairs_f = pool.submit(inheritable_thread_target(_pairs_ckpt))
+        base = base_f.result()
+        pairs = pairs_f.result()
     qa = base.select(F.col("doc_id").alias("doc_a"), F.col("q_keep").alias("_qa"))
     dropped = (
         pairs.join(qa, "doc_a")

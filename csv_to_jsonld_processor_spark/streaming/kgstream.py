@@ -89,34 +89,47 @@ def kg_stream_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and stop once the committed source offset reaches the corpus end.
     import time
 
-    q = (
-        agg.writeStream.format("memory")
-        .queryName("kg_stream_edges_sink")
-        .outputMode("complete")
-        .trigger(processingTime="0 seconds")
-        .start()
-    )
-    deadline = time.time() + 300
+    # state-store instance count is pinned to shuffle partitions at
+    # stream START (events_stream_join precedent: 32 shards cost ~3x
+    # wall vs key-cardinality-sized shards).  The ONE stateful operator
+    # here groups by `pred` — a bounded vocabulary of len(PREDICATES)
+    # keys — so per-trigger store open/commit overhead is sized to the
+    # key space, not the default shuffle width.  Production sizes state
+    # partitions to key cardinality; restored after the drain.
+    conf_key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, str(max(8, len(PREDICATES))))
     try:
-        while time.time() < deadline:
-            if q.exception() is not None:  # fail fast, not at the deadline
-                raise q.exception()
-            p = q.lastProgress
-            if p and p["sources"]:
-                end = p["sources"][0]["endOffset"]
-                if isinstance(end, str):
-                    # python datasource offsets surface as dict reprs
-                    import ast
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("kg_stream_edges_sink")
+            .outputMode("complete")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        deadline = time.time() + 300
+        try:
+            while time.time() < deadline:
+                if q.exception() is not None:  # fail fast, not at the deadline
+                    raise q.exception()
+                p = q.lastProgress
+                if p and p["sources"]:
+                    end = p["sources"][0]["endOffset"]
+                    if isinstance(end, str):
+                        # python datasource offsets surface as dict reprs
+                        import ast
 
-                    end = ast.literal_eval(end)
-                if end and end.get("index", 0) >= 1000:
-                    break
-            time.sleep(0.2)
-        else:
-            raise TimeoutError("kg_stream_edges drain did not reach offset 1000")
+                        end = ast.literal_eval(end)
+                    if end and end.get("index", 0) >= 1000:
+                        break
+                time.sleep(0.05)
+            else:
+                raise TimeoutError("kg_stream_edges drain did not reach offset 1000")
+        finally:
+            q.stop()
+            q.awaitTermination()
     finally:
-        q.stop()
-        q.awaitTermination()
+        spark.conf.set(conf_key, prev)
     return spark.table("kg_stream_edges_sink").orderBy("pred")
 
 
