@@ -38,6 +38,28 @@ from ..session import load_tables
 _SNAP_RE = re.compile(r"^snap-(\d{6})$")
 
 
+def _parallel_parquet_writes(*jobs: tuple[DataFrame, str]) -> None:
+    """Run independent (df, path) parquet writes from driver threads —
+    the guide's independent-job overlap: an overlay commit's deletion
+    vector and insert delta touch disjoint subdirectories, so their
+    write jobs back-fill each other's stragglers instead of running
+    strictly one after the other."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    def _write(df: DataFrame, path: str) -> None:
+        df.write.mode("overwrite").parquet(path)
+
+    if len(jobs) == 1:
+        _write(*jobs[0])
+        return
+    with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+        futs = [pool.submit(inheritable_thread_target(_write), df, p) for df, p in jobs]
+        for f in futs:
+            f.result()
+
+
 def _snap_dir(table_dir: str, snap_id: int) -> str:
     return os.path.join(table_dir, f"snap-{snap_id:06d}")
 
@@ -526,11 +548,12 @@ def delete_rows_mor(spark: SparkSession, table_dir: str, predicate: str) -> int:
 
     new_id = _next_snapshot_id(table_dir)
     d = _snap_dir(table_dir, new_id)
-    all_tombs.write.mode("overwrite").parquet(os.path.join(d, "dv"))
+    writes = [(all_tombs, os.path.join(d, "dv"))]
     if old_ins is not None:
-        old_ins.where(f"NOT ({predicate})").write.mode("overwrite").parquet(
-            os.path.join(d, "ins")
+        writes.append(
+            (old_ins.where(f"NOT ({predicate})"), os.path.join(d, "ins"))
         )
+    _parallel_parquet_writes(*writes)
     tmpb = os.path.join(d, "BASE.tmp")
     with open(tmpb, "w") as f:
         f.write(str(base_id))
@@ -607,8 +630,9 @@ def update_rows_mor(
         ).unionByName(old_ins.where(f"NOT ({predicate})"))
     new_id = _next_snapshot_id(table_dir)
     d = _snap_dir(table_dir, new_id)
-    all_tombs.write.mode("overwrite").parquet(os.path.join(d, "dv"))
-    updated.write.mode("overwrite").parquet(os.path.join(d, "ins"))
+    _parallel_parquet_writes(
+        (all_tombs, os.path.join(d, "dv")), (updated, os.path.join(d, "ins"))
+    )
     tmpb = os.path.join(d, "BASE.tmp")
     with open(tmpb, "w") as f:
         f.write(str(base_id))
@@ -1597,8 +1621,9 @@ def merge_rows_mor(
     )
     new_id = _next_snapshot_id(table_dir)
     d = _snap_dir(table_dir, new_id)
-    all_tombs.write.mode("overwrite").parquet(os.path.join(d, "dv"))
-    ins.write.mode("overwrite").parquet(os.path.join(d, "ins"))
+    _parallel_parquet_writes(
+        (all_tombs, os.path.join(d, "dv")), (ins, os.path.join(d, "ins"))
+    )
     tmpb = os.path.join(d, "BASE.tmp")
     with open(tmpb, "w") as f:
         f.write(str(base_id))
@@ -1637,9 +1662,16 @@ def table_mor_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1 = read_snapshot_mor(spark, table_dir, m1)
     m2 = merge_rows_mor(spark, table_dir, batch, "c_custkey")  # replay
     s2 = read_snapshot_mor(spark, table_dir, m2)
-    idempotent = (
-        s1.count() == s2.count() and s1.exceptAll(s2).count() == 0
-    )
+    # the two snapshot counts are independent jobs — overlap them
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        c1_f = pool.submit(inheritable_thread_target(s1.count))
+        c2_f = pool.submit(inheritable_thread_target(s2.count))
+        c1, c2 = c1_f.result(), c2_f.result()
+    idempotent = c1 == c2 and s1.exceptAll(s2).count() == 0
     batch2 = cust.where(F.col("c_custkey") % 10 == 7).withColumn(
         "c_acctbal", F.lit(0.0)
     )
