@@ -752,7 +752,18 @@ def verified_pairs(
     ``max_bucket``: see _lsh_candidates_from_sig."""
     sig = _minhash_signature(docs, hash_impl).localCheckpoint()
     cand = _lsh_candidates_from_sig(sig, hash_impl, max_bucket).localCheckpoint()
-    sh = _doc_shingles(docs)
+    # verification only ever reads shingles of docs that appear in a
+    # candidate pair — semi-join the corpus against the (tiny,
+    # checkpointed) candidate set BEFORE the shingle explode, so the
+    # verify pass re-tokenizes |candidate docs|, not |corpus| (the
+    # proportionality the chain promises; previously both the a and b
+    # sides re-exploded every document)
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = _doc_shingles(docs.join(F.broadcast(cand_docs), "doc_id", "semi"))
     sizes = sig.select("doc_id", "n_shingles")  # rides the signature agg — no re-scan
 
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -856,7 +867,11 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresh = docs.agg(
         F.ceil(F.max("doc_id") * F.lit(INCR_FRACTION)).cast("long").alias("_thresh")
     )
-    sig = _minhash_signature(docs)
+    # checkpoint the SIGNATURE (one heavy shingle+min-hash pass) and
+    # derive the band rows narrowly from it: the stored-index relation
+    # keeps n_shingles, so the verify stage below reuses it instead of
+    # re-exploding the corpus for sizes
+    sig = _minhash_signature(docs).localCheckpoint()
     bands = []
     for b in range(LSH_BANDS):
         cols = [F.col(f"mh{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
@@ -866,7 +881,6 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = (
         sig.select("doc_id", F.explode(F.array(*bands)).alias("band"))
         .select("doc_id", "band.band_idx", "band.band_key")
-        .localCheckpoint()  # index side materialized once, probe side filters it
     )
     new_bands = (
         banded.crossJoin(F.broadcast(thresh))
@@ -886,8 +900,15 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
-    sh = _doc_shingles(docs)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    # verify-side pruning, same as verified_pairs: only candidate docs'
+    # shingles are consulted, and sizes ride the signature relation
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = _doc_shingles(docs.join(F.broadcast(cand_docs), "doc_id", "semi"))
+    sizes = sig.select("doc_id", "n_shingles")
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     common = (

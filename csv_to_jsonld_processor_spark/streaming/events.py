@@ -520,14 +520,24 @@ def events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = t["events"].where(F.col("user_id") < 30)
     d_v = tempfile.mkdtemp(prefix="events_views_")
     d_p = tempfile.mkdtemp(prefix="events_purch_")
-    src.where(F.col("event_type") == "view").repartitionByRange(3, "ts").write.mode(
-        "overwrite"
-    ).parquet(d_v)
-    src.where(F.col("event_type") == "purchase").repartitionByRange(3, "ts").write.mode(
-        "overwrite"
-    ).parquet(d_p)
-    order_stream_files(d_v)
-    order_stream_files(d_p)
+    # the two stream-input writes are independent jobs — overlap them
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    def _write_side(event_type: str, d: str) -> None:
+        src.where(F.col("event_type") == event_type).repartitionByRange(
+            3, "ts"
+        ).write.mode("overwrite").parquet(d)
+        order_stream_files(d)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [
+            pool.submit(inheritable_thread_target(_write_side), et, d)
+            for et, d in (("view", d_v), ("purchase", d_p))
+        ]
+        for f in futs:
+            f.result()
     schema = src.schema.simpleString().replace("struct<", "").rstrip(">").replace(":", " ")
 
     views = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d_v)
