@@ -958,7 +958,8 @@ def kg_bipartiteness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     with ThreadPoolExecutor(max_workers=2) as pool:
         futs = [
-            pool.submit(inheritable_thread_target(_audit), g, u) for g, u in graphs
+            pool.submit(inheritable_thread_target(spark)(_audit), g, u)
+            for g, u in graphs
         ]
         results = [f.result() for f in futs]
     return results[0].unionByName(results[1]).orderBy("graph")

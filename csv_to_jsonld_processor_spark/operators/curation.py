@@ -124,8 +124,8 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     with ThreadPoolExecutor(max_workers=2) as pool:
-        base_f = pool.submit(inheritable_thread_target(_base_ckpt))
-        pairs_f = pool.submit(inheritable_thread_target(_pairs_ckpt))
+        base_f = pool.submit(inheritable_thread_target(spark)(_base_ckpt))
+        pairs_f = pool.submit(inheritable_thread_target(spark)(_pairs_ckpt))
         base = base_f.result()
         pairs = pairs_f.result()
     qa = base.select(F.col("doc_id").alias("doc_a"), F.col("q_keep").alias("_qa"))

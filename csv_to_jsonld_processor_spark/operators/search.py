@@ -248,9 +248,12 @@ def doc_bpe_train(
         seq = F.concat(F.lit(" "), F.col("seq"), F.lit(" "))
         for _ in range(REPLACE_PASSES):
             seq = F.replace(seq, F.lit(f" {pair} "), F.lit(f" {merged} "))
+        # lazy: the next round's argmax collect (or the caller's first
+        # action) materializes+persists the rewritten census in the same
+        # job — eager checkpointing paid a standalone job per merge round
         census = census.select(
             "word", F.trim(seq).alias("seq"), "cnt"
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     trained = spark.createDataFrame(
         merges, "round int, pair string, merged string, pair_count bigint"
     )

@@ -55,7 +55,10 @@ def _parallel_parquet_writes(*jobs: tuple[DataFrame, str]) -> None:
         _write(*jobs[0])
         return
     with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
-        futs = [pool.submit(inheritable_thread_target(_write), df, p) for df, p in jobs]
+        futs = [
+            pool.submit(inheritable_thread_target(df.sparkSession)(_write), df, p)
+            for df, p in jobs
+        ]
         for f in futs:
             f.result()
 
@@ -1668,8 +1671,8 @@ def table_mor_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import inheritable_thread_target
 
     with ThreadPoolExecutor(max_workers=2) as pool:
-        c1_f = pool.submit(inheritable_thread_target(s1.count))
-        c2_f = pool.submit(inheritable_thread_target(s2.count))
+        c1_f = pool.submit(inheritable_thread_target(spark)(s1.count))
+        c2_f = pool.submit(inheritable_thread_target(spark)(s2.count))
         c1, c2 = c1_f.result(), c2_f.result()
     idempotent = c1 == c2 and s1.exceptAll(s2).count() == 0
     batch2 = cust.where(F.col("c_custkey") % 10 == 7).withColumn(

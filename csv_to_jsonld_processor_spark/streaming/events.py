@@ -533,7 +533,7 @@ def events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     with ThreadPoolExecutor(max_workers=2) as pool:
         futs = [
-            pool.submit(inheritable_thread_target(_write_side), et, d)
+            pool.submit(inheritable_thread_target(spark)(_write_side), et, d)
             for et, d in (("view", d_v), ("purchase", d_p))
         ]
         for f in futs:
