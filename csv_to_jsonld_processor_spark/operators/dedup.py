@@ -636,7 +636,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # not its connected components (see _lsh_candidates_from_sig), so
     # the cluster labels — and the recursive-CTE oracle — are identical
     # while the mega-bucket quadratic hazard is bounded at scale
-    sig = _minhash_signature(t["documents"]).localCheckpoint()
+    # lazy: the star-contraction's first sketch job materializes the
+    # signature (and persists it for the band self-join's second side)
+    sig = _minhash_signature(t["documents"]).localCheckpoint(eager=False)
     pairs = _lsh_candidates_from_sig(sig, max_bucket=CLUSTER_MAX_BUCKET)
     labels, _rounds = _cc_star(pairs.selectExpr("doc_a AS src", "doc_b AS dst"))
 

@@ -203,7 +203,11 @@ def lsh_candidate_pairs(emb: DataFrame, planes=None) -> DataFrame:
     candidate generator. Shuffle is on (table_id, bucket); bucket
     population is ~n/2^planes per table, so fan-out stays linear-ish and
     AQE's skew-join split handles any dense bucket."""
-    b = _lsh_buckets_df(emb, planes)
+    # checkpoint the bucketed relation: the self-join references it on
+    # BOTH sides, so without it the (tables × planes × dims) dot-product
+    # bucket computation ran twice; lazy — the join's first
+    # materialization persists it
+    b = _lsh_buckets_df(emb, planes).localCheckpoint(eager=False)
     l, r = b.alias("l"), b.alias("r")
     return (
         l.join(

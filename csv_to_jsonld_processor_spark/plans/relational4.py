@@ -419,8 +419,14 @@ def orders_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     items = t["lineitem"].select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).dropDuplicates()
-    n_orders = items.select("o").distinct().count()
+    ).dropDuplicates().localCheckpoint(eager=False)
+    # order count computed IN-PLAN (single-row broadcast) — the driver
+    # count() action re-ran the lineitem scan + dedup before the main
+    # plan ran it again; the lazy checkpoint above also makes the
+    # basket relation compute once for supp + both pair sides
+    n_orders_row = F.broadcast(
+        items.agg(F.countDistinct("o").cast("double").alias("_n_orders"))
+    )
     supp = items.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("supp"))
     a = items.select("o", F.col("p").alias("pa"))
     b = items.select("o", F.col("p").alias("pb"))
@@ -443,6 +449,7 @@ def orders_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(
             F.broadcast(supp.select(F.col("p").alias("pb"),
                                     F.col("supp").alias("supp_b"))), "pb")
+        .crossJoin(n_orders_row)
         .select(
             F.col("pa").alias("antecedent"),
             F.col("pb").alias("consequent"),
@@ -450,7 +457,7 @@ def orders_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("supp_ab") / F.col("supp_a"), 6).alias("confidence"),
             F.round(
                 (F.col("supp_ab") / F.col("supp_a"))
-                / (F.col("supp_b") / F.lit(float(n_orders))), 6
+                / (F.col("supp_b") / F.col("_n_orders")), 6
             ).alias("lift"),
         )
     )
