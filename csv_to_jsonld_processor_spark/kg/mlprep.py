@@ -581,6 +581,11 @@ def kg_transe_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
         roles.select("key", F.posexplode("delta").alias("dim", "dv"))
         .groupBy("key", "dim")
         .agg(F.sum("dv").cast("long").alias("ddelta"))
+        # referenced FIVE times below (four per-role broadcast builds +
+        # the update-magnitude checksum); without the checkpoint each
+        # broadcast build re-ran the whole gradient all-reduce. Lazy —
+        # the first broadcast build materializes+persists it.
+        .localCheckpoint(eager=False)
     )
 
     # after-loss pass: (triple, dim) grid, model deltas broadcast back in
