@@ -71,11 +71,14 @@ def kg_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     round count bounds the result independent of cluster size, and INT
     min is order-free, so the histogram is exact on any partitioning.
     """
-    e = _purchase_edges(spark, sf_dir)
+    # checkpoint the edge list, not the symmetrized adjacency: the union
+    # references e on BOTH branches and Spark does not share identical
+    # subtrees, so without this the scan+join+distinct ran twice inside
+    # the adjacency job; adj is a narrow union over the persisted blocks
+    e = _purchase_edges(spark, sf_dir).localCheckpoint(eager=False)
     adj = (
         e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionAll(e.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-        .localCheckpoint()
     )
     verts = adj.select(F.col("src").alias("v")).distinct().localCheckpoint()
     dist = verts.where(F.expr(_SEED_PRED)).withColumn("d", F.lit(0))
@@ -244,6 +247,9 @@ def kg_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
         # deterministic 1/16 edge thinning: the raw trade rollup is near-
         # complete (one giant SCC — degenerate), and md5 is engine-shared
         .where(F.expr("substring(md5(concat(src, '>', dst)), 1, 1) = '0'"))
+        # referenced three times below (node union branches + closure
+        # seed); lazy checkpoint so the 4-way rollup join runs once
+        .localCheckpoint(eager=False)
     )
     nodes = (
         edges.select(F.col("src").alias("u")).unionAll(edges.select("dst")).distinct()
@@ -361,7 +367,9 @@ def kg_hyperball_nf(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialization is O(Σ|ball|) ≈ O(V²) on a 10^12-edge graph, the
     sketch pass is linear.  ``localCheckpoint`` truncates per-round
     lineage exactly like BFS/PageRank above."""
-    e = _purchase_edges(spark, sf_dir)
+    e = _purchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    # narrow union over the lazily-persisted edge list (see
+    # kg_bfs_distance on why e is checkpointed instead of adj)
     adj = (
         e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionAll(e.select(F.col("b").alias("src"), F.col("a").alias("dst")))
@@ -488,7 +496,9 @@ def kg_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     building block for distributed graph coloring and maximal matching;
     at 10^12 edges every step is still plain partial-aggregated joins
     on the vertex key."""
-    e = _purchase_edges(spark, sf_dir)
+    e = _purchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    # narrow union over the lazily-persisted edge list (see
+    # kg_bfs_distance on why e is checkpointed instead of adj)
     adj = (
         e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionAll(e.select(F.col("b").alias("src"), F.col("a").alias("dst")))
@@ -635,7 +645,10 @@ def kg_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring(F.md5(F.concat_ws("|", "a", "b")), 1, 8), 16, 10
         ).cast("long") % SSSP_WMOD + 1
     )
-    ew = e.select("a", "b", w.alias("w"))
+    # lazy checkpoint of the weighted edge list: the union references
+    # it on both branches (no shared-subtree reuse in Spark), so the
+    # scan+join+distinct otherwise ran twice inside the adjacency job
+    ew = e.select("a", "b", w.alias("w")).localCheckpoint(eager=False)
     adj = (
         ew.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w")
         .unionAll(ew.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w"))
@@ -711,7 +724,9 @@ def _copurchase_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection cap: a customer who buys everything carries no
     co-purchase signal).  Cost is then Σ min(deg, cap)², linear in
     customers at any scale."""
-    e = _purchase_edges(spark, sf_dir)
+    # e feeds both the contributor-degree census and the capped join —
+    # lazy checkpoint so the underlying scan+join+distinct runs once
+    e = _purchase_edges(spark, sf_dir).localCheckpoint(eager=False)
     keep = (
         e.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
         .where(F.col("d") <= KTRUSS_DEG_CAP)
