@@ -116,7 +116,11 @@ def _ngram_candidate_pairs(
     Returns (pairs(doc_a, doc_b, n_common), sizes(doc_id, n_shingles));
     sizes are computed BEFORE the cap so Jaccard stays exact for every
     surviving pair."""
-    sh = _doc_shingles(docs)
+    # the raw shingle relation feeds FOUR consumers (sizes, the hot-
+    # shingle census, and both self-join sides) — without a checkpoint
+    # the corpus-wide tokenize+explode ran once per consumer. Lazy: the
+    # first materialization persists it (the inverted-index shape).
+    sh = _doc_shingles(docs).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     if max_shingle_freq is not None:
         hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
