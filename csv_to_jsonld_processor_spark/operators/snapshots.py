@@ -77,14 +77,17 @@ def current_snapshot_id(table_dir: str) -> int | None:
 
 def snapshot_ids(table_dir: str) -> list[int]:
     """Committed snapshot ids, oldest first. On-disk dirs with id >
-    CURRENT are uncommitted orphans and are NOT listed."""
+    CURRENT are uncommitted orphans and are NOT listed; neither are
+    RESERVED generations (in-flight or conflicted CAS writers), which
+    can sit below CURRENT."""
     cur = current_snapshot_id(table_dir)
     if cur is None:
         return []
+    reserved = _reserved_ids(table_dir)
     out = []
     for name in os.listdir(table_dir):
         m = _SNAP_RE.match(name)
-        if m and int(m.group(1)) <= cur:
+        if m and int(m.group(1)) <= cur and int(m.group(1)) not in reserved:
             out.append(int(m.group(1)))
     return sorted(out)
 
@@ -102,10 +105,35 @@ def read_snapshot(
         snapshot_id = cur
     if snapshot_id > cur or snapshot_id < 0:
         raise ValueError(f"snapshot {snapshot_id} not committed (CURRENT={cur})")
+    if snapshot_id in _reserved_ids(table_dir):
+        raise ValueError(
+            f"snapshot {snapshot_id} not committed (reserved by a CAS writer)"
+        )
     d = _snap_dir(table_dir, snapshot_id)
     if not os.path.isdir(d):
         raise ValueError(f"snapshot {snapshot_id} expired or missing")
     return spark.read.parquet(d)
+
+
+def _reserved_path(table_dir: str, snap_id: int) -> str:
+    return os.path.join(table_dir, f"RESERVED-{snap_id:06d}")
+
+
+def _reserved_ids(table_dir: str) -> set[int]:
+    """Generations RESERVED by an in-flight (or conflicted) CAS writer.
+    Committed-ness is explicit, not inferred from id <= CURRENT: a CAS
+    loser's fully-written generation can end up BELOW a later winner's
+    CURRENT, and without the marker every read path would mistake that
+    never-committed data for committed history (and vacuum, which only
+    collected ids above CURRENT, would never reclaim it)."""
+    out = set()
+    for f in os.listdir(table_dir) if os.path.isdir(table_dir) else []:
+        if f.startswith("RESERVED-"):
+            try:
+                out.add(int(f[len("RESERVED-"):]))
+            except ValueError:
+                pass
+    return out
 
 
 def _all_ref_ids(table_dir: str) -> set[int]:
@@ -136,7 +164,11 @@ def _next_snapshot_id(table_dir: str) -> int:
     if not ids:
         return 0
     top = max(ids)
-    return top if top not in _all_ref_ids(table_dir) else top + 1
+    # a RESERVED top id is an in-flight CAS writer's generation, not a
+    # crash orphan — never reuse it (the mixed-mode collision window)
+    if top in _all_ref_ids(table_dir) or top in _reserved_ids(table_dir):
+        return top + 1
+    return top
 
 
 class CommitConflict(Exception):
@@ -164,7 +196,28 @@ class _FlipLock:
                 return self
             except FileExistsError:
                 if time.time() > deadline:
-                    os.unlink(self.path)  # break the stale lock
+                    # Break only a lock whose FILE is itself older than
+                    # the timeout — a waiter's expired deadline says
+                    # nothing about whether the current holder is live
+                    # (it may be a third party that just acquired); the
+                    # file mtime does.  Unlink races with the holder's
+                    # own release and with other breakers, so tolerate
+                    # the file vanishing; reset the deadline afterwards
+                    # so a lock acquired right after the break is never
+                    # deleted by this waiter's next iteration.
+                    try:
+                        stale = (
+                            time.time() - os.path.getmtime(self.path)
+                            > self.timeout_s
+                        )
+                    except FileNotFoundError:
+                        continue  # released between open and stat
+                    if stale:
+                        try:
+                            os.unlink(self.path)
+                        except FileNotFoundError:
+                            pass
+                    deadline = time.time() + self.timeout_s
                 else:
                     time.sleep(0.01)
 
@@ -192,13 +245,24 @@ def commit_snapshot(
     expensive data write stays outside the lock."""
     os.makedirs(table_dir, exist_ok=True)
     if expected_parent is None:
-        new_id = _next_snapshot_id(table_dir)
+        # allocate under the same lock CAS reservations use so a plain
+        # commit can't read the directory listing mid-reservation and
+        # pick a colliding id; the mkdir claims the id before the lock
+        # drops (exist_ok: the single-writer orphan-reuse case
+        # overwrites its own crash leftover under the SAME id).
+        # Concurrent plain+plain writers stay unsupported — orphan
+        # reuse is single-writer by nature.
+        with _FlipLock(table_dir):
+            new_id = _next_snapshot_id(table_dir)
+            os.makedirs(_snap_dir(table_dir, new_id), exist_ok=True)
     else:
         # CAS writers run concurrently, so id allocation must be raced-
         # proof too: reserve max+1 with a mkdir under the lock (never
-        # the orphan-reuse rule, which is single-writer by nature); a
-        # losing writer's reserved dir is exactly what vacuum_orphans
-        # collects
+        # the orphan-reuse rule, which is single-writer by nature), and
+        # write an explicit RESERVED marker — a losing writer's
+        # generation may end up below a later winner's CURRENT, and
+        # only the marker keeps it invisible to the read API and
+        # collectable by vacuum_orphans
         with _FlipLock(table_dir):
             ids = [
                 int(m.group(1))
@@ -207,6 +271,8 @@ def commit_snapshot(
             ]
             new_id = (max(ids) + 1) if ids else 0
             os.makedirs(_snap_dir(table_dir, new_id))
+            with open(_reserved_path(table_dir, new_id), "w") as f:
+                f.write(str(new_id))
     df.write.mode("overwrite").parquet(_snap_dir(table_dir, new_id))
     # manifest belongs to the generation: written before the flip, so a
     # crash leaves it orphaned along with the data it describes
@@ -220,10 +286,22 @@ def commit_snapshot(
     with _FlipLock(table_dir):
         cur = current_snapshot_id(table_dir)
         if cur != expected_parent:
+            # marker STAYS: the conflicted generation remains invisible
+            # to readers and is vacuum_orphans' garbage wherever
+            # CURRENT moves next
             raise CommitConflict(
                 f"CURRENT moved to {cur} (expected {expected_parent}); "
                 "re-read and retry"
             )
+        # drop the marker BEFORE the flip: a crash in between leaves an
+        # unmarked orphan ABOVE CURRENT (new_id > expected_parent = cur
+        # while the lock is held) — exactly the standing crash-window
+        # semantics; a marker surviving past the flip would hide a
+        # committed CURRENT instead
+        try:
+            os.unlink(_reserved_path(table_dir, new_id))
+        except FileNotFoundError:
+            pass
         tmp = os.path.join(table_dir, "CURRENT.tmp")
         with open(tmp, "w") as f:
             f.write(str(new_id))
@@ -466,13 +544,17 @@ def vacuum_orphans(table_dir: str) -> list[int]:
     """Garbage-collect UNCOMMITTED generations: directories whose id is
     above CURRENT and not reachable from any ref (crash leftovers past
     the single-orphan reuse window, e.g. an abandoned branch write
-    after its ref was deleted). Committed history is never touched —
-    that is ``expire_snapshots``' job."""
+    after its ref was deleted), plus RESERVED generations from
+    conflicted CAS writers — collected wherever they sit relative to
+    CURRENT, since a CAS loser's id ends up below a later winner's
+    pointer. Committed history is never touched — that is
+    ``expire_snapshots``' job."""
     import shutil
 
     cur = current_snapshot_id(table_dir)
     if cur is None:
         return []
+    reserved = _reserved_ids(table_dir)
     reachable: set[int] = set()
     for ref in _all_ref_ids(table_dir):
         reachable.add(ref)
@@ -482,10 +564,14 @@ def vacuum_orphans(table_dir: str) -> list[int]:
         m = _SNAP_RE.match(name)
         if m:
             sid = int(m.group(1))
-            if sid > cur and sid not in reachable:
+            if (sid > cur or sid in reserved) and sid not in reachable:
                 victims.append(sid)
     for sid in victims:
         shutil.rmtree(_snap_dir(table_dir, sid))
+        try:
+            os.unlink(_reserved_path(table_dir, sid))
+        except FileNotFoundError:
+            pass
     return sorted(victims)
 
 
@@ -845,7 +931,11 @@ def commit_to_ref(spark: SparkSession, df: DataFrame, table_dir: str,
     ids are global (max over all generations + 1), so branch and main
     histories interleave in one ordered id space like Iceberg's."""
     os.makedirs(table_dir, exist_ok=True)
-    new_id = _next_snapshot_id(table_dir)
+    # same locked allocate-and-claim as plain commits, so a branch
+    # write can't collide with a concurrent CAS reservation
+    with _FlipLock(table_dir):
+        new_id = _next_snapshot_id(table_dir)
+        os.makedirs(_snap_dir(table_dir, new_id), exist_ok=True)
     df.write.mode("overwrite").parquet(_snap_dir(table_dir, new_id))
     _write_manifest(_snap_dir(table_dir, new_id))
     p = _ref_path(table_dir, ref)

@@ -929,8 +929,6 @@ def _lzw_decode(data: bytes, expected: int) -> bytes:
             else:  # the KwKwK case
                 entry = prev + prev[:1]
                 table.append(entry)
-            if prev is not None and code < len(table) - 1:
-                pass
             out.extend(entry)
             prev = entry
             if len(table) == (1 << width) and width < 12:

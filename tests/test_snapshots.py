@@ -896,6 +896,8 @@ def test_optimistic_commit_detects_lost_update(spark, tmp_path):
         CommitConflict,
         commit_snapshot,
         read_snapshot,
+        snapshot_history,
+        snapshot_ids,
         vacuum_orphans,
     )
 
@@ -918,9 +920,67 @@ def test_optimistic_commit_detects_lost_update(spark, tmp_path):
     assert a_id > 2  # id 2 was burned by A's conflicted reservation
     assert read_snapshot(spark, table).count() == 20
 
-    # the conflicted reservation is orphan garbage, reclaimed by vacuum
-    assert 2 in vacuum_orphans(table) or vacuum_orphans(table) == []
+    # A's conflicted reservation (id 2) now sits BELOW CURRENT, but its
+    # RESERVED marker keeps the never-committed data out of every read
+    # path: not listed, not historied, not readable by pinned id
+    assert snapshot_ids(table) == [0, 1, a_id]
+    assert [h["id"] for h in snapshot_history(table)] == [0, 1, a_id]
+    with _pytest.raises(ValueError):
+        read_snapshot(spark, table, 2)
+
+    # ... and vacuum reclaims it even though 2 < CURRENT
+    assert vacuum_orphans(table) == [2]
+    assert not os.path.isdir(os.path.join(table, "snap-000002"))
+    assert not os.path.exists(os.path.join(table, "RESERVED-000002"))
+    assert snapshot_ids(table) == [0, 1, a_id]
     assert read_snapshot(spark, table).count() == 20
+
+
+def test_flip_lock_breaks_stale_never_live(tmp_path):
+    """The commit lock breaks only a lock FILE older than timeout_s
+    (a crashed holder), never a live holder's or a freshly acquired
+    third party's — an expired waiter deadline alone proves nothing
+    about the current holder."""
+    import threading
+    import time
+
+    from csv_to_jsonld_processor_spark.operators.snapshots import _FlipLock
+
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    lock_path = os.path.join(table, "COMMIT.lock")
+
+    # stale lock (mtime backdated past timeout): broken and acquired
+    open(lock_path, "w").close()
+    os.utime(lock_path, (time.time() - 60, time.time() - 60))
+    t0 = time.time()
+    with _FlipLock(table, timeout_s=0.5):
+        assert os.path.exists(lock_path)
+    assert time.time() - t0 < 5  # did not wait for a full extra timeout cycle
+    assert not os.path.exists(lock_path)
+
+    # fresh lock: the waiter's deadline expiring must NOT delete a lock
+    # file YOUNGER than timeout_s (the third-party-just-acquired case
+    # the old unconditional unlink clobbered); the waiter acquires only
+    # after the holder's own release
+    open(lock_path, "w").close()
+    acquired = threading.Event()
+
+    def waiter():
+        with _FlipLock(table, timeout_s=1.0):
+            acquired.set()
+
+    th = threading.Thread(target=waiter, daemon=True)
+    th.start()
+    time.sleep(0.5)
+    now = time.time()
+    os.utime(lock_path, (now, now))  # a new holder took over mid-wait
+    time.sleep(0.8)  # waiter's original deadline (1.0 s) has expired
+    assert not acquired.is_set()  # young lock survived the expired deadline
+    assert os.path.exists(lock_path)
+    os.unlink(lock_path)  # holder releases
+    th.join(timeout=5)
+    assert acquired.is_set()
 
 
 def test_schema_evolution_model_fuzz(spark, tmp_path):
